@@ -1,0 +1,44 @@
+"""jsl_engine — a from-scratch PySpark-native JSL validation engine.
+
+Reimplements the semantics of JSON Schema Language (reference: the Rust crate
+``jsl`` v0.3.1 at /root/reference) as:
+
+* a driver-side schema compiler (:mod:`jsl_engine.schema`),
+* a single-document validation kernel with reference-exact error paths
+  (:mod:`jsl_engine.kernel`),
+* an Arrow-batched Spark evaluator over ``(repo, path, commit, lang, content)``
+  source-code tables (:mod:`jsl_engine.spark_validate`),
+* table-level checks the north rule adds on top — column stats, uniqueness,
+  referential integrity, distribution drift (:mod:`jsl_engine.table_checks`),
+* skew-aware partitioning helpers (:mod:`jsl_engine.partitioning`) and a
+  per-partition manifest with idempotent resume (:mod:`jsl_engine.manifest`).
+
+This is NOT a port of the Rust code: the execution strategy is Spark-first
+(broadcast compiled plan + mapInPandas; built-in DataFrame ops for all
+relational work). Only the *semantics* (forms, type checks, error paths) come
+from the reference, cited per-function as file:line.
+"""
+
+from jsl_engine.errors import (
+    AmbiguousProperty,
+    InvalidForm,
+    JslError,
+    MaxDepthExceeded,
+    NoSuchDefinition,
+)
+from jsl_engine.kernel import ValidationError, Validator
+from jsl_engine.schema import Schema, compile_schema
+
+__all__ = [
+    "AmbiguousProperty",
+    "InvalidForm",
+    "JslError",
+    "MaxDepthExceeded",
+    "NoSuchDefinition",
+    "Schema",
+    "ValidationError",
+    "Validator",
+    "compile_schema",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,59 @@
+"""Error types for JSL compilation and evaluation.
+
+Mirrors the reference's ``JslError`` enum (reference: src/errors.rs:7-40) —
+the four compile/eval error kinds, as Python exceptions.
+"""
+
+from __future__ import annotations
+
+
+class JslError(Exception):
+    """Base class for all JSL errors (reference: src/errors.rs:7)."""
+
+
+class InvalidForm(JslError):
+    """A schema-like object did not take on one of the 8 valid forms.
+
+    Raised on invalid keyword combinations, unknown type names, empty enums,
+    or duplicate enum values (reference: src/errors.rs:14-15, raised at
+    src/schema.rs:71,89,95,101,108,116,124,148,156,172).
+    """
+
+    def __init__(self) -> None:
+        super().__init__("invalid schema form")
+
+
+class AmbiguousProperty(JslError):
+    """The same property is declared twice in one schema.
+
+    ``properties`` vs ``optionalProperties`` overlap, or a discriminator tag
+    colliding with a mapped schema's declared properties
+    (reference: src/errors.rs:23-24, raised at src/schema.rs:137,167-169).
+    """
+
+    def __init__(self, prop: str) -> None:
+        self.property = prop
+        super().__init__(f"ambiguous property: {prop}")
+
+
+class NoSuchDefinition(JslError):
+    """A ``ref`` points at a definition absent from the root schema.
+
+    (reference: src/errors.rs:31-32, raised at src/schema.rs:191-195).
+    """
+
+    def __init__(self, definition: str) -> None:
+        self.definition = definition
+        super().__init__(f"no such definition: {definition}")
+
+
+class MaxDepthExceeded(JslError):
+    """The maximum ref-following depth was exceeded during evaluation.
+
+    Unlike validation errors, this aborts the whole validation with no error
+    rows (reference: src/errors.rs:38-39, raised at src/vm.rs:58-60; doc at
+    src/validator.rs:80-91).
+    """
+
+    def __init__(self) -> None:
+        super().__init__("maximum reference depth exceeded during validation")

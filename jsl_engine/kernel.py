@@ -1,0 +1,369 @@
+"""Single-document JSL validation kernel.
+
+Reimplements the reference evaluation VM (reference: src/vm.rs:10-320) with
+byte-for-byte identical error paths. This kernel is the semantic core shared
+by the Spark batched evaluator (:mod:`jsl_engine.spark_validate`) and the
+pytest spec harness; it is deliberately dependency-free and allocation-light
+on the happy path (paths are only materialized when an error is pushed,
+mirroring the reference's Cow strategy — src/validator.rs:123-133).
+
+Key parity points, each encoding a reference behavior:
+
+* integer types compare in **float64** with the reference's hard-coded f64
+  bounds (reference: src/vm.rs:83-106, check_int src/vm.rs:264-278) — so
+  2**63 passes ``int64`` because the max literal rounds up in f64;
+* a JSON bool is *not* a number (``as_f64`` is None → type error,
+  reference: src/vm.rs:271-275);
+* max_depth counts the *schema token stack height*, checked before following
+  a ref (reference: src/vm.rs:58-60), and exceeding it is a hard failure
+  with no error rows (reference: src/validator.rs:80-91);
+* max_errors truncation happens inside ``push_err``
+  (reference: src/vm.rs:314-317); 0 means unlimited
+  (reference: src/validator.rs:70-78);
+* the non-object-vs-properties corner case picks ``properties`` vs
+  ``optionalProperties`` by whether the ``properties`` keyword was literally
+  present (reference: src/vm.rs:196-210);
+* discriminator evaluates the mapped schema against the **whole** instance
+  with the parent tag exempted from strict mode
+  (reference: src/vm.rs:233, src/vm.rs:184).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+from jsl_engine.errors import MaxDepthExceeded
+from jsl_engine.pointer import format_pointer
+from jsl_engine.rfc3339 import is_rfc3339
+from jsl_engine.schema import (
+    DISCRIMINATOR,
+    ELEMENTS,
+    EMPTY,
+    ENUM,
+    PROPERTIES,
+    REF,
+    Schema,
+    TYPE,
+    VALUES,
+)
+
+#: f64 range bounds per integer type (reference: src/vm.rs:84-105). The
+#: int64/uint64 maxima are the reference's literals *as doubles* — i.e.
+#: 2**63 and 2**64 exactly — reproducing its double-precision edge verdicts.
+INT_BOUNDS: dict[str, tuple[float, float]] = {
+    "int8": (-128.0, 127.0),
+    "uint8": (0.0, 255.0),
+    "int16": (-32768.0, 32767.0),
+    "uint16": (0.0, 65535.0),
+    "int32": (-2147483648.0, 2147483647.0),
+    "uint32": (0.0, 4294967295.0),
+    "int64": (-9223372036854775808.0, 9223372036854775807.0),
+    "uint64": (0.0, 18446744073709551615.0),
+}
+
+
+class ValidationError(NamedTuple):
+    """One problem with an instance (reference: src/validator.rs:129-132).
+
+    Both members are RFC 6901 JSON Pointer strings; the pair format is
+    standardized across JSL implementations (reference: src/lib.rs:91-98).
+    """
+
+    instance_path: str
+    schema_path: str
+
+
+class _Stop(Exception):
+    """Internal early-exit sentinel when max_errors is reached
+    (reference: EvalError::Internal, src/vm.rs:33-36)."""
+
+
+def as_f64(value: Any) -> float | None:
+    """serde_json ``Value::as_f64`` parity: numbers (not bools) as float."""
+    if isinstance(value, bool) or not isinstance(value, (int, float)):
+        return None
+    try:
+        return float(value)
+    except OverflowError:  # Python big int beyond f64 range
+        return float("inf") if value > 0 else float("-inf")
+
+
+class _Vm:
+    """The evaluation VM (reference: src/vm.rs:38-46): an instance-token
+    stack and a stack of schema-token vectors — a new vector is pushed when
+    entering a ref so error schema paths are rebased at
+    ``/definitions/<name>`` (reference: src/vm.rs:63-64)."""
+
+    __slots__ = (
+        "max_failures",
+        "max_depth",
+        "strict",
+        "defs",
+        "instance_tokens",
+        "schema_tokens",
+        "errors",
+    )
+
+    def __init__(
+        self,
+        max_failures: int,
+        max_depth: int,
+        strict: bool,
+        defs: dict[str, tuple],
+    ) -> None:
+        self.max_failures = max_failures
+        self.max_depth = max_depth
+        self.strict = strict
+        self.defs = defs
+        self.instance_tokens: list[str] = []
+        self.schema_tokens: list[list[str]] = [[]]
+        self.errors: list[ValidationError] = []
+
+    def eval(self, node: tuple, instance: Any, parent_tag: str | None) -> None:
+        """Reference: ``Vm::eval`` (src/vm.rs:49-262)."""
+        kind = node[0]
+        if kind == EMPTY:  # reference: src/vm.rs:56
+            return
+
+        if kind == REF:  # reference: src/vm.rs:57-67
+            if len(self.schema_tokens) == self.max_depth:
+                raise MaxDepthExceeded()
+            refd = self.defs[node[1]]
+            self.schema_tokens.append(["definitions", node[1]])
+            self.eval(refd, instance, None)
+            self.schema_tokens.pop()
+            return
+
+        if kind == TYPE:  # reference: src/vm.rs:68-127
+            typ = node[1]
+            if typ == "boolean":
+                if not isinstance(instance, bool):
+                    self._err_at("type")
+            elif typ == "number" or typ == "float32" or typ == "float64":
+                # the three validate identically (reference: src/vm.rs:76-82)
+                if isinstance(instance, bool) or not isinstance(instance, (int, float)):
+                    self._err_at("type")
+            elif typ == "string":
+                if not isinstance(instance, str):
+                    self._err_at("type")
+            elif typ == "timestamp":
+                # reference: src/vm.rs:114-126 (chrono parse_from_rfc3339)
+                if not isinstance(instance, str) or not is_rfc3339(instance):
+                    self._err_at("type")
+            else:
+                # the 8 integer types (reference: check_int src/vm.rs:264-278)
+                lo, hi = INT_BOUNDS[typ]
+                n = as_f64(instance)
+                if n is None or n % 1.0 != 0.0 or n < lo or n > hi:
+                    self._err_at("type")
+            return
+
+        if kind == ENUM:  # reference: src/vm.rs:128-140
+            if not isinstance(instance, str) or instance not in node[1]:
+                self._err_at("enum")
+            return
+
+        if kind == ELEMENTS:  # reference: src/vm.rs:141-153
+            tokens = self.schema_tokens[-1]
+            tokens.append("elements")
+            if type(instance) is list:
+                sub = node[1]
+                itokens = self.instance_tokens
+                for i, elem in enumerate(instance):
+                    itokens.append(str(i))  # stringified index, src/vm.rs:145
+                    self.eval(sub, elem, None)
+                    itokens.pop()
+            else:
+                self._push_err()
+            tokens.pop()
+            return
+
+        if kind == PROPERTIES:  # reference: src/vm.rs:154-210
+            required, optional, has_required = node[1]
+            tokens = self.schema_tokens[-1]
+            if type(instance) is dict:
+                tokens.append("properties")
+                for prop, sub in required.items():
+                    tokens.append(prop)
+                    if prop in instance:
+                        self.instance_tokens.append(prop)
+                        self.eval(sub, instance[prop], None)
+                        self.instance_tokens.pop()
+                    else:
+                        # missing required key: instance path stays at the
+                        # object (reference: src/vm.rs:163-165)
+                        self._push_err()
+                    tokens.pop()
+                tokens.pop()
+
+                tokens.append("optionalProperties")
+                for prop, sub in optional.items():
+                    tokens.append(prop)
+                    if prop in instance:
+                        self.instance_tokens.append(prop)
+                        self.eval(sub, instance[prop], None)
+                        self.instance_tokens.pop()
+                    tokens.pop()
+                tokens.pop()
+
+                if self.strict:
+                    # undeclared-property errors point at the Properties
+                    # schema itself (reference: src/vm.rs:182-195); the
+                    # parent discriminator tag is exempt (src/vm.rs:184)
+                    for key in instance:
+                        if key == parent_tag or key in required or key in optional:
+                            continue
+                        self.instance_tokens.append(key)
+                        self._push_err()
+                        self.instance_tokens.pop()
+            else:
+                # non-object corner case (reference: src/vm.rs:196-210)
+                self._err_at("properties" if has_required else "optionalProperties")
+            return
+
+        if kind == VALUES:  # reference: src/vm.rs:212-224
+            tokens = self.schema_tokens[-1]
+            tokens.append("values")
+            if type(instance) is dict:
+                sub = node[1]
+                for prop, sub_instance in instance.items():
+                    self.instance_tokens.append(prop)
+                    self.eval(sub, sub_instance, None)
+                    self.instance_tokens.pop()
+            else:
+                self._push_err()
+            tokens.pop()
+            return
+
+        if kind == DISCRIMINATOR:  # reference: src/vm.rs:225-258
+            tag, mapping = node[1]
+            tokens = self.schema_tokens[-1]
+            tokens.append("discriminator")
+            if type(instance) is dict:
+                if tag in instance:
+                    instance_tag = instance[tag]
+                    if isinstance(instance_tag, str):
+                        if instance_tag in mapping:
+                            # whole-instance eval with parent_tag set
+                            # (reference: src/vm.rs:230-235)
+                            tokens.append("mapping")
+                            tokens.append(instance_tag)
+                            self.eval(mapping[instance_tag], instance, tag)
+                            tokens.pop()
+                            tokens.pop()
+                        else:
+                            # tag value not in mapping (src/vm.rs:236-242)
+                            tokens.append("mapping")
+                            self.instance_tokens.append(tag)
+                            self._push_err()
+                            self.instance_tokens.pop()
+                            tokens.pop()
+                    else:
+                        # tag not a string (src/vm.rs:243-249)
+                        tokens.append("tag")
+                        self.instance_tokens.append(tag)
+                        self._push_err()
+                        self.instance_tokens.pop()
+                        tokens.pop()
+                else:
+                    # tag key missing (src/vm.rs:250-254)
+                    tokens.append("tag")
+                    self._push_err()
+                    tokens.pop()
+            else:
+                # not an object: error at .../discriminator (src/vm.rs:255-257)
+                self._push_err()
+            tokens.pop()
+            return
+
+        raise AssertionError(f"unreachable form kind: {kind}")
+
+    # -- error emission (reference: src/vm.rs:280-319) --------------------
+
+    def _err_at(self, token: str) -> None:
+        tokens = self.schema_tokens[-1]
+        tokens.append(token)
+        self._push_err()
+        tokens.pop()
+
+    def _push_err(self) -> None:
+        self.errors.append(
+            ValidationError(
+                format_pointer(self.instance_tokens),
+                format_pointer(self.schema_tokens[-1]),
+            )
+        )
+        if len(self.errors) == self.max_failures:
+            raise _Stop()
+
+
+def validate(
+    schema: Schema,
+    instance: Any,
+    *,
+    max_errors: int = 0,
+    max_depth: int = 32,
+    strict_instance_semantics: bool = False,
+) -> list[ValidationError]:
+    """Validate one instance against a compiled root schema.
+
+    Reference: ``vm::validate`` (src/vm.rs:10-31) with the Config defaults of
+    src/validator.rs:107-115. Returns the error list (the *successful*
+    result); raises :class:`MaxDepthExceeded` on runaway refs.
+    """
+    defs = {name: d.as_node() for name, d in (schema.defs or {}).items()}
+    return validate_node(
+        schema.as_node(),
+        defs,
+        instance,
+        max_errors=max_errors,
+        max_depth=max_depth,
+        strict_instance_semantics=strict_instance_semantics,
+    )
+
+
+def validate_node(
+    form: tuple,
+    defs: dict[str, tuple],
+    instance: Any,
+    *,
+    max_errors: int = 0,
+    max_depth: int = 32,
+    strict_instance_semantics: bool = False,
+) -> list[ValidationError]:
+    """Node-level entry used by the Spark evaluator (plan already broadcast
+    as bare tuples; no ``Schema`` wrapper on executors)."""
+    vm = _Vm(max_errors, max_depth, strict_instance_semantics, defs)
+    try:
+        vm.eval(form, instance, None)
+    except _Stop:
+        # truncated error list is a successful result (src/vm.rs:27-30)
+        pass
+    return vm.errors
+
+
+class Config:
+    """Validation configuration (reference: src/validator.rs:56-115)."""
+
+    __slots__ = ("max_errors", "max_depth", "strict_instance_semantics")
+
+    def __init__(self) -> None:
+        self.max_errors = 0
+        self.max_depth = 32
+        self.strict_instance_semantics = False
+
+
+class Validator:
+    """Public validation API (reference: src/validator.rs:17-53)."""
+
+    def __init__(self, config: Config | None = None) -> None:
+        self.config = config or Config()
+
+    def validate(self, schema: Schema, instance: Any) -> list[ValidationError]:
+        return validate(
+            schema,
+            instance,
+            max_errors=self.config.max_errors,
+            max_depth=self.config.max_depth,
+            strict_instance_semantics=self.config.strict_instance_semantics,
+        )

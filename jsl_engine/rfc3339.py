@@ -1,0 +1,73 @@
+"""RFC 3339 timestamp validation with chrono-compatible semantics.
+
+The reference validates ``type: timestamp`` with chrono 0.4's
+``DateTime::parse_from_rfc3339`` (reference: src/vm.rs:114-126,
+Cargo.toml:17). Semantics reproduced here:
+
+* full date-time only: ``date "T" time offset`` — no date-only / time-only,
+* separator ``T`` or ``t`` (RFC 3339 §5.6 allows lowercase),
+* mandatory offset: ``Z``/``z`` or ``±HH:MM`` (chrono requires an offset for
+  ``DateTime<FixedOffset>``; naive timestamps are invalid),
+* optional fractional seconds: ``.`` followed by one or more digits,
+* proleptic-Gregorian calendar validity (leap years, days-in-month),
+* seconds ``00``–``60`` (chrono accepts a ``:60`` leap second on any date,
+  since it cannot know the leap-second table),
+* offset magnitude strictly below 24 h: hours ``00``–``23``, minutes
+  ``00``–``59`` (chrono ``FixedOffset`` validity range).
+
+Divergences from chrono, documented deliberately: chrono 0.4's permissive
+offset scanner may also accept colon-less offsets like ``+0930``; we reject
+those (strict RFC 3339). The vendored spec corpus under ``tests/spec/``
+avoids such ambiguous inputs, so cross-implementation verdicts agree.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_RFC3339 = re.compile(
+    r"""\A
+    (\d{4})-(\d{2})-(\d{2})
+    [Tt]
+    (\d{2}):(\d{2}):(\d{2})
+    (?:\.\d+)?
+    (?:[Zz]|([+-])(\d{2}):(\d{2}))
+    \Z""",
+    re.VERBOSE,
+)
+
+_DAYS_IN_MONTH = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+def _days_in_month(year: int, month: int) -> int:
+    if month == 2 and (year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)):
+        return 29
+    return _DAYS_IN_MONTH[month - 1]
+
+
+def is_rfc3339(s: str) -> bool:
+    """True iff ``s`` is a valid RFC 3339 date-time with offset."""
+    m = _RFC3339.match(s)
+    if m is None:
+        return False
+    year, month, day = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    hour, minute, sec = int(m.group(4)), int(m.group(5)), int(m.group(6))
+    if not (1 <= month <= 12 and 1 <= day <= _days_in_month(year, month)):
+        return False
+    if hour > 23 or minute > 59 or sec > 60:
+        return False
+    if m.group(7) is not None:  # numeric offset
+        if int(m.group(8)) > 23 or int(m.group(9)) > 59:
+            return False
+    return True
+
+
+def is_rfc3339_array(values: "np.ndarray | list[str]") -> np.ndarray:
+    """Vectorized :func:`is_rfc3339` over an array of Python strings."""
+    return np.fromiter(
+        (isinstance(v, str) and is_rfc3339(v) for v in values),
+        dtype=bool,
+        count=len(values),
+    )

@@ -1,0 +1,373 @@
+"""JSL schema compiler: JSON → compiled constraint plan.
+
+Driver-side reimplementation of the reference's schema module
+(reference: src/schema.rs). The compiled plan is a tree of plain picklable
+tuples, shipped to executors once via ``SparkContext.broadcast`` — the Spark
+analogue of the reference's parse-once/validate-many contract
+(reference: src/lib.rs:36-44, src/schema.rs:42-60).
+
+A schema takes exactly one of 8 mutually exclusive forms
+(reference: src/schema.rs:345-405); mixing keywords raises
+:class:`~jsl_engine.errors.InvalidForm` (reference: src/schema.rs:71-172).
+
+Compiled node representation::
+
+    node := (kind, payload, extra)
+
+    kind        payload
+    EMPTY       None
+    REF         definition name (str)
+    TYPE        canonical type name (str, one of the 14)
+    ENUM        frozenset[str]
+    ELEMENTS    sub-node
+    PROPERTIES  (required: dict[str, node], optional: dict[str, node],
+                 has_required: bool)
+    VALUES      sub-node
+    DISCRIMINATOR (tag: str, mapping: dict[str, node])
+
+``extra`` carries non-keyword JSON properties verbatim for custom tooling
+(reference: src/schema.rs:333-340, serde flatten at src/schema.rs:505-507).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any
+
+from jsl_engine.errors import AmbiguousProperty, InvalidForm, NoSuchDefinition
+
+# Form kinds.
+EMPTY = 0
+REF = 1
+TYPE = 2
+ENUM = 3
+ELEMENTS = 4
+PROPERTIES = 5
+VALUES = 6
+DISCRIMINATOR = 7
+
+#: The 14 primitive type names (reference: src/schema.rs:74-90). Unknown
+#: names are InvalidForm (reference: src/schema.rs:89).
+TYPE_NAMES = frozenset(
+    {
+        "boolean",
+        "number",
+        "float32",
+        "float64",
+        "int8",
+        "uint8",
+        "int16",
+        "uint16",
+        "int32",
+        "uint32",
+        "int64",
+        "uint64",
+        "string",
+        "timestamp",
+    }
+)
+
+#: All JSL keywords; anything else in a schema object lands in ``extra``
+#: (reference: src/schema.rs:470-508 — the serde renames).
+KEYWORDS = frozenset(
+    {
+        "definitions",
+        "ref",
+        "type",
+        "enum",
+        "elements",
+        "properties",
+        "optionalProperties",
+        "values",
+        "discriminator",
+    }
+)
+
+
+class Schema:
+    """A compiled root or sub-schema (reference: src/schema.rs:19-23).
+
+    ``defs`` is a dict iff this is a root schema (reference:
+    src/schema.rs:26-32, ``is_root`` at src/schema.rs:317-319); sub-schemas
+    carry ``defs=None``. ``form`` is a compiled node tuple.
+    """
+
+    __slots__ = ("defs", "form", "extra")
+
+    def __init__(
+        self,
+        defs: dict[str, "Schema"] | None,
+        form: tuple,
+        extra: dict[str, Any],
+    ) -> None:
+        self.defs = defs
+        self.form = form
+        self.extra = extra
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_serde(cls, serde: dict[str, Any]) -> "Schema":
+        """Compile a root schema from its parsed-JSON form.
+
+        Mirrors ``Schema::from_serde`` (reference: src/schema.rs:42-60):
+        strip ``definitions``, compile each definition and the root form,
+        then ref-check the root and every definition.
+        """
+        if not isinstance(serde, dict):
+            raise InvalidForm()
+        serde_defs = serde.get("definitions")
+        if serde_defs is None:
+            serde_defs = {}
+        if not isinstance(serde_defs, dict):
+            raise InvalidForm()
+
+        defs: dict[str, Schema] = {}
+        for name, sub in serde_defs.items():
+            defs[name] = cls._from_serde(sub)
+
+        root = cls._from_serde(serde)
+        root.defs = defs
+
+        _check_refs(defs, root)
+        for sub_schema in defs.values():
+            _check_refs(defs, sub_schema)
+        return root
+
+    @classmethod
+    def _from_serde(cls, serde: Any) -> "Schema":
+        """Compile one (sub-)schema: keyword → form with mutual-exclusion
+        checks (reference: src/schema.rs:62-186). Non-root ``definitions``
+        are silently dropped, exactly as the reference's ``_from_serde``
+        never reads ``serde_schema.defs``.
+        """
+        if not isinstance(serde, dict):
+            raise InvalidForm()
+
+        form: tuple = (EMPTY, None, None)
+        have_form = False
+
+        rxf = serde.get("ref")
+        if rxf is not None:
+            if not isinstance(rxf, str):
+                raise InvalidForm()
+            form, have_form = (REF, rxf, None), True
+
+        typ = serde.get("type")
+        if typ is not None:
+            if have_form:
+                raise InvalidForm()
+            if not isinstance(typ, str) or typ not in TYPE_NAMES:
+                raise InvalidForm()
+            form, have_form = (TYPE, typ, None), True
+
+        enm = serde.get("enum")
+        if enm is not None:
+            if have_form:
+                raise InvalidForm()
+            if not isinstance(enm, list):
+                raise InvalidForm()
+            values: set[str] = set()
+            for val in enm:
+                if not isinstance(val, str) or val in values:
+                    # duplicate enum value (reference: src/schema.rs:98-105)
+                    raise InvalidForm()
+                values.add(val)
+            if not values:
+                # empty enum (reference: src/schema.rs:107-109)
+                raise InvalidForm()
+            form, have_form = (ENUM, frozenset(values), None), True
+
+        elems = serde.get("elements")
+        if elems is not None:
+            if have_form:
+                raise InvalidForm()
+            form, have_form = (ELEMENTS, cls._from_serde(elems).as_node(), None), True
+
+        props = serde.get("properties")
+        opt_props = serde.get("optionalProperties")
+        if props is not None or opt_props is not None:
+            if have_form:
+                raise InvalidForm()
+            has_required = props is not None
+            if props is not None and not isinstance(props, dict):
+                raise InvalidForm()
+            if opt_props is not None and not isinstance(opt_props, dict):
+                raise InvalidForm()
+
+            required = {
+                name: cls._from_serde(sub).as_node() for name, sub in (props or {}).items()
+            }
+            optional: dict[str, tuple] = {}
+            for name, sub in (opt_props or {}).items():
+                if name in required:
+                    # properties ∩ optionalProperties
+                    # (reference: src/schema.rs:134-141)
+                    raise AmbiguousProperty(name)
+                optional[name] = cls._from_serde(sub).as_node()
+            form, have_form = (PROPERTIES, (required, optional, has_required), None), True
+
+        vals = serde.get("values")
+        if vals is not None:
+            if have_form:
+                raise InvalidForm()
+            form, have_form = (VALUES, cls._from_serde(vals).as_node(), None), True
+
+        disc = serde.get("discriminator")
+        if disc is not None:
+            if have_form:
+                raise InvalidForm()
+            if not isinstance(disc, dict) or "tag" not in disc or "mapping" not in disc:
+                raise InvalidForm()
+            tag = disc["tag"]
+            if not isinstance(tag, str) or not isinstance(disc["mapping"], dict):
+                raise InvalidForm()
+            mapping: dict[str, tuple] = {}
+            for name, sub in disc["mapping"].items():
+                sub_node = cls._from_serde(sub).as_node()
+                # Mapped schemas must be of the properties form, and must not
+                # re-declare the tag (reference: src/schema.rs:160-176).
+                if sub_node[0] != PROPERTIES:
+                    raise InvalidForm()
+                required, optional, _ = sub_node[1]
+                if tag in required or tag in optional:
+                    raise AmbiguousProperty(tag)
+                mapping[name] = sub_node
+            form, have_form = (DISCRIMINATOR, (tag, mapping), None), True
+
+        extra = {k: v for k, v in serde.items() if k not in KEYWORDS}
+        return cls(None, form, extra)
+
+    # -- node view --------------------------------------------------------
+
+    def as_node(self) -> tuple:
+        """This schema as a plan node ``(kind, payload, extra)``.
+
+        Sub-schemas are stored as bare nodes inside parent payloads; the
+        ``Schema`` wrapper exists only at the root and for API parity.
+        """
+        kind, payload, _ = self.form
+        return (kind, payload, self.extra if self.extra else None)
+
+    # -- accessors (reference: src/schema.rs:313-340) ---------------------
+
+    def is_root(self) -> bool:
+        return self.defs is not None
+
+    def definitions(self) -> dict[str, "Schema"] | None:
+        return self.defs
+
+    # -- serialization (reference: src/schema.rs:223-311) -----------------
+
+    def into_serde(self) -> dict[str, Any]:
+        """Lossless inverse of :meth:`from_serde`.
+
+        ``has_required`` drives whether ``properties`` / ``optionalProperties``
+        are emitted (reference: src/schema.rs:278-296); ``extra`` is restored
+        (reference: src/schema.rs:309). Enum values are emitted sorted for
+        determinism (the reference's HashSet order is arbitrary and the
+        harness never depends on it).
+        """
+        out = _node_into_serde(self.as_node())
+        if self.defs is not None:
+            out = {
+                "definitions": {k: v.into_serde() for k, v in self.defs.items()},
+                **out,
+            }
+        return out
+
+    def fingerprint(self) -> str:
+        """sha256 of the canonical (sorted-keys) JSON serialization — used
+        as the schema identity in the manifest table (engine addition)."""
+        blob = json.dumps(self.into_serde(), sort_keys=True, separators=(",", ":"))
+        return hashlib.sha256(blob.encode("utf-8")).hexdigest()
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Schema):
+            return NotImplemented
+        return (
+            self.defs == other.defs
+            and self.form == other.form
+            and self.extra == other.extra
+        )
+
+    def __repr__(self) -> str:
+        return f"Schema(form={self.form!r}, defs={self.defs!r})"
+
+
+def _node_into_serde(node: tuple) -> dict[str, Any]:
+    kind, payload, extra = node
+    out: dict[str, Any] = {}
+    if kind == REF:
+        out["ref"] = payload
+    elif kind == TYPE:
+        out["type"] = payload
+    elif kind == ENUM:
+        out["enum"] = sorted(payload)
+    elif kind == ELEMENTS:
+        out["elements"] = _node_into_serde(payload)
+    elif kind == PROPERTIES:
+        required, optional, has_required = payload
+        if has_required or required:
+            out["properties"] = {k: _node_into_serde(v) for k, v in required.items()}
+        if not has_required or optional:
+            out["optionalProperties"] = {
+                k: _node_into_serde(v) for k, v in optional.items()
+            }
+    elif kind == VALUES:
+        out["values"] = _node_into_serde(payload)
+    elif kind == DISCRIMINATOR:
+        tag, mapping = payload
+        out["discriminator"] = {
+            "tag": tag,
+            "mapping": {k: _node_into_serde(v) for k, v in mapping.items()},
+        }
+    if extra:
+        out.update(extra)
+    return out
+
+
+def _check_refs(defs: dict[str, Schema], schema: "Schema | tuple") -> None:
+    """Every ``ref`` must resolve in the root defs (reference:
+    src/schema.rs:188-221). Structural recursion only — refs themselves are
+    not followed (cycles are a runtime concern, guarded by max_depth)."""
+    node = schema.as_node() if isinstance(schema, Schema) else schema
+    kind, payload, _ = node
+    if kind == REF:
+        if payload not in defs:
+            raise NoSuchDefinition(payload)
+    elif kind == ELEMENTS or kind == VALUES:
+        _check_refs(defs, payload)
+    elif kind == PROPERTIES:
+        required, optional, _hr = payload
+        for sub in required.values():
+            _check_refs(defs, sub)
+        for sub in optional.values():
+            _check_refs(defs, sub)
+    elif kind == DISCRIMINATOR:
+        for sub in payload[1].values():
+            _check_refs(defs, sub)
+
+
+def compile_schema(schema: "str | bytes | dict[str, Any]") -> Schema:
+    """Compile a schema from JSON text or an already-parsed dict.
+
+    The single driver-side entry point: parse once, compile once, then
+    broadcast (reference contract: src/lib.rs:34-44).
+    """
+    if isinstance(schema, (str, bytes)):
+        schema = json.loads(schema)
+    return Schema.from_serde(schema)
+
+
+def plan_payload(schema: Schema) -> dict[str, Any]:
+    """The picklable payload shipped via ``broadcast``: the root form node
+    plus a def-name → node table (reference analogue: root ``defs`` lookup
+    at src/vm.rs:62)."""
+    assert schema.is_root(), "broadcast payload requires a root schema"
+    return {
+        "form": schema.as_node(),
+        "defs": {name: d.as_node() for name, d in schema.defs.items()},
+        "fingerprint": schema.fingerprint(),
+    }

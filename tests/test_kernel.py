@@ -1,0 +1,323 @@
+"""Validation kernel tests: the reference's validator tests
+(reference: src/validator.rs:156-201), the lib.rs doc-test
+(reference: src/lib.rs:19-88), and targeted tests for every VM parity point
+in src/vm.rs."""
+
+import pytest
+
+from jsl_engine.errors import MaxDepthExceeded
+from jsl_engine.kernel import Config, ValidationError, Validator, validate
+from jsl_engine.rfc3339 import is_rfc3339
+from jsl_engine.schema import compile_schema
+
+
+def errs(schema, instance, **kw):
+    """Validate and return sorted (schema_path, instance_path)-keyed errors,
+    matching the spec harness comparison (reference: tests/spec_test.rs:65-71)."""
+    out = validate(compile_schema(schema), instance, **kw)
+    return sorted(out, key=lambda e: (e.schema_path, e.instance_path))
+
+
+# -- reference: src/validator.rs:162-178 ---------------------------------
+
+
+def test_infinite_loop():
+    schema = compile_schema({"definitions": {"a": {"ref": "a"}}, "ref": "a"})
+    with pytest.raises(MaxDepthExceeded):
+        validate(schema, {})
+
+
+def test_max_errors():
+    # reference: src/validator.rs:180-200 — truncation to 3 of 5
+    schema = compile_schema({"elements": {"type": "string"}})
+    out = validate(schema, [None, None, None, None, None], max_errors=3)
+    assert len(out) == 3
+
+
+# -- reference: src/lib.rs:19-88 (doc-test) ------------------------------
+
+
+def test_lib_rs_doctest():
+    schema = compile_schema(
+        {
+            "properties": {
+                "name": {"type": "string"},
+                "age": {"type": "number"},
+                "phones": {"elements": {"type": "string"}},
+            }
+        }
+    )
+    ok = {"name": "John Doe", "age": 43, "phones": ["+44 1234567", "+44 2345678"]}
+    assert validate(schema, ok) == []
+
+    bad = {"age": "43", "phones": ["+44 1234567", 442345678]}
+    out = sorted(validate(schema, bad), key=lambda e: e.instance_path)
+    assert out == [
+        ValidationError("", "/properties/name"),
+        ValidationError("/age", "/properties/age/type"),
+        ValidationError("/phones/1", "/properties/phones/elements/type"),
+    ]
+
+
+# -- form-by-form VM parity (reference: src/vm.rs:49-262) ----------------
+
+
+def test_empty_accepts_everything():
+    for v in [None, True, 0, 1.5, "x", [], {}, {"a": [1]}]:
+        assert errs({}, v) == []
+
+
+def test_type_boolean():
+    assert errs({"type": "boolean"}, True) == []
+    for v in [None, 0, 1, "true", [], {}]:
+        assert errs({"type": "boolean"}, v) == [ValidationError("", "/type")]
+
+
+def test_type_number_family_identical():
+    # number/float32/float64 validate identically (reference: src/vm.rs:76-82)
+    for t in ("number", "float32", "float64"):
+        assert errs({"type": t}, 3.25) == []
+        assert errs({"type": t}, -7) == []
+        # bool is NOT a number (reference: src/vm.rs:271-275 analogue)
+        assert errs({"type": t}, True) == [ValidationError("", "/type")]
+        assert errs({"type": t}, "3") == [ValidationError("", "/type")]
+
+
+@pytest.mark.parametrize(
+    "typ,ok,bad",
+    [
+        ("int8", [-128, 127, 0, 5.0], [-129, 128, 0.5, True, "1", None]),
+        ("uint8", [0, 255], [-1, 256, 2.5]),
+        ("int16", [-32768, 32767], [-32769, 32768]),
+        ("uint16", [0, 65535], [-1, 65536]),
+        ("int32", [-2147483648, 2147483647], [-2147483649, 2147483648]),
+        ("uint32", [0, 4294967295], [-1, 4294967296]),
+        # f64-literal bound parity: 2**63 passes int64 because the reference's
+        # max literal rounds to 2**63 in double precision (src/vm.rs:102)
+        ("int64", [-(2**63), 2**63 - 1024, 2**63], [-(2**63) - 2048, 2**63 + 2048]),
+        # uint64 max literal rounds to 2**64 (src/vm.rs:105)
+        ("uint64", [0, 2**64], [-1, 2**64 + 4096]),
+    ],
+)
+def test_type_integers_f64_bounds(typ, ok, bad):
+    for v in ok:
+        assert errs({"type": typ}, v) == [], (typ, v)
+    for v in bad:
+        assert errs({"type": typ}, v) == [ValidationError("", "/type")], (typ, v)
+
+
+def test_type_string():
+    assert errs({"type": "string"}, "x") == []
+    assert errs({"type": "string"}, 1) == [ValidationError("", "/type")]
+
+
+def test_type_timestamp():
+    assert errs({"type": "timestamp"}, "1985-04-12T23:20:50.52Z") == []
+    for v in ["1985-04-12", "not a time", 3, None, True]:
+        assert errs({"type": "timestamp"}, v) == [ValidationError("", "/type")]
+
+
+def test_enum():
+    s = {"enum": ["FOO", "BAR"]}
+    assert errs(s, "FOO") == []
+    # non-member and non-string both err at /enum (reference: src/vm.rs:128-140)
+    assert errs(s, "BAZ") == [ValidationError("", "/enum")]
+    assert errs(s, 3) == [ValidationError("", "/enum")]
+
+
+def test_elements():
+    s = {"elements": {"type": "number"}}
+    assert errs(s, [1, 2.5, -3]) == []
+    assert errs(s, "nope") == [ValidationError("", "/elements")]
+    assert errs(s, [1, "x", 2, None]) == [
+        ValidationError("/1", "/elements/type"),
+        ValidationError("/3", "/elements/type"),
+    ]
+
+
+def test_properties_missing_and_wrong():
+    s = {
+        "properties": {"a": {"type": "boolean"}},
+        "optionalProperties": {"b": {"type": "string"}},
+    }
+    assert errs(s, {"a": True}) == []
+    assert errs(s, {"a": True, "b": "x"}) == []
+    assert errs(s, {}) == [ValidationError("", "/properties/a")]
+    assert errs(s, {"a": 1, "b": 2}) == [
+        ValidationError("/b", "/optionalProperties/b/type"),
+        ValidationError("/a", "/properties/a/type"),
+    ]
+
+
+def test_properties_non_object_corner_case():
+    # reference: src/vm.rs:196-210 — schema path depends on whether the
+    # `properties` keyword was literally present
+    assert errs({"properties": {}}, 3) == [ValidationError("", "/properties")]
+    assert errs({"optionalProperties": {}}, 3) == [
+        ValidationError("", "/optionalProperties")
+    ]
+    assert errs({"properties": {}, "optionalProperties": {}}, 3) == [
+        ValidationError("", "/properties")
+    ]
+
+
+def test_strict_instance_semantics():
+    s = {"properties": {"a": {}}, "optionalProperties": {"b": {}}}
+    inst = {"a": 1, "b": 2, "c": 3}
+    assert errs(s, inst) == []
+    # undeclared key errs with schema path at the Properties schema itself
+    # (reference: src/vm.rs:182-195)
+    assert errs(s, inst, strict_instance_semantics=True) == [
+        ValidationError("/c", "")
+    ]
+
+
+def test_values():
+    s = {"values": {"type": "number"}}
+    assert errs(s, {"x": 1, "y": 2.5}) == []
+    assert errs(s, []) == [ValidationError("", "/values")]
+    assert errs(s, {"x": "bad"}) == [ValidationError("/x", "/values/type")]
+
+
+def test_discriminator_paths():
+    s = {
+        "discriminator": {
+            "tag": "kind",
+            "mapping": {
+                "a": {"properties": {"x": {"type": "number"}}},
+            },
+        }
+    }
+    assert errs(s, {"kind": "a", "x": 1}) == []
+    # not an object → /discriminator (reference: src/vm.rs:255-257)
+    assert errs(s, 3) == [ValidationError("", "/discriminator")]
+    # tag missing → schema /discriminator/tag, instance ""
+    assert errs(s, {}) == [ValidationError("", "/discriminator/tag")]
+    # tag not a string → instance /kind
+    assert errs(s, {"kind": 7}) == [ValidationError("/kind", "/discriminator/tag")]
+    # tag not in mapping → schema /discriminator/mapping, instance /kind
+    assert errs(s, {"kind": "z"}) == [
+        ValidationError("/kind", "/discriminator/mapping")
+    ]
+    # mapped schema evaluated against the WHOLE instance (src/vm.rs:233)
+    assert errs(s, {"kind": "a", "x": "bad"}) == [
+        ValidationError("/x", "/discriminator/mapping/a/properties/x/type")
+    ]
+    # missing required inside the mapped schema
+    assert errs(s, {"kind": "a"}) == [
+        ValidationError("", "/discriminator/mapping/a/properties/x")
+    ]
+
+
+def test_discriminator_strict_tag_exemption():
+    # the parent tag is exempt from strict-mode undeclared checks
+    # (reference: src/vm.rs:184)
+    s = {
+        "discriminator": {
+            "tag": "kind",
+            "mapping": {"a": {"properties": {"x": {}}}},
+        }
+    }
+    inst = {"kind": "a", "x": 1, "extra": 2}
+    assert errs(s, inst, strict_instance_semantics=True) == [
+        ValidationError("/extra", "/discriminator/mapping/a")
+    ]
+    assert errs(s, {"kind": "a", "x": 1}, strict_instance_semantics=True) == []
+
+
+def test_ref_path_rebase():
+    # entering a ref rebases schema paths at /definitions/<name>
+    # (reference: src/vm.rs:63-64)
+    s = {
+        "definitions": {"num": {"type": "number"}},
+        "elements": {"ref": "num"},
+    }
+    assert errs(s, [1, "x"]) == [ValidationError("/1", "/definitions/num/type")]
+
+
+def test_nested_refs_and_depth():
+    s = {
+        "definitions": {
+            "a": {"ref": "b"},
+            "b": {"type": "string"},
+        },
+        "ref": "a",
+    }
+    assert errs(s, "ok") == []
+    assert errs(s, 1) == [ValidationError("", "/definitions/b/type")]
+    # depth check counts schema-token stack height (reference: src/vm.rs:58-60)
+    with pytest.raises(MaxDepthExceeded):
+        validate(compile_schema(s), 1, max_depth=2)
+    # depth 3 is enough for two nested refs
+    assert validate(compile_schema(s), "ok", max_depth=3) == []
+
+
+def test_json_pointer_escaping():
+    # ~ → ~0, / → ~1 (RFC 6901; json-pointer crate parity)
+    s = {"properties": {"a/b": {"type": "string"}, "c~d": {"type": "string"}}}
+    out = errs(s, {"a/b": 1, "c~d": 2})
+    assert out == [
+        ValidationError("/a~1b", "/properties/a~1b/type"),
+        ValidationError("/c~0d", "/properties/c~0d/type"),
+    ]
+
+
+def test_max_errors_zero_unlimited():
+    schema = compile_schema({"elements": {"type": "string"}})
+    out = validate(schema, [None] * 7, max_errors=0)
+    assert len(out) == 7
+
+
+def test_validator_api():
+    cfg = Config()
+    cfg.max_errors = 1
+    v = Validator(cfg)
+    schema = compile_schema({"elements": {"type": "string"}})
+    assert len(v.validate(schema, [1, 2, 3])) == 1
+
+
+# -- RFC 3339 parity (reference: src/vm.rs:114-126, chrono 0.4) ----------
+
+
+@pytest.mark.parametrize(
+    "ts",
+    [
+        "1985-04-12T23:20:50.52Z",
+        "1996-12-19T16:39:57-08:00",
+        "1990-12-31T23:59:60Z",  # leap second accepted
+        "1937-01-01T12:00:27.87+00:20",
+        "2020-02-29T00:00:00Z",  # leap year
+        "0001-01-01T00:00:00Z",
+        "9999-12-31T23:59:59.999999999Z",
+        "2021-06-30t10:00:00z",  # lowercase t/z allowed by RFC 3339
+    ],
+)
+def test_rfc3339_valid(ts):
+    assert is_rfc3339(ts)
+
+
+@pytest.mark.parametrize(
+    "ts",
+    [
+        "",
+        "1985-04-12",  # date only
+        "23:20:50Z",  # time only
+        "1985-04-12T23:20:50.52",  # missing offset
+        "2021-02-29T00:00:00Z",  # not a leap year
+        "2021-13-01T00:00:00Z",  # month 13
+        "2021-00-10T00:00:00Z",  # month 0
+        "2021-04-31T00:00:00Z",  # April has 30 days
+        "2021-04-00T00:00:00Z",  # day 0
+        "2021-04-10T24:00:00Z",  # hour 24
+        "2021-04-10T23:60:00Z",  # minute 60
+        "2021-04-10T23:00:61Z",  # second 61
+        "2021-04-10T23:00:00+24:00",  # offset hour 24
+        "2021-04-10T23:00:00+05:60",  # offset minute 60
+        "2021-04-10 23:00:00Z",  # space separator
+        "2021-04-10T23:00:00.Z",  # empty fraction
+        "21-04-10T23:00:00Z",  # 2-digit year
+        "2021-4-10T23:00:00Z",  # unpadded month
+    ],
+)
+def test_rfc3339_invalid(ts):
+    assert not is_rfc3339(ts)

@@ -1,0 +1,231 @@
+"""Schema compiler tests, ported 1:1 from the reference's embedded unit
+tests (reference: src/schema.rs:522-1034)."""
+
+import pytest
+
+from jsl_engine.errors import AmbiguousProperty, InvalidForm, NoSuchDefinition
+from jsl_engine.schema import (
+    DISCRIMINATOR,
+    ELEMENTS,
+    EMPTY,
+    ENUM,
+    PROPERTIES,
+    REF,
+    Schema,
+    TYPE,
+    VALUES,
+    compile_schema,
+)
+
+BOOL = (TYPE, "boolean", None)
+EMPTY_NODE = (EMPTY, None, None)
+
+
+def test_from_serde_root():
+    # reference: src/schema.rs:601-631
+    s = compile_schema({"definitions": {"a": {"type": "boolean"}}})
+    assert s.is_root()
+    assert s.form[:2] == (EMPTY, None)
+    assert s.defs["a"].as_node() == BOOL
+
+
+def test_from_serde_empty():
+    # reference: src/schema.rs:633-643
+    s = compile_schema({})
+    assert s.defs == {}
+    assert s.form[:2] == (EMPTY, None)
+    assert s.extra == {}
+
+
+def test_from_serde_extra():
+    # reference: src/schema.rs:645-655
+    s = compile_schema({"foo": "bar"})
+    assert s.form[:2] == (EMPTY, None)
+    assert s.extra == {"foo": "bar"}
+
+
+def test_from_serde_ref():
+    # reference: src/schema.rs:657-699
+    s = compile_schema({"definitions": {"a": {"type": "boolean"}}, "ref": "a"})
+    assert s.form[:2] == (REF, "a")
+    with pytest.raises(NoSuchDefinition):
+        compile_schema({"definitions": {"a": {"type": "boolean"}}, "ref": ""})
+
+
+def test_from_serde_type():
+    # reference: src/schema.rs:701-770
+    for t in ("boolean", "number", "string", "timestamp"):
+        assert compile_schema({"type": t}).form[:2] == (TYPE, t)
+    with pytest.raises(InvalidForm):
+        compile_schema({"type": "nonsense"})
+
+
+def test_from_serde_enum():
+    # reference: src/schema.rs:772-809
+    s = compile_schema({"enum": ["FOO", "BAR"]})
+    assert s.form[:2] == (ENUM, frozenset({"FOO", "BAR"}))
+    with pytest.raises(InvalidForm):
+        compile_schema({"enum": []})
+    with pytest.raises(InvalidForm):
+        compile_schema({"enum": ["FOO", "FOO"]})
+
+
+def test_from_serde_elements():
+    # reference: src/schema.rs:811-833
+    s = compile_schema({"elements": {"type": "boolean"}})
+    assert s.form[0] == ELEMENTS
+    assert s.form[1] == BOOL
+
+
+def test_from_serde_properties():
+    # reference: src/schema.rs:835-924
+    s = compile_schema(
+        {
+            "properties": {"a": {"type": "boolean"}},
+            "optionalProperties": {"b": {"type": "boolean"}},
+        }
+    )
+    required, optional, has_required = s.form[1]
+    assert s.form[0] == PROPERTIES
+    assert required == {"a": BOOL}
+    assert optional == {"b": BOOL}
+    assert has_required is True
+
+    s = compile_schema({"optionalProperties": {"b": {"type": "boolean"}}})
+    required, optional, has_required = s.form[1]
+    assert required == {}
+    assert optional == {"b": BOOL}
+    assert has_required is False
+
+    with pytest.raises(AmbiguousProperty):
+        compile_schema(
+            {
+                "properties": {"a": {"type": "boolean"}},
+                "optionalProperties": {"a": {"type": "boolean"}},
+            }
+        )
+
+
+def test_from_serde_values():
+    # reference: src/schema.rs:926-948
+    s = compile_schema({"values": {"type": "boolean"}})
+    assert s.form[0] == VALUES
+    assert s.form[1] == BOOL
+
+
+def test_from_serde_discriminator():
+    # reference: src/schema.rs:950-1033
+    s = compile_schema(
+        {
+            "discriminator": {
+                "tag": "foo",
+                "mapping": {"a": {"properties": {}}, "b": {"properties": {}}},
+            }
+        }
+    )
+    tag, mapping = s.form[1]
+    assert s.form[0] == DISCRIMINATOR
+    assert tag == "foo"
+    assert set(mapping) == {"a", "b"}
+    for node in mapping.values():
+        assert node[0] == PROPERTIES
+        assert node[1] == ({}, {}, True)
+
+    # mapping values must be of the properties form
+    with pytest.raises(InvalidForm):
+        compile_schema(
+            {"discriminator": {"tag": "foo", "mapping": {"a": {"type": "boolean"}}}}
+        )
+
+    # tag colliding with a mapped schema's properties
+    with pytest.raises(AmbiguousProperty):
+        compile_schema(
+            {
+                "discriminator": {
+                    "tag": "foo",
+                    "mapping": {
+                        "a": {"properties": {"foo": {"type": "boolean"}}},
+                    },
+                }
+            }
+        )
+
+
+def test_invalid_keyword_combinations():
+    # mutual exclusion of forms (reference: src/schema.rs:71,94,115,123,147,155)
+    combos = [
+        {"ref": "a", "type": "boolean", "definitions": {"a": {}}},
+        {"type": "boolean", "enum": ["A"]},
+        {"enum": ["A"], "elements": {}},
+        {"elements": {}, "properties": {}},
+        {"properties": {}, "values": {}},
+        {"values": {}, "discriminator": {"tag": "t", "mapping": {}}},
+        {"type": "boolean", "discriminator": {"tag": "t", "mapping": {}}},
+    ]
+    for serde in combos:
+        with pytest.raises(InvalidForm):
+            compile_schema(serde)
+
+
+def test_nested_ref_check():
+    # check_refs recurses structurally (reference: src/schema.rs:188-221)
+    with pytest.raises(NoSuchDefinition):
+        compile_schema({"elements": {"ref": "missing"}})
+    with pytest.raises(NoSuchDefinition):
+        compile_schema(
+            {"definitions": {"a": {"values": {"ref": "nope"}}}, "ref": "a"}
+        )
+    # valid: refs from inside defs to other defs
+    s = compile_schema(
+        {"definitions": {"a": {"ref": "b"}, "b": {"type": "string"}}, "ref": "a"}
+    )
+    assert s.defs["a"].form[:2] == (REF, "b")
+
+
+def test_nested_definitions_ignored():
+    # _from_serde never reads sub-schema defs (reference: src/schema.rs:62-186)
+    s = compile_schema({"elements": {"definitions": {"x": {}}, "type": "string"}})
+    assert s.form[1][:2] == (TYPE, "string")
+
+
+def test_into_serde_roundtrip():
+    # reference: src/schema.rs:223-311 (lossless incl. has_required + extra)
+    cases = [
+        {},
+        {"foo": "bar"},
+        {"type": "uint64"},
+        {"enum": ["A", "B"]},
+        {"elements": {"type": "timestamp"}},
+        {"properties": {}},
+        {"optionalProperties": {}},
+        {"properties": {"a": {"type": "int8"}}, "optionalProperties": {"b": {}}},
+        {"values": {"enum": ["X"]}},
+        {
+            "definitions": {"a": {"type": "boolean"}},
+            "ref": "a",
+        },
+        {
+            "discriminator": {
+                "tag": "t",
+                "mapping": {"v": {"properties": {"p": {"type": "float32"}}}},
+            }
+        },
+    ]
+    for serde in cases:
+        s = compile_schema(serde)
+        out = s.into_serde()
+        assert compile_schema(out) == s, serde
+        # has_required fidelity: "properties" emitted iff present originally
+        # (for the empty-properties cases)
+        if "properties" in serde:
+            assert "properties" in out
+        if serde == {"optionalProperties": {}}:
+            assert "properties" not in out
+
+
+def test_fingerprint_stable():
+    a = compile_schema({"properties": {"x": {"type": "int32"}}})
+    b = compile_schema({"properties": {"x": {"type": "int32"}}})
+    assert a.fingerprint() == b.fingerprint()
+    c = compile_schema({"properties": {"x": {"type": "int64"}}})
+    assert a.fingerprint() != c.fingerprint()
