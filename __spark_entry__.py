@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship JSL validation over the sf0.001 ``events``
+table. ``queries()``/``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2, DuckDB-oracled where ANSI-SQL-expressible.
 """
 
 from __future__ import annotations
@@ -13,26 +11,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from jsl_engine.schema import compile_schema
+from jsl_engine.spark_validate import validate_df, verdicts
+
+#: Schema for the events.props JSON column (TESTDATA.md): {"k": int}.
+EVENTS_PROPS_SCHEMA = {"properties": {"k": {"type": "int32"}}}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate events.props at sf0.001 → per-document verdicts.
+
+    Exercises the full engine path: driver-side schema compile → broadcast
+    plan → Arrow-batched mapInPandas validation (fast-check + kernel) →
+    verdict projection with the sha256 row invariant.
+    """
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    schema = compile_schema(EVENTS_PROPS_SCHEMA)
+    validated = validate_df(
+        events,
+        schema,
+        content_col="props",
+        key_cols=("event_id",),
+    )
+    return verdicts(validated, key_cols=("event_id",))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
+    """One entry per implemented operator from SURVEY.md §2."""
     return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
+    """DuckDB-equivalent SQL per queries() key (omitted for ops that are
+    not ANSI-SQL-expressible — e.g. JSL validation itself)."""
     return {}

@@ -1,0 +1,157 @@
+"""Deterministic synthetic source-code corpus generator.
+
+Produces the north-rule input table ``(repo:string, path:string,
+commit:string, lang:string, content:string)`` (BASELINE.json ``input_hint``)
+at any scale, **distributed**: the driver only plans ``spark.range(n)``;
+each executor generates its own rows from the row id with a counter-based
+seeded RNG, so the same ``(seed, n)`` always yields the same table at any
+parallelism — no driver-side materialization, no 100-TB bottleneck.
+
+Repo sizes are Zipf-skewed (a few monorepos own a large share of files) to
+exercise the engine's salting/AQE skew handling. ``content`` is a JSON
+code-file-metadata document; a seeded fraction carries one of six injected
+defect classes so validation exercises every error form.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+#: The JSL schema every generated content document is measured against —
+#: touches every form: type/enum/elements/properties/values/discriminator/ref.
+CODE_FILE_SCHEMA: dict = {
+    "definitions": {
+        "ident": {"type": "string"},
+    },
+    "properties": {
+        "name": {"ref": "ident"},
+        "lang": {"enum": ["python", "rust", "go", "java", "c", "js"]},
+        "size": {"type": "uint32"},
+        "lines": {"type": "uint32"},
+        "imports": {"elements": {"ref": "ident"}},
+        "created": {"type": "timestamp"},
+        "check": {
+            "discriminator": {
+                "tag": "kind",
+                "mapping": {
+                    "lint": {"properties": {"score": {"type": "float64"}}},
+                    "test": {"properties": {"passed": {"type": "boolean"}}},
+                },
+            }
+        },
+    },
+    "optionalProperties": {
+        "metrics": {"values": {"type": "number"}},
+    },
+}
+
+LANGS = ("python", "rust", "go", "java", "c", "js")
+
+SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+#: Number of distinct repos; repo r owns a share ∝ 1/(r+1) (Zipf s=1), so
+#: repo 0 is a monorepo holding ~15% of all files at N_REPOS=100.
+N_REPOS = 100
+_WEIGHTS = [1.0 / (r + 1) for r in range(N_REPOS)]
+_TOTAL_W = sum(_WEIGHTS)
+_CUM: list[float] = []
+_acc = 0.0
+for _w in _WEIGHTS:
+    _acc += _w / _TOTAL_W
+    _CUM.append(_acc)
+
+
+def _rng(seed: int, i: int) -> float:
+    """Counter-based uniform [0,1) — deterministic at any parallelism."""
+    h = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=8).digest()
+    return int.from_bytes(h, "big") / 2**64
+
+
+def _repo_of(u: float) -> int:
+    lo, hi = 0, N_REPOS - 1
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _CUM[mid] < u:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+def make_row(i: int, seed: int, defect_rate: float) -> tuple[str, str, str, str, str]:
+    """Row ``i`` of the corpus — pure function of ``(i, seed)``."""
+    u = _rng(seed, i * 7)
+    repo_id = _repo_of(u)
+    repo = f"repo-{repo_id:03d}"
+    lang = LANGS[int(_rng(seed, i * 7 + 1) * len(LANGS))]
+    path = f"src/m{i % 97}/f{i}.{lang[:2]}"
+    commit = hashlib.sha1(f"{seed}:{repo}:{i // 50}".encode()).hexdigest()
+
+    size = int(_rng(seed, i * 7 + 2) * 4_000_000)
+    doc = {
+        "name": f"f{i}",
+        "lang": lang,
+        "size": size,
+        "lines": max(1, size // 40),
+        "imports": [f"dep{j}" for j in range(i % 5)],
+        "created": f"20{10 + i % 15}-{1 + i % 12:02d}-{1 + i % 28:02d}T{i % 24:02d}:{i % 60:02d}:{i % 60:02d}Z",
+        "check": (
+            {"kind": "lint", "score": round(_rng(seed, i * 7 + 3) * 10, 3)}
+            if i % 2
+            else {"kind": "test", "passed": bool(i % 3)}
+        ),
+    }
+    if i % 4 == 0:
+        doc["metrics"] = {"complexity": i % 50, "coverage": round(_rng(seed, i * 7 + 4), 4)}
+
+    if _rng(seed, i * 7 + 5) < defect_rate:
+        defect = int(_rng(seed, i * 7 + 6) * 7)
+        if defect == 0:
+            del doc["name"]  # missing required property
+        elif defect == 1:
+            doc["size"] = -1  # uint32 range violation
+        elif defect == 2:
+            doc["lang"] = "cobol"  # enum violation
+        elif defect == 3:
+            doc["imports"] = ["ok", 42]  # element type violation
+        elif defect == 4:
+            doc["created"] = "yesterday"  # timestamp violation
+        elif defect == 5:
+            doc["check"] = {"kind": "fuzz"}  # discriminator mapping violation
+        else:
+            return (repo, path, commit, lang, '{"truncated": ')  # parse error
+
+    return (repo, path, commit, lang, json.dumps(doc, separators=(",", ":")))
+
+
+def generate_corpus(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    seed: int = 42,
+    defect_rate: float = 0.02,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed corpus: ``spark.range`` → ``mapInPandas`` row synthesis."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = [make_row(int(i), seed, defect_rate) for i in batch["id"]]
+            yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
+
+    rng = spark.range(0, n_rows, numPartitions=partitions)
+    return rng.mapInPandas(gen, SCHEMA)

@@ -1,0 +1,191 @@
+"""Compiled fast-path validity checker.
+
+The Spark batched evaluator splits work into two phases:
+
+1. a **fast check** — the schema compiled (once per executor process) into a
+   tree of Python closures returning a bare bool, with zero path bookkeeping
+   and short-circuit evaluation; this is the happy path and covers the
+   overwhelming majority of documents in a healthy corpus,
+2. the full path-tracking kernel (:mod:`jsl_engine.kernel`) re-run only on
+   documents the fast check rejected, to produce the exact
+   ``(instance_path, schema_path)`` pairs.
+
+This mirrors the reference's zero-copy happy path (errors allocate, success
+doesn't — reference: src/validator.rs:123-133) while keeping verdict parity:
+the fast check is compiled from the same plan nodes and implements the same
+semantics (reference: src/vm.rs:49-278), including the max-depth guard
+(reference: src/vm.rs:58-60) and strict-mode tag exemption
+(reference: src/vm.rs:182-195).
+
+Short-circuiting cannot change verdicts: a doc failing the fast check gets a
+full kernel traversal, and a doc passing it visited every branch the kernel
+would. ``MaxDepthExceeded`` raised here is the same hard failure the
+reference raises regardless of traversal order (at max_errors=0 the
+reference always reaches every branch).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from jsl_engine.errors import MaxDepthExceeded
+from jsl_engine.kernel import INT_BOUNDS
+from jsl_engine.rfc3339 import is_rfc3339
+from jsl_engine.schema import (
+    DISCRIMINATOR,
+    ELEMENTS,
+    EMPTY,
+    ENUM,
+    PROPERTIES,
+    REF,
+    TYPE,
+    VALUES,
+)
+
+Check = Callable[[Any, int], bool]
+
+
+def _compile_type(typ: str) -> Check:
+    if typ == "boolean":
+        return lambda v, d: type(v) is bool
+    if typ in ("number", "float32", "float64"):
+        # bool is not a number (reference: src/vm.rs:271-275)
+        return lambda v, d: type(v) is float or type(v) is int
+    if typ == "string":
+        return lambda v, d: type(v) is str
+    if typ == "timestamp":
+        return lambda v, d: type(v) is str and is_rfc3339(v)
+    lo, hi = INT_BOUNDS[typ]
+
+    def check_int(v: Any, d: int) -> bool:
+        # f64 compare parity (reference: src/vm.rs:264-278); float() of a
+        # Python big int may overflow — the reference's as_f64 saturates
+        t = type(v)
+        if t is int:
+            try:
+                n = float(v)
+            except OverflowError:
+                return False
+        elif t is float:
+            n = v
+        else:
+            return False
+        return n % 1.0 == 0.0 and lo <= n <= hi
+
+    return check_int
+
+
+def compile_check(
+    form: tuple,
+    defs: dict[str, tuple],
+    *,
+    max_depth: int = 32,
+    strict: bool = False,
+) -> Check:
+    """Compile a plan into a closure ``check(value, depth) -> bool``.
+
+    ``depth`` starts at 1 (the reference's schema-token-stack height,
+    src/vm.rs:23) and increments only when following a ref.
+    """
+    compiled_defs: dict[str, Check] = {}
+
+    def compile_node(node: tuple, parent_tag: str | None) -> Check:
+        kind, payload, _ = node
+
+        if kind == EMPTY:
+            return lambda v, d: True
+
+        if kind == REF:
+            name = payload
+
+            def check_ref(v: Any, d: int) -> bool:
+                if d == max_depth:
+                    raise MaxDepthExceeded()
+                return compiled_defs[name](v, d + 1)
+
+            return check_ref
+
+        if kind == TYPE:
+            return _compile_type(payload)
+
+        if kind == ENUM:
+            values = payload
+            return lambda v, d: type(v) is str and v in values
+
+        if kind == ELEMENTS:
+            sub = compile_node(payload, None)
+
+            def check_elements(v: Any, d: int) -> bool:
+                if type(v) is not list:
+                    return False
+                for x in v:
+                    if not sub(x, d):
+                        return False
+                return True
+
+            return check_elements
+
+        if kind == PROPERTIES:
+            required, optional, _hr = payload
+            req_items = tuple((k, compile_node(s, None)) for k, s in required.items())
+            opt_items = tuple((k, compile_node(s, None)) for k, s in optional.items())
+            # strict-mode declared set, with the parent discriminator tag
+            # baked in at compile time (reference: src/vm.rs:184)
+            declared = frozenset(required) | frozenset(optional) | (
+                {parent_tag} if parent_tag is not None else set()
+            )
+
+            def check_properties(v: Any, d: int) -> bool:
+                if type(v) is not dict:
+                    return False
+                for k, sub in req_items:
+                    if k not in v or not sub(v[k], d):
+                        return False
+                for k, sub in opt_items:
+                    if k in v and not sub(v[k], d):
+                        return False
+                if strict:
+                    for k in v:
+                        if k not in declared:
+                            return False
+                return True
+
+            return check_properties
+
+        if kind == VALUES:
+            sub = compile_node(payload, None)
+
+            def check_values(v: Any, d: int) -> bool:
+                if type(v) is not dict:
+                    return False
+                for x in v.values():
+                    if not sub(x, d):
+                        return False
+                return True
+
+            return check_values
+
+        if kind == DISCRIMINATOR:
+            tag, mapping = payload
+            mapping_checks = {
+                name: compile_node(sub, tag) for name, sub in mapping.items()
+            }
+
+            def check_discriminator(v: Any, d: int) -> bool:
+                if type(v) is not dict:
+                    return False
+                t = v.get(tag)
+                if type(t) is not str:
+                    return False
+                sub = mapping_checks.get(t)
+                if sub is None:
+                    return False
+                return sub(v, d)
+
+            return check_discriminator
+
+        raise AssertionError(f"unreachable form kind: {kind}")
+
+    for name, node in defs.items():
+        compiled_defs[name] = compile_node(node, None)
+    return compile_node(form, None)

@@ -1,0 +1,233 @@
+"""Arrow-batched JSL validation over Spark DataFrames.
+
+The distributed analogue of the reference's validate-many loop
+(reference: src/lib.rs:36-44): the schema is compiled **once** on the driver
+(:func:`jsl_engine.schema.compile_schema`), shipped to executors as a
+broadcast of plain tuples, compiled **once per executor process** into
+fast-path closures (:mod:`jsl_engine.fastcheck`), then applied to Arrow
+batches of documents inside ``mapInPandas`` — no per-row Python UDFs, no
+schema re-parsing per row or per batch.
+
+Two-phase evaluation per document:
+
+1. ``json.loads`` + compiled fast check (bool, short-circuit, no paths);
+2. only rejected documents re-run the full kernel
+   (:func:`jsl_engine.kernel.validate_node`) for exact
+   ``(instance_path, schema_path)`` pairs (reference: src/vm.rs:302-319).
+
+Output is **one row per document** with violations as a nested array —
+derived flat views (:func:`verdicts`, :func:`violations`) are plain
+projections, so neither requires a shuffle or a second validation pass.
+
+Engine extensions beyond the reference (documented verdict taxonomy):
+
+* ``error='json_parse_error'`` — the reference takes pre-parsed values
+  (reference: src/validator.rs:41-45); a table engine must classify
+  unparseable ``content`` itself;
+* ``error='max_depth_exceeded'`` — the reference's hard failure with no
+  error rows (reference: src/validator.rs:80-91) becomes a distinguished
+  verdict row.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from jsl_engine.errors import MaxDepthExceeded
+from jsl_engine.fastcheck import compile_check
+from jsl_engine.kernel import validate_node
+from jsl_engine.schema import Schema, plan_payload
+
+#: Appended to the pass-through key columns in the validation output.
+RESULT_FIELDS = [
+    StructField("ok", BooleanType(), False),
+    StructField("n_errors", IntegerType(), False),
+    StructField("error", StringType(), True),
+    StructField("content_sha256", StringType(), True),
+    StructField(
+        "violations",
+        ArrayType(
+            StructType(
+                [
+                    StructField("instance_path", StringType(), False),
+                    StructField("schema_path", StringType(), False),
+                ]
+            )
+        ),
+        True,
+    ),
+]
+
+# Per-executor-process cache of compiled checkers, keyed by
+# (schema fingerprint, strict, max_depth): compile once, validate many.
+_CHECKER_CACHE: dict[tuple, tuple] = {}
+
+
+def _get_checker(payload: dict, strict: bool, max_depth: int):
+    key = (payload["fingerprint"], strict, max_depth)
+    hit = _CHECKER_CACHE.get(key)
+    if hit is None:
+        check = compile_check(
+            payload["form"], payload["defs"], strict=strict, max_depth=max_depth
+        )
+        hit = (check, payload["form"], payload["defs"])
+        _CHECKER_CACHE[key] = hit
+    return hit
+
+
+def _validate_batch(
+    contents: "pd.Series",
+    payload: dict,
+    strict: bool,
+    max_errors: int,
+    max_depth: int,
+) -> tuple[list, list, list, list]:
+    """Validate one Arrow batch of JSON strings; returns parallel columns
+    (ok, n_errors, error, violations)."""
+    check, form, defs = _get_checker(payload, strict, max_depth)
+    loads = json.loads
+    ok_col: list[bool] = []
+    n_col: list[int] = []
+    err_col: list[Any] = []
+    vio_col: list[Any] = []
+    for content in contents:
+        try:
+            doc = loads(content)
+        except (ValueError, TypeError):
+            ok_col.append(False)
+            n_col.append(0)
+            err_col.append("json_parse_error")
+            vio_col.append(None)
+            continue
+        try:
+            if check(doc, 1):
+                ok_col.append(True)
+                n_col.append(0)
+                err_col.append(None)
+                vio_col.append(None)
+            else:
+                errors = validate_node(
+                    form,
+                    defs,
+                    doc,
+                    max_errors=max_errors,
+                    max_depth=max_depth,
+                    strict_instance_semantics=strict,
+                )
+                ok_col.append(False)
+                n_col.append(len(errors))
+                err_col.append(None)
+                vio_col.append(
+                    [
+                        {"instance_path": e.instance_path, "schema_path": e.schema_path}
+                        for e in errors
+                    ]
+                )
+        except MaxDepthExceeded:
+            # hard failure, no error rows (reference: src/validator.rs:80-91)
+            ok_col.append(False)
+            n_col.append(0)
+            err_col.append("max_depth_exceeded")
+            vio_col.append(None)
+    return ok_col, n_col, err_col, vio_col
+
+
+def validate_df(
+    df: DataFrame,
+    schema: Schema,
+    *,
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    strict_instance_semantics: bool = False,
+    max_errors: int = 0,
+    max_depth: int = 32,
+    with_sha256: bool = True,
+) -> DataFrame:
+    """Validate every row's ``content_col`` against a compiled root schema.
+
+    Returns one row per input row::
+
+        *key_cols, ok, n_errors, error, content_sha256, violations
+
+    The content sha256 is computed JVM-side with ``F.sha2`` before the
+    Python stage (whole-stage codegen; equals
+    ``hashlib.sha256(content.encode()).hexdigest()`` — the per-row invariant
+    against the reference harness), then passed through the UDF untouched.
+
+    Catalyst sees the UDF as a black box, so input pruning is explicit: only
+    ``key_cols + (sha,) + (content,)`` enter the Arrow exchange.
+    """
+    spark = df.sparkSession
+    payload = plan_payload(schema)
+    bc = spark.sparkContext.broadcast(payload)
+
+    cols = [F.col(c) for c in key_cols]
+    sha = (
+        F.sha2(F.col(content_col), 256)
+        if with_sha256
+        else F.lit(None).cast("string")
+    )
+    pruned = df.select(
+        *cols,
+        sha.alias("content_sha256"),
+        F.col(content_col).alias("__content"),
+    )
+
+    out_schema = StructType(
+        [pruned.schema[c] for c in key_cols]
+        + [
+            StructField("ok", BooleanType(), False),
+            StructField("n_errors", IntegerType(), False),
+            StructField("error", StringType(), True),
+            StructField("content_sha256", StringType(), True),
+            RESULT_FIELDS[-1],
+        ]
+    )
+
+    key_list = list(key_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        payload_local = bc.value
+        for batch in batches:
+            ok, n, err, vio = _validate_batch(
+                batch["__content"], payload_local, strict_instance_semantics,
+                max_errors, max_depth,
+            )
+            out = batch[key_list].copy()
+            out["ok"] = pd.Series(ok, dtype="bool")
+            out["n_errors"] = pd.Series(n, dtype="int32")
+            out["error"] = err
+            out["content_sha256"] = batch["content_sha256"].values
+            out["violations"] = vio
+            yield out
+
+    return pruned.mapInPandas(run, out_schema)
+
+
+def verdicts(validated: DataFrame, key_cols: tuple[str, ...] = ("repo", "path", "commit")) -> DataFrame:
+    """Per-document verdict view — a pure projection (no shuffle)."""
+    return validated.select(*key_cols, "ok", "n_errors", "error", "content_sha256")
+
+
+def violations(validated: DataFrame, key_cols: tuple[str, ...] = ("repo", "path", "commit")) -> DataFrame:
+    """Exploded violation rows: one row per (document, error) — matches the
+    reference's ``Vec<ValidationError>`` flattened across the table."""
+    return (
+        validated.where(F.col("violations").isNotNull() & (F.size("violations") > 0))
+        .select(*key_cols, F.explode("violations").alias("v"))
+        .select(*key_cols, F.col("v.instance_path").alias("instance_path"),
+                F.col("v.schema_path").alias("schema_path"))
+    )

@@ -1,0 +1,16 @@
+"""Shared Spark session for the test suite (local mode, AQE on)."""
+
+import pytest
+
+from jsl_engine.partitioning import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    session = get_spark(
+        master="local[4]",
+        app_name="jsl-engine-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "2g"},
+    )
+    yield session

@@ -1,0 +1,100 @@
+"""Fast-path checker agreement tests: the compiled boolean checker must
+agree with the path-tracking kernel on every input — spec corpus cases plus
+hypothesis-generated random JSON instances."""
+
+import json
+from pathlib import Path
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jsl_engine.errors import MaxDepthExceeded
+from jsl_engine.fastcheck import compile_check
+from jsl_engine.kernel import validate
+from jsl_engine.schema import compile_schema
+
+SPEC_DIR = Path(__file__).parent / "spec"
+
+
+def both_verdicts(schema, instance, strict=False, max_depth=32):
+    compiled = compile_schema(schema)
+    check = compile_check(
+        compiled.as_node(),
+        {k: v.as_node() for k, v in compiled.defs.items()},
+        strict=strict,
+        max_depth=max_depth,
+    )
+    try:
+        fast = check(instance, 1)
+    except MaxDepthExceeded:
+        fast = "max_depth"
+    try:
+        kernel = not validate(
+            compiled, instance, strict_instance_semantics=strict, max_depth=max_depth
+        )
+    except MaxDepthExceeded:
+        kernel = "max_depth"
+    return fast, kernel
+
+
+def test_spec_corpus_agreement():
+    for path in sorted(SPEC_DIR.glob("*.json")):
+        for suite in json.loads(path.read_text()):
+            for inst in suite["instances"]:
+                fast, kernel = both_verdicts(
+                    suite["schema"], inst["instance"], suite["strictInstance"]
+                )
+                assert fast == kernel, (path.name, suite["name"], inst["instance"])
+                assert kernel is (not inst["errors"])
+
+
+def test_max_depth_agreement():
+    schema = {"definitions": {"a": {"ref": "a"}}, "ref": "a"}
+    fast, kernel = both_verdicts(schema, {})
+    assert fast == kernel == "max_depth"
+
+
+SCHEMAS = [
+    {"type": "int32"},
+    {"type": "timestamp"},
+    {"enum": ["a", "b", "c"]},
+    {"elements": {"type": "number"}},
+    {
+        "properties": {"a": {"type": "string"}, "b": {"type": "int8"}},
+        "optionalProperties": {"c": {"elements": {"type": "boolean"}}},
+    },
+    {"values": {"type": "uint64"}},
+    {
+        "discriminator": {
+            "tag": "t",
+            "mapping": {
+                "x": {"properties": {"p": {"type": "number"}}},
+                "y": {"optionalProperties": {"q": {"enum": ["z"]}}},
+            },
+        }
+    },
+    {
+        "definitions": {"leaf": {"type": "string"}},
+        "elements": {"properties": {"v": {"ref": "leaf"}}},
+    },
+]
+
+json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**70), max_value=2**70)
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=8),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=4), children, max_size=4),
+    max_leaves=12,
+)
+
+
+@pytest.mark.parametrize("schema", SCHEMAS, ids=[str(i) for i in range(len(SCHEMAS))])
+@given(instance=json_values, strict=st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_random_instance_agreement(schema, instance, strict):
+    fast, kernel = both_verdicts(schema, instance, strict)
+    assert fast == kernel

@@ -1,0 +1,136 @@
+"""End-to-end Spark validation tests: the spec corpus run through the
+mapInPandas path must produce exactly the kernel's violations; the sha256
+row invariant must hold; the synthetic corpus must validate end-to-end."""
+
+import hashlib
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from jsl_engine.corpus import CODE_FILE_SCHEMA, generate_corpus
+from jsl_engine.schema import compile_schema
+from jsl_engine.spark_validate import validate_df, verdicts, violations
+
+SPEC_DIR = Path(__file__).parent / "spec"
+
+
+def spec_documents():
+    """Flatten the spec corpus into (suite_id, doc_id, schema, strict,
+    content, expected_errors) rows."""
+    for path in sorted(SPEC_DIR.glob("*.json")):
+        for s, suite in enumerate(json.loads(path.read_text())):
+            for i, inst in enumerate(suite["instances"]):
+                yield (
+                    f"{path.stem}:{s}",
+                    str(i),
+                    suite["schema"],
+                    suite["strictInstance"],
+                    json.dumps(inst["instance"]),
+                    sorted(
+                        (e["schemaPath"], e["instancePath"]) for e in inst["errors"]
+                    ),
+                )
+
+
+def test_spec_corpus_through_spark(spark):
+    """Group spec docs by (schema, strict) and validate each group as a
+    DataFrame; compare exploded violation rows to golden, sorted by
+    (schemaPath, instancePath) (reference: tests/spec_test.rs:65-71)."""
+    groups: dict = {}
+    for suite_id, doc_id, schema, strict, content, expected in spec_documents():
+        key = (json.dumps(schema, sort_keys=True), strict)
+        groups.setdefault(key, []).append((suite_id, doc_id, content, expected))
+
+    for (schema_json, strict), docs in groups.items():
+        schema = compile_schema(schema_json)
+        df = spark.createDataFrame(
+            [Row(repo=sid, path=did, commit="c0", content=content)
+             for sid, did, content, _ in docs]
+        )
+        out = validate_df(
+            df, schema, strict_instance_semantics=strict
+        ).collect()
+        by_key = {(r.repo, r.path): r for r in out}
+        assert len(out) == len(docs)
+        for sid, did, _content, expected in docs:
+            row = by_key[(sid, did)]
+            assert row.error is None
+            got = sorted(
+                (v.schema_path, v.instance_path) for v in (row.violations or [])
+            )
+            assert got == expected, (sid, did)
+            assert row.ok == (not expected)
+            assert row.n_errors == len(expected)
+
+
+def test_sha256_invariant(spark):
+    """F.sha2(content, 256) must equal hashlib.sha256().hexdigest() per row
+    (BASELINE.md per-row invariant)."""
+    docs = ['{"k": 1}', '{"k": "x", "nested": [1, 2, null]}', "not json", ""]
+    df = spark.createDataFrame(
+        [Row(repo="r", path=str(i), commit="c", content=c) for i, c in enumerate(docs)]
+    )
+    schema = compile_schema({"properties": {"k": {}}})
+    out = {r.path: r.content_sha256 for r in validate_df(df, schema).collect()}
+    for i, c in enumerate(docs):
+        assert out[str(i)] == hashlib.sha256(c.encode()).hexdigest()
+
+
+def test_parse_error_and_depth_verdicts(spark):
+    schema = compile_schema({"definitions": {"a": {"ref": "a"}}, "ref": "a"})
+    df = spark.createDataFrame(
+        [
+            Row(repo="r", path="bad-json", commit="c", content="{oops"),
+            Row(repo="r", path="cyclic", commit="c", content="{}"),
+        ]
+    )
+    out = {r.path: r for r in validate_df(df, schema).collect()}
+    assert out["bad-json"].error == "json_parse_error"
+    assert not out["bad-json"].ok
+    assert out["cyclic"].error == "max_depth_exceeded"
+    assert not out["cyclic"].ok
+    assert out["cyclic"].violations is None
+
+
+def test_corpus_end_to_end(spark):
+    """Flagship slice: synthetic source-code table → validate → verdict and
+    violation views; defect classes all appear; clean docs all pass."""
+    df = generate_corpus(spark, 2000, seed=42, defect_rate=0.15, partitions=4)
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    validated = validate_df(df, schema).cache()
+    try:
+        v = verdicts(validated)
+        total = v.count()
+        assert total == 2000
+        n_bad = v.where(~F.col("ok")).count()
+        # defect_rate=0.15 → roughly 300; generous determinism bounds
+        assert 200 < n_bad < 400
+
+        vio = violations(validated)
+        schema_paths = {r.schema_path for r in vio.select("schema_path").distinct().collect()}
+        # every injected defect class shows up with reference-shaped paths
+        assert "/properties/name" in schema_paths  # missing required
+        assert "/properties/size/type" in schema_paths  # uint32 range
+        assert "/properties/lang/enum" in schema_paths  # enum
+        # element type violations route through `ref: ident`, so the schema
+        # path rebases at /definitions (reference: src/vm.rs:63-64)
+        assert "/definitions/ident/type" in schema_paths
+        assert "/properties/created/type" in schema_paths  # timestamp
+        assert "/properties/check/discriminator/mapping" in schema_paths
+        assert v.where(F.col("error") == "json_parse_error").count() > 0
+
+        # violations only exist for failed docs
+        assert vio.count() == v.agg(F.sum("n_errors")).collect()[0][0]
+    finally:
+        validated.unpersist()
+
+
+def test_corpus_deterministic(spark):
+    a = generate_corpus(spark, 500, seed=7, partitions=2).collect()
+    b = generate_corpus(spark, 500, seed=7, partitions=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = generate_corpus(spark, 500, seed=8, partitions=2).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
