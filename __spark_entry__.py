@@ -2,7 +2,8 @@
 
 ``entry(spark)`` — flagship JSL validation over the sf0.001 ``events``
 table. ``queries()``/``oracle_sql()`` — one entry per implemented operator
-from SURVEY.md §2, DuckDB-oracled where ANSI-SQL-expressible.
+from SURVEY.md §2, DuckDB-oracled where ANSI-SQL-expressible; JSL
+validation itself is not SQL-expressible → rows-only checks.
 """
 
 from __future__ import annotations
@@ -10,12 +11,18 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from jsl_engine import table_checks as tc
 from jsl_engine.schema import compile_schema
-from jsl_engine.spark_validate import validate_df, verdicts
+from jsl_engine.spark_validate import validate_df, verdicts, violations
 
 #: Schema for the events.props JSON column (TESTDATA.md): {"k": int}.
-EVENTS_PROPS_SCHEMA = {"properties": {"k": {"type": "int32"}}}
+EVENTS_PROPS_SCHEMA = {"properties": {"k": {"type": "uint32"}}}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,23 +32,257 @@ def entry(spark: SparkSession) -> DataFrame:
     plan → Arrow-batched mapInPandas validation (fast-check + kernel) →
     verdict projection with the sha256 row invariant.
     """
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    events = _t(spark, "/root/testdata/sf0.001", "events")
     schema = compile_schema(EVENTS_PROPS_SCHEMA)
-    validated = validate_df(
-        events,
-        schema,
-        content_col="props",
-        key_cols=("event_id",),
-    )
+    validated = validate_df(events, schema, content_col="props", key_cols=("event_id",))
     return verdicts(validated, key_cols=("event_id",))
 
 
+# ---------------------------------------------------------------------------
+# queries — each a SURVEY.md §2.2 engine operator instantiated on testdata
+# ---------------------------------------------------------------------------
+
+def q_col_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column stats (null frac, min/max, mean, exact cardinality)."""
+    return tc.numeric_column_stats(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        exact_distinct=True,
+    )
+
+
+def q_col_stats_orders_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String column stats (lexicographic min/max, cardinality)."""
+    return tc.string_column_stats(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        exact_distinct=True,
+    )
+
+
+def q_grouped_stats_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation profile (the stats shuffle; TPC-H Q1 shape)."""
+    return tc.grouped_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"], "l_quantity"
+    )
+
+
+def q_dup_keys_orders_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness check with hits: lineitem keyed by l_orderkey alone."""
+    return tc.duplicate_keys(_t(spark, sf_dir, "lineitem"), ["l_orderkey"])
+
+
+def q_uniqueness_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness on the true key (l_orderkey, l_linenumber) — expect clean."""
+    return tc.duplicate_keys(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"]
+    )
+
+
+def q_ri_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity: orders whose customer is missing (anti-join,
+    broadcast dimension)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return tc.ri_violations(orders, customer, ["o_custkey"]).select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def q_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-vs-rest KS drift of events.value across event_type."""
+    return tc.ks_drift(_t(spark, sf_dir, "events"), "value", "event_type")
+
+
+def q_chi2_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift of event_type across day partitions (the testdata
+    spans a single month, so days are the meaningful time slices)."""
+    events = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return tc.chi_square_drift(events, "event_type", "day")
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by account balance (deterministic tiebreak on the key)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op / resume shape: keys in one table absent from another."""
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return tc.pending_partitions(nation, supplier, key="nationkey").join(
+        F.broadcast(nation), "nationkey"
+    ).select("nationkey", "n_name")
+
+
+def q_jsl_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSL validation verdicts over events.props (not SQL-expressible —
+    rows-only check; correctness is gated by the spec corpus in pytest)."""
+    events = _t(spark, sf_dir, "events")
+    schema = compile_schema(EVENTS_PROPS_SCHEMA)
+    validated = validate_df(events, schema, content_col="props", key_cols=("event_id",))
+    return verdicts(validated, key_cols=("event_id",))
+
+
+def q_jsl_violations_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded violation rows over the deterministic synthetic source-code
+    corpus (seeded; every defect class represented — rows-only check).
+    events.props is uniformly valid at every sf, so the corpus is the
+    discriminating fixture for violation rows."""
+    from jsl_engine.corpus import CODE_FILE_SCHEMA, generate_corpus
+
+    df = generate_corpus(spark, 5000, seed=42, defect_rate=0.05, partitions=8)
+    validated = validate_df(df, compile_schema(CODE_FILE_SCHEMA))
+    return violations(validated)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {}
+    return {
+        "col_stats_lineitem": q_col_stats_lineitem,
+        "col_stats_orders_str": q_col_stats_orders_str,
+        "grouped_stats_lineitem": q_grouped_stats_lineitem,
+        "dup_keys_orders_per_order": q_dup_keys_orders_per_order,
+        "uniqueness_lineitem": q_uniqueness_lineitem,
+        "ri_orders_customer": q_ri_orders_customer,
+        "ks_events_value": q_ks_events_value,
+        "chi2_events_daily": q_chi2_events_daily,
+        "top_customers": q_top_customers,
+        "nations_without_suppliers": q_nations_without_suppliers,
+        "jsl_validate_events": q_jsl_validate_events,
+        "jsl_violations_corpus": q_jsl_violations_corpus,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same aliases, same rounding, explicit casts so the
+# result schema matches Spark's (BIGINT counts, DOUBLE stats)
+# ---------------------------------------------------------------------------
+
+def _stats_numeric_one(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           ROUND(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS null_frac,
+           ROUND(CAST(MIN({col}) AS DOUBLE), 6) AS min_val,
+           ROUND(CAST(MAX({col}) AS DOUBLE), 6) AS max_val,
+           ROUND(AVG({col}), 6) AS avg_val,
+           COUNT(DISTINCT {col})::BIGINT AS n_distinct
+    FROM lineitem"""
+
+
+def _stats_string_one(col: str, table: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           ROUND(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS null_frac,
+           MIN({col}) AS min_val,
+           MAX({col}) AS max_val,
+           COUNT(DISTINCT {col})::BIGINT AS n_distinct
+    FROM {table}"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per queries() key (omitted for ops that are
-    not ANSI-SQL-expressible — e.g. JSL validation itself)."""
-    return {}
+    return {
+        "col_stats_lineitem": " UNION ALL ".join(
+            _stats_numeric_one(c)
+            for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+        ),
+        "col_stats_orders_str": " UNION ALL ".join(
+            _stats_string_one(c, "orders")
+            for c in ["o_orderstatus", "o_orderpriority"]
+        ),
+        "grouped_stats_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*)::BIGINT AS n,
+                   ROUND(SUM(l_quantity), 6) AS sum_val,
+                   ROUND(AVG(l_quantity), 6) AS avg_val,
+                   ROUND(CAST(MIN(l_quantity) AS DOUBLE), 6) AS min_val,
+                   ROUND(CAST(MAX(l_quantity) AS DOUBLE), 6) AS max_val
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "dup_keys_orders_per_order": """
+            SELECT l_orderkey, COUNT(*)::BIGINT AS n_dup
+            FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+        """,
+        "uniqueness_lineitem": """
+            SELECT l_orderkey, l_linenumber, COUNT(*)::BIGINT AS n_dup
+            FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+        """,
+        "ri_orders_customer": """
+            SELECT o.o_orderkey, o.o_custkey
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        """,
+        "ks_events_value": """
+            WITH base AS (
+                SELECT event_type AS part, value AS v FROM events WHERE value IS NOT NULL
+            ),
+            parts AS (SELECT part, COUNT(*)::BIGINT AS n_part FROM base GROUP BY part),
+            tot AS (SELECT COUNT(*)::BIGINT AS n FROM base),
+            pv AS (SELECT part, v, COUNT(*) AS c_part FROM base GROUP BY part, v),
+            tv AS (SELECT v, COUNT(*) AS c_tot FROM base GROUP BY v),
+            -- dense part x value grid: the supremum can land on a jump of
+            -- either sample, so ECDFs are evaluated at every observed value
+            grid AS (SELECT p.part, t.v, t.c_tot FROM parts p CROSS JOIN tv t),
+            j AS (
+                SELECT g.part, g.v, COALESCE(pv.c_part, 0) AS c_part, g.c_tot
+                FROM grid g LEFT JOIN pv ON g.part = pv.part AND g.v = pv.v
+            ),
+            cum AS (
+                SELECT part,
+                       SUM(c_part) OVER (PARTITION BY part ORDER BY v) AS cum_part,
+                       SUM(c_tot) OVER (PARTITION BY part ORDER BY v) AS cum_tot
+                FROM j
+            )
+            SELECT c.part AS part, p.n_part AS n_part, (t.n - p.n_part)::BIGINT AS n_rest,
+                   ROUND(MAX(ABS(c.cum_part / CAST(p.n_part AS DOUBLE)
+                         - (c.cum_tot - c.cum_part) / CAST(t.n - p.n_part AS DOUBLE))), 6) AS ks_d
+            FROM cum c JOIN parts p ON c.part = p.part CROSS JOIN tot t
+            GROUP BY c.part, p.n_part, t.n
+        """,
+        "chi2_events_daily": """
+            WITH base AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS part, event_type AS cat
+                FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            ),
+            obs AS (SELECT part, cat, COUNT(*) AS o FROM base GROUP BY part, cat),
+            rt AS (SELECT part, SUM(o) AS rt FROM obs GROUP BY part),
+            ct AS (SELECT cat, SUM(o) AS ct FROM obs GROUP BY cat),
+            tot AS (SELECT COUNT(*) AS n FROM base),
+            grid AS (SELECT rt.part, rt.rt, ct.cat, ct.ct FROM rt CROSS JOIN ct),
+            cells AS (
+                SELECT g.part, g.cat, g.rt, g.ct, COALESCE(o.o, 0) AS o
+                FROM grid g LEFT JOIN obs o ON g.part = o.part AND g.cat = o.cat
+            )
+            SELECT ROUND(SUM(POWER(c.o - c.rt * c.ct / CAST(t.n AS DOUBLE), 2)
+                             / (c.rt * c.ct / CAST(t.n AS DOUBLE))), 6) AS chi2,
+                   ((SELECT COUNT(*) FROM rt) - 1)::BIGINT * ((SELECT COUNT(*) FROM ct) - 1)::BIGINT AS dof
+            FROM cells c CROSS JOIN tot t
+        """,
+        "top_customers": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10
+        """,
+        "nations_without_suppliers": """
+            SELECT n.n_nationkey AS nationkey, n.n_name
+            FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+        """,
+        # jsl_validate_events / jsl_violations_corpus: intentionally omitted —
+        # JSL validation is not ANSI-SQL-expressible; gated by the spec corpus.
+    }

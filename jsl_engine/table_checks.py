@@ -1,0 +1,353 @@
+"""Table-level checks: column stats, uniqueness, referential integrity,
+distribution drift.
+
+The reference implements none of these (it is a single-document validator —
+reference: src/lib.rs:114-118 declares only vm/errors/schema/validator); they
+are engine-level operators mandated by the north rule, built entirely from
+built-in DataFrame primitives so Catalyst handles pushdown, pruning,
+partial aggregation and AQE without custom work.
+
+Scale notes per operator:
+
+* **column stats** — single ``groupBy().agg`` pass with map-side partial
+  aggregation; cardinality uses HLL++ (``approx_count_distinct``) on the
+  scale path, exact ``count_distinct`` only for oracle-checked tests;
+* **uniqueness** — shuffle on the key columns; skewed keys are the caller's
+  concern (salt first via :mod:`jsl_engine.partitioning` if the key itself
+  is skewed — not needed for (repo,path,commit) whose cardinality ~ rows);
+* **referential integrity** — ``left_anti`` join with an explicit
+  ``broadcast`` of the dimension when it fits (commits-per-repo dims are
+  small relative to facts); falls back to shuffle join otherwise;
+* **drift** — the exact KS statistic needs a value-ordered cumulative
+  distribution: expressed with window functions (one shuffle + sort);
+  at 10^12-row scale use :func:`ks_drift_binned` (fixed-width histogram →
+  one aggregation, error bounded by bin width); chi-square is a plain
+  two-level aggregation either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Decimal places for floating aggregates — keeps value-hash comparisons
+#: against DuckDB stable despite summation-order differences.
+ROUND = 6
+
+
+# ---------------------------------------------------------------------------
+# column stats
+# ---------------------------------------------------------------------------
+
+def numeric_column_stats(
+    df: DataFrame, columns: list[str], *, exact_distinct: bool = False
+) -> DataFrame:
+    """Per-column stats for numeric columns, one output row per column::
+
+        column, n_rows, n_null, null_frac, min_val, max_val, avg_val, n_distinct
+
+    One aggregation pass over the table computes every column's stats
+    (map-side combine; no per-column scans), then the single wide row is
+    unpivoted driver-free via ``stack``.
+    """
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nn"),
+            F.round(F.min(col).cast("double"), ROUND).alias(f"{c}__min"),
+            F.round(F.max(col).cast("double"), ROUND).alias(f"{c}__max"),
+            F.round(F.avg(col), ROUND).alias(f"{c}__avg"),
+            (
+                F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
+            ).alias(f"{c}__nd"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__min, {c}__max, {c}__avg, {c}__nd"
+        for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stack_args}) as "
+        "(col_name, n_rows, n_null, min_val, max_val, avg_val, n_distinct)"
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.round(F.col("n_null") / F.col("n_rows"), ROUND).alias("null_frac"),
+        "min_val",
+        "max_val",
+        "avg_val",
+        "n_distinct",
+    )
+
+
+def string_column_stats(
+    df: DataFrame, columns: list[str], *, exact_distinct: bool = False
+) -> DataFrame:
+    """Per-column stats for string columns::
+
+        column, n_rows, n_null, null_frac, min_val, max_val, n_distinct
+
+    min/max are lexicographic on the raw strings (binary collation in both
+    Spark and DuckDB, so oracle-comparable without casts).
+    """
+    aggs = []
+    for c in columns:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(col.isNull().cast("long")).alias(f"{c}__nn"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            (
+                F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
+            ).alias(f"{c}__nd"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__min, {c}__max, {c}__nd" for c in columns
+    )
+    return wide.selectExpr(
+        f"stack({len(columns)}, {stack_args}) as "
+        "(col_name, n_rows, n_null, min_val, max_val, n_distinct)"
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        F.round(F.col("n_null") / F.col("n_rows"), ROUND).alias("null_frac"),
+        "min_val",
+        "max_val",
+        "n_distinct",
+    )
+
+
+def grouped_stats(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group aggregate profile (the 'stats shuffle' representative):
+    count / sum / avg / min / max of ``value_col`` per group."""
+    col = F.col(value_col)
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(col), ROUND).alias("sum_val"),
+            F.round(F.avg(col), ROUND).alias("avg_val"),
+            F.round(F.min(col).cast("double"), ROUND).alias("min_val"),
+            F.round(F.max(col).cast("double"), ROUND).alias("max_val"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# uniqueness
+# ---------------------------------------------------------------------------
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Keys appearing more than once: ``*keys, n_dup``.
+
+    Single shuffle on the key columns with map-side partial counts.
+    """
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .where(F.col("n_dup") > 1)
+    )
+
+
+def duplicate_rows(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Every row belonging to a duplicated key (violation rows for the
+    manifest). Window count avoids a self-join: one shuffle, no broadcast."""
+    w = Window.partitionBy(*[F.col(k) for k in keys])
+    return (
+        df.withColumn("n_dup", F.count(F.lit(1)).over(w))
+        .where(F.col("n_dup") > 1)
+        .drop("n_dup")
+    )
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+
+def ri_violations(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    *,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact rows whose key has no match in the dimension (``left_anti``).
+
+    ``broadcast_dim=True`` pins a broadcast-hash anti-join — the dimension
+    (e.g. distinct commits) is orders of magnitude smaller than the facts,
+    so no shuffle of the 10^12-row side. Set False to let AQE decide.
+    """
+    d = dim.select(*keys).dropDuplicates(keys)
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return fact.join(d, on=keys, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# distribution drift
+# ---------------------------------------------------------------------------
+
+def ks_drift(df: DataFrame, value_col: str, part_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov D between every partition and
+    the complement of the table (one-vs-rest), returned per partition::
+
+        part, n_part, n_rest, ks_d
+
+    Exact formulation: with values ordered, D = max over observed values of
+    |ECDF_part(v) − ECDF_rest(v)|. Implemented with cumulative window sums
+    — one global sort. Use :func:`ks_drift_binned` beyond sort-able scale.
+    """
+    base = df.select(
+        F.col(part_col).alias("part"), F.col(value_col).alias("v")
+    ).where(F.col(value_col).isNotNull())
+    parts = base.groupBy("part").agg(F.count(F.lit(1)).alias("n_part"))
+    total = base.count()
+
+    # per (part, value): count within partition; per value: overall count.
+    # The supremum |F_part − F_rest| can land on a jump of EITHER sample, so
+    # ECDFs must be evaluated on the dense part × all-values grid — a
+    # partition-local cumsum over only the partition's own values
+    # under-estimates D.
+    pv = base.groupBy("part", "v").agg(F.count(F.lit(1)).alias("c_part"))
+    tv = base.groupBy("v").agg(F.count(F.lit(1)).alias("c_tot"))
+    grid = parts.select("part").crossJoin(tv)
+    j = grid.join(pv, ["part", "v"], "left").fillna({"c_part": 0})
+
+    w = Window.partitionBy("part").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # with the dense grid, the per-part cumsum of c_tot IS the global cumsum
+    cum = j.select(
+        "part",
+        "v",
+        F.sum("c_part").over(w).alias("cum_part"),
+        F.sum("c_tot").over(w).alias("cum_tot"),
+    )
+
+    out = (
+        cum.join(parts, "part")
+        .withColumn("n_rest", F.lit(total) - F.col("n_part"))
+        .withColumn(
+            "d",
+            F.abs(
+                F.col("cum_part") / F.col("n_part")
+                - (F.col("cum_tot") - F.col("cum_part")) / F.col("n_rest")
+            ),
+        )
+        .groupBy("part", "n_part", "n_rest")
+        .agg(F.round(F.max("d"), ROUND).alias("ks_d"))
+    )
+    return out.select(F.col("part"), "n_part", "n_rest", "ks_d")
+
+
+def ks_drift_binned(
+    df: DataFrame, value_col: str, part_col: str, *, bins: int = 1024
+) -> DataFrame:
+    """Approximate one-vs-rest KS over fixed-width bins — the 10^12-row
+    path: two aggregations, no global sort; D error ≤ max bin mass."""
+    base = df.select(
+        F.col(part_col).alias("part"), F.col(value_col).cast("double").alias("v")
+    ).where(F.col(value_col).isNotNull())
+    lo, hi = base.agg(F.min("v"), F.max("v")).first()
+    if lo is None or hi is None or lo == hi:
+        return base.select("part").distinct().select(
+            "part", F.lit(0.0).alias("ks_d")
+        )
+    width = (hi - lo) / bins
+    binned = base.withColumn(
+        "bin", F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+    )
+    pb = binned.groupBy("part", "bin").agg(F.count(F.lit(1)).alias("c_part"))
+    tb = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c_tot"))
+    parts = binned.groupBy("part").agg(F.count(F.lit(1)).alias("n_part"))
+    total = base.count()
+
+    # dense part×bin grid so partitions missing a bin still accumulate
+    grid = parts.select("part").crossJoin(tb.select("bin"))
+    j = (
+        grid.join(pb, ["part", "bin"], "left")
+        .join(tb, "bin")
+        .fillna({"c_part": 0})
+    )
+    w = Window.partitionBy("part").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = j.select(
+        "part",
+        "bin",
+        F.sum("c_part").over(w).alias("cum_part"),
+        F.sum("c_tot").over(w).alias("cum_tot"),
+    )
+    return (
+        cum.join(parts, "part")
+        .withColumn("n_rest", F.lit(total) - F.col("n_part"))
+        .withColumn(
+            "d",
+            F.abs(
+                F.col("cum_part") / F.col("n_part")
+                - (F.col("cum_tot") - F.col("cum_part")) / F.col("n_rest")
+            ),
+        )
+        .groupBy("part")
+        .agg(F.round(F.max("d"), ROUND).alias("ks_d"))
+    )
+
+
+def chi_square_drift(df: DataFrame, cat_col: str, part_col: str) -> DataFrame:
+    """Pearson chi-square statistic of the partition × category contingency
+    table (independence test: does the categorical distribution differ
+    across partitions?)::
+
+        chi2, dof
+
+    Two shuffles over tiny aggregates (|parts| × |categories| cells);
+    map-side combine makes the first pass the only full-data scan.
+    """
+    base = df.select(
+        F.col(part_col).alias("part"), F.col(cat_col).alias("cat")
+    ).where(F.col(cat_col).isNotNull() & F.col(part_col).isNotNull())
+    obs = base.groupBy("part", "cat").agg(F.count(F.lit(1)).alias("o"))
+    row_tot = obs.groupBy("part").agg(F.sum("o").alias("rt"))
+    col_tot = obs.groupBy("cat").agg(F.sum("o").alias("ct"))
+    n = base.count()
+    n_parts = row_tot.count()
+    n_cats = col_tot.count()
+
+    # dense grid: absent cells are observed-zero but have expected > 0
+    grid = row_tot.crossJoin(col_tot)
+    cells = grid.join(obs, ["part", "cat"], "left").fillna({"o": 0})
+    chi2 = cells.select(
+        (
+            F.pow(F.col("o") - F.col("rt") * F.col("ct") / F.lit(n), 2)
+            / (F.col("rt") * F.col("ct") / F.lit(n))
+        ).alias("term")
+    ).agg(F.round(F.sum("term"), ROUND).alias("chi2"))
+    return chi2.select(
+        "chi2", F.lit((n_parts - 1) * (n_cats - 1)).cast("long").alias("dof")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordering / set ops
+# ---------------------------------------------------------------------------
+
+def top_k(df: DataFrame, order_col: str, k: int, *, group_cols: list[str] | None = None) -> DataFrame:
+    """Top-k rows by ``order_col`` descending (global TakeOrdered — no full
+    sort; Spark's physical plan is a per-partition top-k + driver merge)."""
+    out = df.orderBy(F.desc(order_col), *(group_cols or []))
+    return out.limit(k)
+
+
+def pending_partitions(all_parts: DataFrame, committed: DataFrame, key: str = "part_key") -> DataFrame:
+    """Resume set: partitions not yet committed (anti-join on the manifest)."""
+    return all_parts.select(key).distinct().join(
+        F.broadcast(committed.select(key).distinct()), on=key, how="left_anti"
+    )

@@ -1,0 +1,143 @@
+"""Table-check operator tests against hand-computed expectations, plus the
+DuckDB oracle harness at sf0.001 (the driver runs the same comparison at
+sf0.01 — tools/check_oracle.py replicates it)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from jsl_engine import table_checks as tc
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    return spark.createDataFrame(
+        [
+            Row(g="a", x=1.0, s="p"),
+            Row(g="a", x=3.0, s="q"),
+            Row(g="b", x=None, s="p"),
+            Row(g="b", x=5.0, s=None),
+            Row(g="b", x=5.0, s="r"),
+        ]
+    )
+
+
+def test_numeric_column_stats(toy):
+    [r] = tc.numeric_column_stats(toy, ["x"], exact_distinct=True).collect()
+    assert r.col_name == "x"
+    assert r.n_rows == 5
+    assert r.n_null == 1
+    assert r.null_frac == 0.2
+    assert r.min_val == 1.0 and r.max_val == 5.0
+    assert r.avg_val == round((1 + 3 + 5 + 5) / 4, 6)
+    assert r.n_distinct == 3
+
+
+def test_string_column_stats(toy):
+    [r] = tc.string_column_stats(toy, ["s"], exact_distinct=True).collect()
+    assert (r.n_rows, r.n_null, r.min_val, r.max_val, r.n_distinct) == (5, 1, "p", "r", 3)
+
+
+def test_grouped_stats(toy):
+    out = {r.g: r for r in tc.grouped_stats(toy, ["g"], "x").collect()}
+    assert out["a"].n == 2 and out["a"].sum_val == 4.0 and out["a"].avg_val == 2.0
+    assert out["b"].n == 3 and out["b"].sum_val == 10.0  # nulls excluded from sum
+    assert out["b"].avg_val == 5.0
+
+
+def test_duplicate_keys_and_rows(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=1, v="b"), Row(k=2, v="c"), Row(k=3, v="d"), Row(k=3, v="e"), Row(k=3, v="f")]
+    )
+    dups = {r.k: r.n_dup for r in tc.duplicate_keys(df, ["k"]).collect()}
+    assert dups == {1: 2, 3: 3}
+    rows = tc.duplicate_rows(df, ["k"]).collect()
+    assert sorted(r.v for r in rows) == ["a", "b", "d", "e", "f"]
+
+
+def test_ri_violations(spark):
+    fact = spark.createDataFrame([Row(fk=1), Row(fk=2), Row(fk=9), Row(fk=None)])
+    dim = spark.createDataFrame([Row(fk=1), Row(fk=2), Row(fk=3)])
+    out = tc.ri_violations(fact, dim, ["fk"]).collect()
+    # left_anti keeps unmatched rows incl. NULL keys (NULL never matches)
+    assert sorted((r.fk if r.fk is not None else -1) for r in out) == [-1, 9]
+
+
+def _ks_reference(a, b):
+    """Plain-numpy two-sample KS D over all observed points."""
+    allv = np.sort(np.unique(np.concatenate([a, b])))
+    fa = np.searchsorted(np.sort(a), allv, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), allv, side="right") / len(b)
+    return np.max(np.abs(fa - fb))
+
+
+def test_ks_drift_exact(spark):
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, 400)
+    b = rng.normal(0.5, 1.2, 300)  # shifted: real drift
+    rows = [Row(p="a", v=float(x)) for x in a] + [Row(p="b", v=float(x)) for x in b]
+    df = spark.createDataFrame(rows)
+    out = {r.part: r for r in tc.ks_drift(df, "v", "p").collect()}
+    # one-vs-rest with two partitions is the classic two-sample statistic
+    want = round(float(_ks_reference(a, b)), 6)
+    assert out["a"].ks_d == want
+    assert out["b"].ks_d == want
+    assert out["a"].n_part == 400 and out["a"].n_rest == 300
+
+
+def test_ks_drift_binned_close(spark):
+    rng = np.random.default_rng(1)
+    a = rng.normal(0, 1, 500)
+    b = rng.normal(1.0, 1.0, 500)
+    rows = [Row(p="a", v=float(x)) for x in a] + [Row(p="b", v=float(x)) for x in b]
+    df = spark.createDataFrame(rows)
+    exact = {r.part: r.ks_d for r in tc.ks_drift(df, "v", "p").collect()}
+    approx = {r.part: r.ks_d for r in tc.ks_drift_binned(df, "v", "p", bins=512).collect()}
+    for p in ("a", "b"):
+        assert abs(exact[p] - approx[p]) < 0.02
+
+
+def test_chi_square_drift(spark):
+    # contingency: part x in {p,q}, cat in {A,B}
+    rows = (
+        [Row(part="p", cat="A")] * 30
+        + [Row(part="p", cat="B")] * 10
+        + [Row(part="q", cat="A")] * 20
+        + [Row(part="q", cat="B")] * 40
+    )
+    df = spark.createDataFrame(rows)
+    [r] = tc.chi_square_drift(df, "cat", "part").collect()
+    # manual Pearson chi2
+    n = 100
+    obs = {("p", "A"): 30, ("p", "B"): 10, ("q", "A"): 20, ("q", "B"): 40}
+    rt = {"p": 40, "q": 60}
+    ct = {"A": 50, "B": 50}
+    chi2 = sum(
+        (o - rt[p] * ct[c] / n) ** 2 / (rt[p] * ct[c] / n) for (p, c), o in obs.items()
+    )
+    assert r.chi2 == round(chi2, 6)
+    assert r.dof == 1
+
+
+def test_chi_square_zero_cells(spark):
+    # a category absent from one partition must contribute (0-exp)^2/exp
+    rows = [Row(part="p", cat="A")] * 5 + [Row(part="q", cat="B")] * 5
+    [r] = tc.chi_square_drift(spark.createDataFrame(rows), "cat", "part").collect()
+    assert r.chi2 == 10.0  # fully dependent 2x2 → chi2 = n
+    assert r.dof == 1
+
+
+def test_pending_partitions(spark):
+    allp = spark.createDataFrame([Row(part_key=k) for k in ["a", "b", "c", "d"]])
+    done = spark.createDataFrame([Row(part_key=k) for k in ["a", "c"]])
+    out = sorted(r.part_key for r in tc.pending_partitions(allp, done).collect())
+    assert out == ["b", "d"]
+
+
+def test_oracle_harness_sf0001():
+    """The driver's correctness gate, replicated at sf0.001."""
+    from tools.check_oracle import main
+
+    assert main("/root/testdata/sf0.001") == 0

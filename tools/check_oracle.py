@@ -1,0 +1,82 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet,
+compare row count, column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod
+from jsl_engine.partitioning import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    return v
+
+
+def main(sf_dir: str) -> int:
+    spark = get_spark("local[8]", shuffle_partitions=16,
+                      extra_conf={"spark.ui.enabled": "false"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in entry_mod.queries().items():
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sorted(sdf.columns)
+        if name not in oracles:
+            print(f"{name:32s} rows-only: {len(srows)} rows  cols={scols}")
+            continue
+        ddf = con.execute(oracles[name]).fetchdf()
+        dcols = sorted(ddf.columns)
+        status = []
+        if scols != dcols:
+            status.append(f"SCHEMA {scols} != {dcols}")
+        if len(srows) != len(ddf):
+            status.append(f"ROWS {len(srows)} != {len(ddf)}")
+        if not status:
+            sset = sorted(
+                tuple(norm(r[c]) for c in scols) for r in srows
+            )
+            drecs = ddf.to_dict("records")
+            dset = sorted(
+                tuple(norm(None if (isinstance(r[c], float) and math.isnan(r[c])) else r[c]) for c in dcols)
+                for r in drecs
+            )
+            if sset != dset:
+                diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+                status.append(f"VALUES e.g. {diff}")
+        if status:
+            failures += 1
+            print(f"{name:32s} FAIL: {'; '.join(status)}")
+        else:
+            print(f"{name:32s} OK ({len(srows)} rows)")
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.exit(1 if main(sf) else 0)
