@@ -128,6 +128,74 @@ def q_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("nationkey", "n_name")
 
 
+def q_text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics over the documents table (token counting,
+    quality signals, normalized fingerprint)."""
+    from jsl_engine.text_ops import text_profile
+
+    return text_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on sha256(text): hash, group size, representative
+    (min doc_id). Array-free projection for engine-portable comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count aggregation per language tag (training-data accounting)."""
+    from jsl_engine.text_ops import text_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = text_profile(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return prof.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+    )
+
+
+def q_topk_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for three query vectors (exact ANN
+    baseline; JVM array expressions, broadcast query side)."""
+    from jsl_engine.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs over documents (rows-only: xxhash64
+    has no DuckDB equivalent; verified in pytest against exact Jaccard)."""
+    from jsl_engine.text_ops import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID distribution (rows-only; argmax tie rules are
+    engine-specific)."""
+    from jsl_engine.text_ops import language_id
+
+    return (
+        language_id(_t(spark, sf_dir, "documents"))
+        .groupBy("lang_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_jsl_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSL validation verdicts over events.props (not SQL-expressible —
     rows-only check; correctness is gated by the spec corpus in pytest)."""
@@ -161,6 +229,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_events_daily": q_chi2_events_daily,
         "top_customers": q_top_customers,
         "nations_without_suppliers": q_nations_without_suppliers,
+        "text_profile_documents": q_text_profile_documents,
+        "exact_dup_documents": q_exact_dup_documents,
+        "token_stats_by_lang": q_token_stats_by_lang,
+        "topk_cosine_embeddings": q_topk_cosine_embeddings,
+        "minhash_near_dup_documents": q_minhash_near_dup_documents,
+        "language_id_documents": q_language_id_documents,
         "jsl_validate_events": q_jsl_validate_events,
         "jsl_violations_corpus": q_jsl_violations_corpus,
     }
@@ -283,6 +357,73 @@ def oracle_sql() -> dict[str, str]:
             FROM nation n
             WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
         """,
+        "text_profile_documents": """
+            WITH p AS (
+                SELECT doc_id, text,
+                       LENGTH(text) AS n_chars,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id,
+                   n_chars,
+                   n_tokens,
+                   len(string_split(text, chr(10)))::INT AS n_lines,
+                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                         / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                         / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS digit_ratio,
+                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')))
+                         / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS upper_ratio,
+                   ROUND(LENGTH(regexp_replace(text, '\\s+', '', 'g'))
+                         / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS avg_token_len,
+                   sha256(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM p
+        """,
+        "exact_dup_documents": """
+            SELECT sha256(text) AS content_hash,
+                   COUNT(*)::BIGINT AS n_docs,
+                   MIN(doc_id)::BIGINT AS keep_id
+            FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1
+        """,
+        "token_stats_by_lang": """
+            WITH p AS (
+                SELECT lang,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+                       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                             / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS punct_ratio
+                FROM documents
+            )
+            SELECT lang, COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_tokens)::BIGINT AS total_tokens,
+                   ROUND(AVG(n_tokens), 6) AS avg_tokens,
+                   ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio
+            FROM p GROUP BY lang
+        """,
+        "topk_cosine_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       ROUND(
+                         list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cos_sim
+                FROM embeddings e CROSS JOIN q
+            ),
+            r AS (
+                SELECT query_id, vec_id, cos_sim,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cos_sim DESC, vec_id ASC) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, cos_sim, rank::INT AS rank FROM r WHERE rank <= 10
+        """,
+        # minhash_near_dup_documents / language_id_documents: rows-only —
+        # xxhash64-based signatures and argmax tie rules are engine-specific.
         # jsl_validate_events / jsl_violations_corpus: intentionally omitted —
         # JSL validation is not ANSI-SQL-expressible; gated by the spec corpus.
     }

@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query seconds cover full execution (collect) after a shared warm-up
+of the Spark session. The flagship validation throughput is measured as
+a separate 200k-document corpus pass and reported via files_per_sec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entry_mod
+from jsl_engine.corpus import CODE_FILE_SCHEMA, generate_corpus
+from jsl_engine.partitioning import get_spark
+from jsl_engine.schema import compile_schema
+from jsl_engine.spark_validate import validate_df
+
+VALIDATE_ROWS = 200_000
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="jsl-bench",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up the session (JVM + python workers) outside the timings
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship throughput: validate a 200k-doc corpus (from parquet)
+    input_path = f"/tmp/jsl_bench_corpus_{VALIDATE_ROWS}"
+    if not os.path.exists(f"{input_path}/_SUCCESS"):
+        generate_corpus(
+            spark, VALIDATE_ROWS, seed=42, defect_rate=0.02, partitions=cpus * 2
+        ).write.mode("overwrite").parquet(input_path)
+    source = spark.read.parquet(input_path)
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    t0 = time.time()
+    n_bad = (
+        validate_df(source, schema)
+        .where("not ok")
+        .count()
+    )
+    dt = time.time() - t0
+    timings["validate_200k_corpus"] = round(dt, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "validate_files_per_sec": round(VALIDATE_ROWS / dt, 1),
+                "validate_bad_docs": n_bad,
+                "cpus": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

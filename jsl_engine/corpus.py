@@ -92,11 +92,20 @@ def _repo_of(u: float) -> int:
     return lo
 
 
-def make_row(i: int, seed: int, defect_rate: float) -> tuple[str, str, str, str, str]:
-    """Row ``i`` of the corpus — pure function of ``(i, seed)``."""
+def make_row(
+    i: int, seed: int, defect_rate: float, dup_rate: float = 0.0
+) -> tuple[str, str, str, str, str]:
+    """Row ``i`` of the corpus — pure function of ``(i, seed)``.
+
+    With ``dup_rate`` > 0, a seeded fraction of rows are exact copies of
+    their predecessor — duplicate ``(repo, path, commit)`` keys for the
+    uniqueness check (FIXTURES.md §1: 0.5%).
+    """
+    if dup_rate > 0.0 and i > 0 and _rng(seed, i * 13 + 11) < dup_rate:
+        return make_row(i - 1, seed, defect_rate)
     u = _rng(seed, i * 7)
     repo_id = _repo_of(u)
-    repo = f"repo-{repo_id:03d}"
+    repo = f"org{repo_id % 7}/repo{repo_id:03d}"
     lang = LANGS[int(_rng(seed, i * 7 + 1) * len(LANGS))]
     path = f"src/m{i % 97}/f{i}.{lang[:2]}"
     commit = hashlib.sha1(f"{seed}:{repo}:{i // 50}".encode()).hexdigest()
@@ -144,14 +153,29 @@ def generate_corpus(
     *,
     seed: int = 42,
     defect_rate: float = 0.02,
+    dup_rate: float = 0.0,
     partitions: int | None = None,
 ) -> DataFrame:
     """Distributed corpus: ``spark.range`` → ``mapInPandas`` row synthesis."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            rows = [make_row(int(i), seed, defect_rate) for i in batch["id"]]
+            rows = [make_row(int(i), seed, defect_rate, dup_rate) for i in batch["id"]]
             yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
     rng = spark.range(0, n_rows, numPartitions=partitions)
     return rng.mapInPandas(gen, SCHEMA)
+
+
+def generate_commits_dim(corpus: DataFrame, missing_pct: int = 1) -> DataFrame:
+    """The ``commits(repo, commit)`` dimension for referential-integrity
+    checks: every distinct commit of the corpus except a deterministic
+    ~``missing_pct``% (FIXTURES.md §1 — facts referencing the dropped
+    commits are the expected RI violations)."""
+    from pyspark.sql import functions as F
+
+    return (
+        corpus.select("repo", "commit")
+        .distinct()
+        .where(F.pmod(F.xxhash64("commit"), F.lit(100)) >= missing_pct)
+    )

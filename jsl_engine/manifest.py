@@ -1,0 +1,210 @@
+"""Per-partition manifest: lineage + metrics, idempotent resume.
+
+North-rule requirement (BASELINE.json): jobs checkpoint per-partition
+lineage/metrics to a manifest table and resume idempotently from the last
+committed partition. The reference has no notion of this (single-process
+library); the design is engine-native:
+
+* work is partitioned by a bounded-cardinality **partition key** (repo
+  prefix — :func:`jsl_engine.partitioning.partition_key`);
+* each completed partition appends one manifest row carrying lineage
+  (schema fingerprint, job id, config) and metrics (docs, ok/bad,
+  violations, parse/depth errors);
+* outputs are written partitioned by the same key with **dynamic partition
+  overwrite**, so re-processing a partition replaces exactly its own files
+  — a crashed run can be re-submitted as-is;
+* resume = anti-join of all partitions against manifest rows with the same
+  schema fingerprint (a schema change invalidates prior progress by
+  construction).
+
+Sandbox storage is Parquet directories; on a production cluster the same
+protocol maps to Iceberg tables where the manifest append and data
+overwrite become a single transaction.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from jsl_engine.schema import Schema
+from jsl_engine.spark_validate import validate_df, violations
+
+MANIFEST_SCHEMA = StructType(
+    [
+        StructField("part_key", StringType(), False),
+        StructField("schema_fingerprint", StringType(), False),
+        StructField("job_id", StringType(), False),
+        StructField("committed_at", DoubleType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("n_ok", LongType(), False),
+        StructField("n_bad", LongType(), False),
+        StructField("n_violations", LongType(), False),
+        StructField("n_parse_errors", LongType(), False),
+        StructField("n_depth_errors", LongType(), False),
+    ]
+)
+
+
+def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """The manifest table, or an empty frame if no run has committed yet."""
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def committed_partitions(
+    spark: SparkSession, manifest_path: str, fingerprint: str
+) -> DataFrame:
+    """Partition keys already committed for this exact schema."""
+    m = read_manifest(spark, manifest_path)
+    return (
+        m.where(F.col("schema_fingerprint") == fingerprint)
+        .select("part_key")
+        .distinct()
+    )
+
+
+def run_validation_job(
+    spark: SparkSession,
+    source: DataFrame,
+    schema: Schema,
+    *,
+    output_root: str,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    content_col: str = "content",
+    part_prefix_len: int = 4,
+    strict_instance_semantics: bool = False,
+    repartition: int | None = None,
+) -> dict:
+    """One resumable pass: validate pending partitions, write verdicts +
+    violations partitioned by ``part_key``, commit manifest rows.
+
+    Layout under ``output_root``::
+
+        verdicts/   part_key=*/...   (one row per document)
+        violations/ part_key=*/...   (one row per error)
+        manifest/                    (append-only commit log)
+
+    Returns a summary dict with partition and document counts.
+    """
+    fingerprint = schema.fingerprint()
+    manifest_path = f"{output_root}/manifest"
+    job_id = uuid.uuid4().hex[:12]
+
+    keyed = source.withColumn(
+        "part_key", F.substring(F.col(key_cols[0]), 1, part_prefix_len)
+    )
+    # part_key cardinality is bounded by construction (fixed-width prefix),
+    # so the pending set is collected to the driver and applied as an isin
+    # filter: partition-prunable by Catalyst, and — unlike a broadcast join
+    # on a derived distinct — never recomputed per downstream action.
+    done_keys = {
+        r.part_key
+        for r in committed_partitions(spark, manifest_path, fingerprint).collect()
+    }
+    n_done = len(done_keys)
+    if not done_keys:
+        # first run: nothing committed, so every partition is pending — skip
+        # the distinct scan over the source entirely (the per-partition
+        # breakdown falls out of the metrics aggregation below)
+        pending_keys: list[str] | None = None
+        todo = keyed
+    else:
+        all_keys = {r.part_key for r in keyed.select("part_key").distinct().collect()}
+        pending_keys = sorted(all_keys - done_keys)
+        if not pending_keys:
+            return {
+                "job_id": job_id,
+                "partitions_pending": 0,
+                "partitions_committed": n_done,
+                "docs": 0,
+            }
+        todo = keyed.where(F.col("part_key").isin(pending_keys))
+    if repartition:
+        # balanced exchange before the Python stage: salt on full key so a
+        # monorepo prefix cannot pin a straggler task
+        from jsl_engine.partitioning import repartition_salted
+
+        todo = repartition_salted(todo, repartition, cols=key_cols)
+
+    validated = validate_df(
+        todo,
+        schema,
+        content_col=content_col,
+        key_cols=("part_key",) + key_cols,
+        strict_instance_semantics=strict_instance_semantics,
+    )
+    # Single Python pass: write the combined result (verdicts + nested
+    # violations) once, then derive everything else from the SINK — a
+    # columnar re-scan that reads only the narrow columns it needs. No
+    # cache: at 10^12-file scale the result does not fit in memory, and in
+    # local mode a multi-GB cache next to 32 task threads is a GC storm.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    validated.write.mode("overwrite").partitionBy("part_key").parquet(
+        f"{output_root}/validated"
+    )
+
+    done_data = spark.read.parquet(f"{output_root}/validated")
+    if pending_keys is not None:
+        done_data = done_data.where(F.col("part_key").isin(pending_keys))
+    # flat violation rows (reads keys + violations columns only)
+    violations(done_data, key_cols=("part_key",) + key_cols).write.mode(
+        "overwrite"
+    ).partitionBy("part_key").parquet(f"{output_root}/violations")
+
+    metrics = (
+        done_data.groupBy("part_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.sum((~F.col("ok")).cast("long")).alias("n_bad"),
+            F.sum("n_errors").cast("long").alias("n_violations"),
+            F.sum((F.col("error") == "json_parse_error").cast("long")).alias(
+                "n_parse_errors"
+            ),
+            F.sum((F.col("error") == "max_depth_exceeded").cast("long")).alias(
+                "n_depth_errors"
+            ),
+        )
+        .withColumn("schema_fingerprint", F.lit(fingerprint))
+        .withColumn("job_id", F.lit(job_id))
+        .withColumn("committed_at", F.lit(time.time()))
+        .select([f.name for f in MANIFEST_SCHEMA.fields])
+    )
+    metrics.write.mode("append").parquet(manifest_path)
+    totals = (
+        read_manifest(spark, manifest_path)
+        .where(F.col("job_id") == job_id)
+        .agg(F.sum("n_docs").alias("docs"), F.sum("n_ok").alias("ok"))
+        .first()
+    )
+
+    if pending_keys is None:
+        n_pending = (
+            read_manifest(spark, manifest_path)
+            .where(F.col("job_id") == job_id)
+            .count()
+        )
+    else:
+        n_pending = len(pending_keys)
+
+    return {
+        "job_id": job_id,
+        "partitions_pending": n_pending,
+        "partitions_committed": n_done,
+        "docs": totals["docs"],
+        "docs_ok": totals["ok"],
+        "fingerprint": fingerprint,
+    }

@@ -1,0 +1,155 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Training-data pipelines carry images/audio/video as ``binary`` columns with
+a typed metadata struct. The Spark-side plumbing here — schema, Arrow batch
+shape, partition sizing, mapInPandas signatures — is real and tested; the
+actual media decoding is STUBBED (``decode_stub``) because no image/audio
+libraries exist in this container. Swapping the stub for Pillow/torchcodec
+changes one function, not the pipeline.
+
+Design points for 100 TB of media:
+
+* payloads stay opaque bytes end-to-end; only metadata is columnar —
+  Parquet/Iceberg stores the blob inline (small) or as a pointer column
+  (large), and column pruning means metadata-only queries never read blobs;
+* ``spark.sql.files.maxPartitionBytes`` (not row count) governs task
+  sizing — a task is a byte budget when rows are megabytes;
+* feature extraction runs in ``mapInPandas`` so one Python worker
+  amortizes model/codec init across an Arrow batch, and
+  ``maxRecordsPerBatch`` must be lowered for wide blobs (set by caller).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload_sha256", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+    ]
+)
+
+
+def synth_media(spark, n_rows: int, *, seed: int = 42, partitions: int | None = None) -> DataFrame:
+    """Deterministic fake media table: payload bytes derived from the id
+    (stands in for real blobs; sizes vary to exercise byte-budget
+    partitioning)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
+        for batch in batches:
+            rows = []
+            for i in batch["id"]:
+                i = int(i)
+                kind, mime = kinds[i % 3]
+                blob = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
+                blob = blob * (1 + i % 64)  # 32B .. 2KB
+                rows.append(
+                    (
+                        i,
+                        kind,
+                        mime,
+                        64 + i % 512 if kind == "image" else None,
+                        64 + (i * 7) % 512 if kind == "image" else None,
+                        1000 + i % 60_000 if kind != "image" else None,
+                        blob,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height", "duration_ms", "payload",
+                ],
+            )
+
+    return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_stub(payload: bytes, kind: str, dim: int = 16) -> list[float]:
+    """STUB decoder/feature-extractor.
+
+    Real deployments replace this with Pillow decode + resize + model
+    embedding (images), frame sampling (video), or spectrogram pooling
+    (audio) — none of those libraries exist in this container, so the
+    "feature" is a deterministic fold of the payload bytes: stable,
+    testable, and shaped exactly like a real embedding.
+    """
+    h = hashlib.blake2b(payload, digest_size=dim * 4, person=kind.encode()[:8]).digest()
+    return [v / 2**31 - 1.0 for (v,) in struct.iter_unpack(">I", h)]
+
+
+def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
+    """mapInPandas feature extraction over media batches.
+
+    Input pruning is explicit (media_id, kind, payload); metadata columns
+    never cross the Arrow boundary.
+    """
+    pruned = media.select("media_id", "kind", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats, shas, sizes = [], [], []
+            for payload, kind in zip(batch["payload"], batch["kind"]):
+                payload = bytes(payload)
+                feats.append(decode_stub(payload, kind, dim))
+                shas.append(hashlib.sha256(payload).hexdigest())
+                sizes.append(len(payload))
+            out = pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].values,
+                    "kind": batch["kind"].values,
+                    "payload_sha256": shas,
+                    "n_bytes": sizes,
+                    "feature": feats,
+                }
+            )
+            yield out
+
+    return pruned.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only profile (never touches payload → scan prunes blobs):
+    count, total/avg bytes, dimension ranges per kind."""
+    return (
+        media.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"),
+            F.min("width").alias("min_width"),
+            F.max("width").alias("max_width"),
+            F.round(F.avg("duration_ms"), 2).alias("avg_duration_ms"),
+        )
+    )

@@ -46,6 +46,7 @@ def get_spark(
     master: str | None = None,
     app_name: str = "jsl-engine",
     shuffle_partitions: int | None = None,
+    driver_memory: str = "16g",
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's conf.
@@ -54,10 +55,17 @@ def get_spark(
     tasks to keep every core busy through AQE coalescing without drowning
     the scheduler at sandbox scale. On a real cluster, pass an explicit
     value sized to executors × cores.
+
+    ``driver_memory`` sizes the single local-mode JVM (Spark's 1g default
+    OOMs once cached validation output plus shuffle buffers exceed the
+    heap); it only takes effect at JVM launch — a no-op when a session
+    already exists in the process. On a real cluster, executor memory is
+    set by the submitter instead.
     """
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+    builder = builder.config("spark.driver.memory", driver_memory)
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     if shuffle_partitions is not None:

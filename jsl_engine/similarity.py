@@ -1,0 +1,196 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Engine additions for training-data pipelines: exact brute-force cosine
+top-k as the correctness baseline, and an LSH-bucketed (random hyperplane
+/ SRP) variant as the scale path. Embedding-cosine near-duplicate detection
+composes the same pieces.
+
+Spark-first design:
+
+* dot products / norms are ``F.aggregate``/``F.zip_with`` array expressions
+  — JVM-evaluated, no Python in the row loop;
+* brute-force top-k broadcasts the (small) query set and turns ranking
+  into one pass + ``TakeOrderedAndProject`` per query via a window top-k;
+* the SRP variant buckets vectors by the sign pattern of ``n_planes``
+  random projections (seeded, deterministic): candidate generation is an
+  equi-join on the bucket key, exact cosine re-ranks within buckets.
+  Recall/cost trades with ``n_planes`` (more planes → smaller buckets).
+
+At 10^12-vector scale the same layout maps to IVF: k-means coarse
+centroids as the bucket key instead of hyperplane signs; the join/re-rank
+skeleton is unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity between two array columns (double, JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k for every query vector::
+
+        query_id, vec_id, cos_sim, rank   (rank 1..k, ties by vec_id)
+
+    The query set is broadcast (small side); the corpus is scanned once.
+    One shuffle for the per-query window top-k — at scale prefer
+    aggregating ``min_by``-style partial top-k, but the window keeps exact
+    rank semantics and AQE coalesces the tiny shuffle.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    scored = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(q)
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (Box–Muller over a counter
+    hash — no RNG state, reproducible at any parallelism)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(0, dim, 2):
+            h = hashlib.blake2b(f"{seed}:{p}:{d}".encode(), digest_size=16).digest()
+            u1 = (int.from_bytes(h[:8], "big") + 1) / (2**64 + 1)
+            u2 = int.from_bytes(h[8:], "big") / 2**64
+            r = math.sqrt(-2.0 * math.log(u1))
+            row.append(r * math.cos(2 * math.pi * u2))
+            if d + 1 < dim:
+                row.append(r * math.sin(2 * math.pi * u2))
+        planes.append(row[:dim])
+    return planes
+
+
+def srp_bucket(vec_col, planes: list[list[float]]):
+    """Signed-random-projection bucket id: one bit per hyperplane."""
+    bits = [
+        F.when(
+            _dot(vec_col, F.array(*[F.lit(float(x)) for x in plane])) >= 0, 1
+        ).otherwise(0)
+        for plane in planes
+    ]
+    out = F.lit(0)
+    for i, b in enumerate(bits):
+        out = out + (b * F.lit(2**i))
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k: SRP-bucket the corpus once, probe each
+    query's bucket, exact-rank within it. Same output shape as
+    :func:`brute_force_topk` (rank within the probed bucket).
+
+    Recall is bucket-local (single-probe); production adds multi-probe
+    (flip one bit at a time) — same join, ``n_planes``+1 probes.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _random_planes(dim, n_planes, seed)
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        )
+    )
+    scored = v.join(q, "bucket").select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.98,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: SRP bucket → pair within bucket →
+    exact cosine ≥ threshold. Returns ``id_a, id_b, cos_sim``."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _random_planes(dim, n_planes, seed)
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

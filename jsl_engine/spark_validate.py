@@ -35,6 +35,7 @@ import json
 from typing import Any, Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -198,23 +199,38 @@ def validate_df(
     )
 
     key_list = list(key_cols)
+    vio_type = pa.list_(
+        pa.struct(
+            [pa.field("instance_path", pa.string(), nullable=False),
+             pa.field("schema_path", pa.string(), nullable=False)]
+        )
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        # mapInArrow, not mapInPandas: key columns and the precomputed sha
+        # pass through as Arrow buffers untouched (zero-copy); only the
+        # content column is materialized as Python strings for json.loads.
+        # This halves the per-row overhead vs converting every column to
+        # pandas objects and back.
         payload_local = bc.value
         for batch in batches:
+            contents = batch.column(len(key_list) + 1).to_pylist()
             ok, n, err, vio = _validate_batch(
-                batch["__content"], payload_local, strict_instance_semantics,
+                contents, payload_local, strict_instance_semantics,
                 max_errors, max_depth,
             )
-            out = batch[key_list].copy()
-            out["ok"] = pd.Series(ok, dtype="bool")
-            out["n_errors"] = pd.Series(n, dtype="int32")
-            out["error"] = err
-            out["content_sha256"] = batch["content_sha256"].values
-            out["violations"] = vio
-            yield out
+            arrays = [batch.column(i) for i in range(len(key_list))]
+            arrays.append(pa.array(ok, pa.bool_()))
+            arrays.append(pa.array(n, pa.int32()))
+            arrays.append(pa.array(err, pa.string()))
+            arrays.append(batch.column(len(key_list)))  # content_sha256
+            arrays.append(pa.array(vio, vio_type))
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                key_list + ["ok", "n_errors", "error", "content_sha256", "violations"],
+            )
 
-    return pruned.mapInPandas(run, out_schema)
+    return pruned.mapInArrow(run, out_schema)
 
 
 def verdicts(validated: DataFrame, key_cols: tuple[str, ...] = ("repo", "path", "commit")) -> DataFrame:

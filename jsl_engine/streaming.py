@@ -1,0 +1,77 @@
+"""Structured Streaming validation: the same broadcast-plan kernel over an
+unbounded source.
+
+The reference is strictly batch (single ``validate`` calls); the north rule
+asks for batch + resumable checkpoints, which :mod:`jsl_engine.manifest`
+provides. This module additionally lifts the identical evaluator onto
+Structured Streaming for continuously arriving corpora (e.g. a commit
+firehose landing as files): the ``mapInPandas`` stage is stateless per
+document, so it composes with any streaming source/sink unchanged —
+exactly-once delivery comes from the sink + checkpointLocation, and the
+schema plan is still compiled once and broadcast.
+
+Scale notes: per-microbatch parallelism follows the source's partitioning
+(file-source: maxFilesPerTrigger × scan splits); verdict aggregation uses
+update-mode stateful aggregation keyed on the partition key, bounded by
+the same prefix cardinality as the batch manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsl_engine.schema import Schema
+from jsl_engine.spark_validate import validate_df
+
+
+def validate_stream(
+    stream: DataFrame,
+    schema: Schema,
+    *,
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    strict_instance_semantics: bool = False,
+) -> DataFrame:
+    """Apply the validation kernel to a streaming DataFrame.
+
+    Returns the same per-document result shape as
+    :func:`jsl_engine.spark_validate.validate_df` (ok, n_errors, error,
+    content_sha256, violations) as an unbounded stream; write it with
+    ``.writeStream`` + a checkpoint for exactly-once sinks.
+    """
+    assert stream.isStreaming, "use validate_df for batch DataFrames"
+    return validate_df(
+        stream,
+        schema,
+        content_col=content_col,
+        key_cols=key_cols,
+        strict_instance_semantics=strict_instance_semantics,
+    )
+
+
+def read_corpus_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-source stream over a parquet corpus directory: new files are
+    one microbatch each (the landing-zone pattern for continuously
+    arriving repo snapshots)."""
+    from jsl_engine.corpus import SCHEMA
+
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def streaming_verdict_counts(validated: DataFrame, key: str = "repo") -> DataFrame:
+    """Running verdict counts per key (update-mode stateful aggregation)."""
+    return validated.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        F.sum("n_errors").cast("long").alias("n_violations"),
+    )

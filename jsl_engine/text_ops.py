@@ -1,0 +1,416 @@
+"""Text-corpus operators for large-scale training-data pipelines:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), language ID,
+quality scoring, token counting, and document fingerprinting.
+
+These are engine additions beyond the reference (which validates single
+JSON documents only); they operate on a ``documents(doc_id, text, lang,
+source, n_chars)`` table and are built Spark-first:
+
+* everything cheap stays in JVM expressions (``F.sha2``, ``F.xxhash64``,
+  ``regexp_count``, ``transform``/``aggregate`` over arrays) — no Python
+  in the hot path;
+* MinHash signatures use ``F.transform`` over a literal array of hash
+  seeds applied to shingle hashes — a few JVM expression evaluations per
+  row, then banding turns near-dup detection into an equi-join
+  (shuffle on band keys) instead of an O(n²) comparison;
+* SimHash packs 64 sign-bits of seed-hashed shingles; Hamming distance is
+  ``bit_count(a XOR b)`` — again a plain join + expression.
+
+Scale notes: candidate generation is always join-on-key (LSH bucket,
+band hash, fingerprint); nothing materializes pairwise products except
+within a bucket. Bucket skew (e.g. boilerplate shingles) is bounded by
+``max_bucket`` — oversized buckets are dropped and reported, the standard
+trade at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# normalization + shingles
+# ---------------------------------------------------------------------------
+
+def normalized(col):
+    """Lowercase, collapse whitespace — the canonical text for hashing."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def shingles(col, n: int = 5):
+    """Word n-gram shingles as an array<string> (JVM-side: split + transform
+    over index range; empty/short docs yield their single token-join)."""
+    words = F.split(normalized(col), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: ``content_hash, n_docs, doc_ids``.
+
+    One shuffle on sha256(text); survivors (n_docs=1) never leave the
+    map side thanks to partial aggregation.
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical text."""
+    h = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    keep = h.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return h.join(keep, ["content_hash", id_col]).drop("content_hash")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """``id, sig: array<bigint>`` — minimum of seed-perturbed xxhash64 over
+    shingles, one array expression per row (no UDF).
+
+    The shingle hashes are materialized in a separate projection before the
+    per-seed min: inlining the shingle expression into each of the
+    ``num_hashes`` lambdas makes Catalyst recompute shingling per seed —
+    a measured ~60× slowdown. Hashing once and re-hashing the base hash
+    with each seed preserves MinHash semantics (any pairwise-independent
+    family works) at 1/num_hashes of the string work."""
+    base = df.select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), shingle_n), lambda x: F.xxhash64(x)).alias(
+            "__sh_hashes"
+        ),
+    )
+    # one top-level expression per seed (not a transform over a seed array):
+    # referencing the non-cheap __sh_hashes alias num_hashes times blocks
+    # CollapseProject from inlining the shingling into each lambda
+    sh = F.col("__sh_hashes")
+
+    def min_for(seed: int):
+        # closure factory, NOT a default argument: PySpark dispatches on
+        # lambda arity, so a 2-arg lambda would become an (element, index)
+        # lambda and silently bind the array index instead of the seed
+        return F.array_min(F.transform(sh, lambda h: F.xxhash64(h, F.lit(seed))))
+
+    mins = [min_for(i * 0x9E3779B97F4A7C15 % 2**31) for i in range(num_hashes)]
+    return base.select(F.col(id_col), F.array(*mins).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup candidate pairs via banding: split each signature into
+    ``bands`` rows, bucket on (band index, band hash), pair within bucket.
+
+    Returns ``id_a, id_b, n_bands`` (id_a < id_b; n_bands = how many bands
+    collided — a cheap similarity prior). Buckets larger than
+    ``max_bucket`` are dropped (boilerplate guard).
+    """
+    n = signatures.select(F.size("sig")).first()[0]
+    rows_per_band = n // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    # boilerplate guard: drop ids living in any oversized bucket
+    big = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > max_bucket)
+    )
+    if big.limit(1).count() > 0:
+        bad_ids = (
+            banded.join(big, ["band", "bucket"]).select(F.col(id_col).alias("bad")).distinct()
+        )
+        pairs = pairs.join(
+            F.broadcast(bad_ids), pairs.id_a == F.col("bad"), "left_anti"
+        ).join(F.broadcast(bad_ids), pairs.id_b == F.col("bad"), "left_anti")
+    return pairs
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """End-to-end MinHash near-dup: signatures → LSH candidates → verify
+    with estimated Jaccard (fraction of equal signature components) ≥
+    threshold. Returns ``id_a, id_b, est_jaccard``."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")).alias("eq"))
+    )
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.size("sig_a"),
+                6,
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+#: Bit masks for the 64 simhash positions as signed longs (bit 63 is the
+#: sign bit in two's complement, hence the negative literal).
+_BIT_MASKS = [1 << b for b in range(63)] + [-(2**63)]
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            shingle_n: int = 3) -> DataFrame:
+    """64-bit SimHash per document: sum shingle-hash sign contributions per
+    bit, pack the sign vector — all JVM array expressions.
+
+    Bit extraction and packing use a literal mask array (``h & mask``,
+    XOR-fold of set masks): Spark's shift functions take only literal
+    positions, and mask arithmetic is bitwise, so nothing overflows under
+    ANSI mode. Shingle hashes are materialized in their own projection so
+    the 64 per-bit lambdas do not each recompute the shingling (same
+    Catalyst-inlining trap as in :func:`minhash_signatures`)."""
+    df = df.select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), shingle_n), lambda x: F.xxhash64(x)).alias(
+            "__sh_hashes"
+        ),
+    )
+    sh = F.col("__sh_hashes")
+    # one top-level sign-sum per bit (same CollapseProject rationale as in
+    # minhash_signatures); the XOR-fold packs set masks into the bigint
+    def term_for(mask: int):
+        # closure factory (see min_for in minhash_signatures: a default-arg
+        # lambda would change the PySpark lambda arity and break binding)
+        mlit = F.lit(mask).cast("bigint")
+        return F.when(
+            F.aggregate(
+                sh,
+                F.lit(0),
+                lambda acc, h: acc + F.when(h.bitwiseAND(mlit) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            mlit,
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    bit_terms = [term_for(mask) for mask in _BIT_MASKS]
+    packed = bit_terms[0]
+    for term in bit_terms[1:]:
+        packed = packed.bitwiseXOR(term)
+    return df.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dups: block on the top ``prefix_bits`` bits (docs
+    within small Hamming distance usually share the prefix), then verify
+    ``bit_count(a XOR b) <= max_hamming``. Returns id_a, id_b, hamming.
+
+    At web scale the standard multi-probe (rotate blocks) lowers the miss
+    rate; single-prefix blocking keeps one shuffle here and the verify
+    stage is exact for every candidate."""
+    h = simhash(df, text_col, id_col).withColumn(
+        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
+    )
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for candidate verification / small sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets for given candidate pairs
+    (id_a, id_b): array_intersect/array_union on distinct shingles."""
+    sh = df.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: tokens, quality, language ID, fingerprint
+# ---------------------------------------------------------------------------
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document text metrics, all JVM expressions::
+
+        id, n_chars, n_tokens, n_lines, punct_ratio, digit_ratio,
+        upper_ratio, avg_token_len, fingerprint
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    tokens = F.split(F.trim(t), r"\s+")
+    n_tokens = F.when(F.length(F.trim(t)) == 0, 0).otherwise(F.size(tokens))
+    denom = F.greatest(n_chars, F.lit(1)).cast("double")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (F.size(F.split(t, "\n", -1))).alias("n_lines"),
+        F.round(F.regexp_count(t, F.lit(r"[\.,;:!\?]")) / denom, 6).alias("punct_ratio"),
+        F.round(F.regexp_count(t, F.lit(r"[0-9]")) / denom, 6).alias("digit_ratio"),
+        F.round(F.regexp_count(t, F.lit(r"[A-Z]")) / denom, 6).alias("upper_ratio"),
+        F.round(
+            F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+        F.sha2(normalized(t), 256).alias("fingerprint"),
+    )
+
+
+#: Tiny per-language stopword marker sets for the heuristic language ID.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "que"),
+    "es": ("el", "la", "que", "los", "una", "por", "con", "para"),
+}
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: count stopword-marker hits per language over
+    the token set, pick the argmax (``und`` = no hits). JVM-only: one
+    array_intersect per language against a literal marker array."""
+    tokens = F.array_distinct(F.split(normalized(F.col(text_col)), " "))
+    scores = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(tokens, F.array(*[F.lit(w) for w in words]))
+                ).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in _LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(scores)
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_id"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1] from the profile metrics —
+    length band, punctuation presence, not-mostly-digits, token shape.
+    Deterministic and cheap; thresholds follow common web-corpus filters."""
+    p = text_profile(df, text_col, id_col)
+    score = (
+        F.when((p.n_tokens >= 10) & (p.n_tokens <= 100_000), 0.25).otherwise(0.0)
+        + F.when((p.punct_ratio > 0.0005) & (p.punct_ratio < 0.2), 0.25).otherwise(0.0)
+        + F.when(p.digit_ratio < 0.3, 0.25).otherwise(0.0)
+        + F.when((p.avg_token_len >= 2.0) & (p.avg_token_len <= 12.0), 0.25).otherwise(0.0)
+    )
+    return p.select(id_col, F.round(score, 2).alias("quality"))

@@ -1,0 +1,45 @@
+"""Multimodal plumbing tests: schema, batch shape, stub determinism,
+metadata-only stats."""
+
+from jsl_engine import multimodal as M
+
+
+def test_feature_extraction_shape_and_determinism(spark):
+    media = M.synth_media(spark, 60, seed=9, partitions=3).cache()
+    try:
+        feats = M.extract_features(media, dim=16)
+        rows = feats.collect()
+        assert len(rows) == 60
+        assert all(len(r.feature) == 16 for r in rows)
+        assert all(-1.0 <= x <= 1.0 for r in rows for x in r.feature)
+        # deterministic: same media → same features
+        again = {r.media_id: r.feature for r in M.extract_features(media, dim=16).collect()}
+        assert all(again[r.media_id] == r.feature for r in rows)
+        # sha256 matches the payload
+        import hashlib
+
+        payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+        assert all(
+            r.payload_sha256 == hashlib.sha256(payloads[r.media_id]).hexdigest()
+            and r.n_bytes == len(payloads[r.media_id])
+            for r in rows
+        )
+    finally:
+        media.unpersist()
+
+
+def test_media_stats_kinds(spark):
+    media = M.synth_media(spark, 90, seed=9, partitions=2)
+    stats = {r.kind: r for r in M.media_stats(media).collect()}
+    assert set(stats) == {"image", "audio", "video"}
+    assert stats["image"].n == 30
+    assert stats["image"].min_width is not None
+    assert stats["audio"].avg_duration_ms is not None
+
+
+def test_synth_media_deterministic(spark):
+    a = M.synth_media(spark, 40, seed=1, partitions=2).collect()
+    b = M.synth_media(spark, 40, seed=1, partitions=4).collect()
+    ka = sorted((r.media_id, bytes(r.payload)) for r in a)
+    kb = sorted((r.media_id, bytes(r.payload)) for r in b)
+    assert ka == kb

@@ -1,0 +1,67 @@
+"""Similarity-search tests: brute-force cosine matches numpy exactly;
+LSH top-k agrees with brute force within its bucket; embedding near-dups
+find planted clones."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from jsl_engine import similarity as S
+
+
+def _np_cosine(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    vecs[10] = vecs[5] + rng.normal(scale=0.01, size=16).astype("float32")  # near-dup pair
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows).cache(), vecs
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    df, vecs = vectors
+    queries = df.where("vec_id in (0, 7)").selectExpr("vec_id as query_id", "embedding")
+    out = S.brute_force_topk(df, queries, k=5)
+    got = {(r.query_id, r.rank): (r.vec_id, r.cos_sim) for r in out.collect()}
+    for qid in (0, 7):
+        sims = sorted(
+            ((_np_cosine(vecs[qid], v), -i) for i, v in enumerate(vecs)),
+            reverse=True,
+        )[:5]
+        for rank, (sim, negi) in enumerate(sims, start=1):
+            vec_id, cos_sim = got[(qid, rank)]
+            assert vec_id == -negi
+            assert cos_sim == pytest.approx(round(sim, 6), abs=2e-6)
+
+
+def test_brute_force_self_is_rank1(spark, vectors):
+    df, _ = vectors
+    queries = df.limit(3).selectExpr("vec_id as query_id", "embedding")
+    out = S.brute_force_topk(df, queries, k=1).collect()
+    assert all(r.vec_id == r.query_id and r.cos_sim == 1.0 for r in out)
+
+
+def test_lsh_topk_subset_of_bucket(spark, vectors):
+    df, vecs = vectors
+    queries = df.where("vec_id = 5").selectExpr("vec_id as query_id", "embedding")
+    out = S.lsh_topk(df, queries, k=5, n_planes=6).collect()
+    assert len(out) >= 1
+    # self and the planted clone share every hyperplane side → both in bucket
+    ids = {r.vec_id for r in out}
+    assert 5 in ids and 10 in ids
+    # scores are exact cosine (re-ranked)
+    for r in out:
+        assert r.cos_sim == pytest.approx(round(_np_cosine(vecs[5], vecs[r.vec_id]), 6), abs=2e-6)
+
+
+def test_embedding_near_duplicates(spark, vectors):
+    df, _ = vectors
+    out = S.embedding_near_duplicates(df, threshold=0.99, n_planes=8)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (5, 10) in pairs
+    # random gaussians in 16d almost never hit 0.99 cosine
+    assert len(pairs) <= 3

@@ -1,0 +1,38 @@
+"""Streaming validation test: file-source stream → kernel → memory sink,
+results identical to the batch path over the same corpus."""
+
+from jsl_engine.corpus import CODE_FILE_SCHEMA, generate_corpus
+from jsl_engine.schema import compile_schema
+from jsl_engine.spark_validate import validate_df
+from jsl_engine.streaming import read_corpus_stream, validate_stream
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    corpus_path = str(tmp_path / "corpus")
+    generate_corpus(spark, 800, seed=21, defect_rate=0.1, partitions=4).write.parquet(
+        corpus_path
+    )
+    schema = compile_schema(CODE_FILE_SCHEMA)
+
+    stream = read_corpus_stream(spark, corpus_path, max_files_per_trigger=2)
+    validated = validate_stream(stream, schema)
+    q = (
+        validated.writeStream.format("memory")
+        .queryName("stream_verdicts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql(
+        "SELECT repo, path, commit, ok, n_errors, content_sha256 "
+        "FROM stream_verdicts"
+    ).collect()
+    want = (
+        validate_df(spark.read.parquet(corpus_path), schema)
+        .select("repo", "path", "commit", "ok", "n_errors", "content_sha256")
+        .collect()
+    )
+    assert len(got) == len(want) == 800
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

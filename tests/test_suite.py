@@ -1,0 +1,65 @@
+"""Quality-suite composition test: corpus with injected duplicates and
+missing commits → every check finds its planted defects."""
+
+from pyspark.sql import functions as F
+
+from jsl_engine.corpus import (
+    CODE_FILE_SCHEMA,
+    generate_commits_dim,
+    generate_corpus,
+)
+from jsl_engine.schema import compile_schema
+from jsl_engine.suite import run_quality_suite
+
+
+def test_quality_suite_finds_planted_defects(spark):
+    corpus = generate_corpus(
+        spark, 3000, seed=42, defect_rate=0.05, dup_rate=0.01, partitions=4
+    ).cache()
+    try:
+        commits = generate_commits_dim(corpus, missing_pct=2)
+        schema = compile_schema(CODE_FILE_SCHEMA)
+        report = run_quality_suite(spark, corpus, schema, commits)
+        s = report["summary"]
+
+        assert s["docs"] == 3000
+        # ~5% defects
+        assert 80 < s["docs_bad"] < 260
+        assert s["violation_rows"] > 0
+        assert s["parse_errors"] > 0
+        # ~1% duplicated rows → duplicate keys found
+        assert s["duplicate_keys"] > 0
+        # ~2% of commits dropped from the dim → RI violations found
+        assert s["ri_violations"] > 0
+
+        # drift frames have one row per partition / one chi2 row
+        assert report["lang_drift_chi2"].count() == 1
+        assert report["size_drift_ks"].count() == corpus.select(
+            F.substring("repo", 1, 4)
+        ).distinct().count()
+
+        # duplicates are exact row copies → every dup key has n_dup >= 2
+        assert report["duplicates"].where("n_dup < 2").count() == 0
+
+        # RI violations reference commits absent from the dim
+        ri = report["ri_violations"].select("commit").distinct()
+        present = ri.join(commits, "commit", "inner").count()
+        assert present == 0
+
+        report["validated"].unpersist()
+    finally:
+        corpus.unpersist()
+
+
+def test_commits_dim_deterministic(spark):
+    corpus = generate_corpus(spark, 1000, seed=5, partitions=2)
+    a = sorted(map(tuple, generate_commits_dim(corpus).collect()))
+    b = sorted(map(tuple, generate_commits_dim(corpus).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_dup_rate_zero_unchanged(spark):
+    """dup_rate=0 must reproduce the historical corpus byte-for-byte."""
+    a = generate_corpus(spark, 300, seed=7, partitions=2).collect()
+    b = generate_corpus(spark, 300, seed=7, dup_rate=0.0, partitions=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,107 @@
+"""Text-pipeline operator tests: planted duplicates/near-duplicates must be
+found, profiles must match hand-computed values, and estimators must agree
+with exact recomputation."""
+
+import pytest
+from pyspark.sql import Row
+
+from jsl_engine import text_ops as T
+
+DOCS = [
+    # two exact duplicates
+    (1, "The quick brown fox jumps over the lazy dog. " * 4),
+    (2, "The quick brown fox jumps over the lazy dog. " * 4),
+    # near-duplicate of 1/2 (one word changed at the end)
+    (3, "The quick brown fox jumps over the lazy dog. " * 3 + "The quick brown fox leaps over the lazy dog. "),
+    # unrelated english
+    (4, "It is a truth universally acknowledged that a single man in possession of a good fortune must be in want of a wife."),
+    # german
+    (5, "Der Hund ist nicht zu Hause und die Katze ist auch nicht da. Das ist ein Problem."),
+    # short junk
+    (6, "x"),
+    # digits-heavy
+    (7, "12345 67890 11111 22222 33333 44444 55555 66666 77777 88888 99999 00000"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS]).cache()
+
+
+def test_exact_duplicates(spark, docs):
+    out = T.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 2
+    assert out[0].doc_ids == [1, 2]
+
+    kept = T.dedup_exact(docs)
+    assert kept.count() == len(DOCS) - 1
+    assert kept.where("doc_id = 2").count() == 0  # min id kept
+
+
+def test_minhash_near_duplicates(spark, docs):
+    # threshold 0.3 with bands=32 (2 rows/band → LSH s* ≈ 0.18): docs 1/3
+    # have true Jaccard ≈ 0.64 and est ≈ 0.56, below the default
+    # bands=16/r=4 operating point (s* = 0.5) where a miss has ~20%
+    # probability — banding must match the target threshold
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in T.minhash_near_duplicates(docs, threshold=0.3, bands=32).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup found
+    assert all(a < b for a, b in pairs)
+    assert not any({4, 5} & {a, b} for a, b in pairs)  # unrelated docs clean
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
+    cands = T.lsh_candidate_pairs(T.minhash_signatures(docs))
+    exact = {(r.id_a, r.id_b): r.jaccard for r in T.ngram_jaccard(docs, cands, n=5).collect()}
+    est = {(r.id_a, r.id_b): r.est_jaccard
+           for r in T.minhash_near_duplicates(docs, threshold=0.0).collect()}
+    for k, e in est.items():
+        if k in exact:
+            assert abs(e - exact[k]) < 0.35, (k, e, exact[k])  # 64 hashes → coarse
+
+
+def test_simhash_near_duplicates(spark, docs):
+    # prefix_bits=8: single-probe blocking misses near-dups whose differing
+    # bit lands inside the block prefix (multi-probe fixes that at scale);
+    # a coarser block keeps this correctness test recall-complete
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in T.simhash_near_duplicates(docs, max_hamming=12, prefix_bits=8).collect()}
+    assert out.get((1, 2)) == 0  # identical → identical simhash
+    assert out.get((1, 3)) == 1 and out.get((2, 3)) == 1  # near-dup found
+    assert (4, 5) not in out  # unrelated texts differ
+
+
+def test_text_profile_values(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="Ab c.\nd 12!")])
+    [r] = T.text_profile(df).collect()
+    assert r.n_chars == 11
+    assert r.n_tokens == 4  # Ab / c. / d / 12!
+    assert r.n_lines == 2
+    assert r.punct_ratio == round(2 / 11, 6)  # '.' and '!'
+    assert r.digit_ratio == round(2 / 11, 6)
+    assert r.upper_ratio == round(1 / 11, 6)
+
+
+def test_language_id(spark, docs):
+    out = {r.doc_id: r.lang_id for r in T.language_id(docs).collect()}
+    assert out[4] == "en"
+    assert out[5] == "de"
+    assert out[6] == "und"
+
+
+def test_quality_score(spark, docs):
+    q = {r.doc_id: r.quality for r in T.quality_score(docs).collect()}
+    assert q[4] == 1.0  # clean english prose
+    assert q[6] < 0.5  # one-char junk
+    assert q[7] <= 0.5  # digits-heavy
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a  b\tc"), Row(doc_id=2, text="A b C")]
+    )
+    out = {r.doc_id: r.fingerprint for r in T.text_profile(df).collect()}
+    assert out[1] == out[2]  # case+whitespace-normalized
