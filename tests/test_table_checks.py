@@ -141,3 +141,16 @@ def test_oracle_harness_sf0001():
     from tools.check_oracle import main
 
     assert main("/root/testdata/sf0.001") == 0
+
+
+def test_skew_aware_counts(spark):
+    """Two-phase salted aggregation equals the plain groupBy counts."""
+    from jsl_engine.corpus import generate_corpus
+
+    df = generate_corpus(spark, 2000, seed=3, partitions=4)
+    plain = {r.repo: r["count"] for r in df.groupBy("repo").count().collect()}
+    salted = {r.repo: r.n for r in tc.skew_aware_counts(df, ["repo"]).collect()}
+    assert salted == plain
+    # the Zipf head is present and dominant (skew is real in the fixture)
+    top = max(plain.values())
+    assert top > 2000 * 0.1
