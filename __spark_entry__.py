@@ -422,8 +422,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, cos_sim, rank::INT AS rank FROM r WHERE rank <= 10
         """,
+        # jsl_validate_events IS oracle-checkable for this simple schema:
+        # {"properties": {"k": {"type": "uint32"}}} over {"k": int} docs maps
+        # to DuckDB JSON functions (parse-valid, key present, numeric
+        # non-bool, fract==0, f64 range) — general JSL (refs, discriminator,
+        # strict mode, exact error paths) is not SQL-expressible and stays
+        # gated by the spec corpus.
+        "jsl_validate_events": """
+            WITH p AS (
+                SELECT event_id, props,
+                       json_valid(props) AS is_json,
+                       json_extract(props, '$.k') AS kv,
+                       json_type(props, '$.k') AS kt
+                FROM events
+            ),
+            v AS (
+                SELECT event_id, props, is_json,
+                       (is_json AND kv IS NOT NULL
+                        AND kt IN ('INTEGER', 'UBIGINT', 'BIGINT', 'DOUBLE')
+                        AND CAST(kv AS DOUBLE) = FLOOR(CAST(kv AS DOUBLE))
+                        AND CAST(kv AS DOUBLE) >= 0
+                        AND CAST(kv AS DOUBLE) <= 4294967295) AS ok
+                FROM p
+            )
+            SELECT event_id,
+                   ok,
+                   CASE WHEN ok OR NOT is_json THEN 0 ELSE 1 END::INT AS n_errors,
+                   CASE WHEN is_json THEN NULL ELSE 'json_parse_error' END AS error,
+                   sha256(props) AS content_sha256
+            FROM v
+        """,
         # minhash_near_dup_documents / language_id_documents: rows-only —
         # xxhash64-based signatures and argmax tie rules are engine-specific.
-        # jsl_validate_events / jsl_violations_corpus: intentionally omitted —
+        # jsl_violations_corpus: intentionally omitted —
         # JSL validation is not ANSI-SQL-expressible; gated by the spec corpus.
     }

@@ -1,0 +1,82 @@
+"""Corpus source loaders: one entry point over the formats a source-code
+table ships in.
+
+Production is an Iceberg table (`BASELINE.json` input_hint); the sandbox
+has Parquet. JSON-lines and CSV cover landing-zone ingest. Every loader
+returns the same five-column frame and validates the contract up front so
+schema drift fails at plan time, not mid-job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsl_engine.corpus import SCHEMA
+
+REQUIRED_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def load_corpus(
+    spark: SparkSession,
+    location: str,
+    *,
+    source_format: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Load a ``(repo, path, commit, lang, content)`` table.
+
+    ``source_format``: ``parquet`` (sandbox default), ``iceberg``
+    (production — ``location`` is a table name; requires the Iceberg
+    runtime on the cluster classpath), ``json`` (JSON-lines), ``csv``.
+    """
+    opts = options or {}
+    if source_format == "parquet":
+        df = spark.read.options(**opts).parquet(location)
+    elif source_format == "iceberg":
+        try:
+            df = spark.read.options(**opts).format("iceberg").load(location)
+        except Exception as exc:  # pragma: no cover - no iceberg jars in sandbox
+            raise RuntimeError(
+                "iceberg source requires the iceberg-spark runtime on the "
+                "cluster classpath (spark.jars.packages="
+                "org.apache.iceberg:iceberg-spark-runtime-...)"
+            ) from exc
+    elif source_format == "json":
+        df = spark.read.options(**opts).schema(SCHEMA).json(location)
+    elif source_format == "csv":
+        df = (
+            spark.read.options(header="true", **opts).schema(SCHEMA).csv(location)
+        )
+    else:
+        raise ValueError(f"unknown source format: {source_format!r}")
+    return conform(df)
+
+
+def conform(df: DataFrame) -> DataFrame:
+    """Project to the contract columns (string-typed), failing fast with
+    the missing-column list if the source drifted."""
+    missing = [c for c in REQUIRED_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"source is missing required columns {missing}; found {df.columns}"
+        )
+    return df.select(*[F.col(c).cast("string").alias(c) for c in REQUIRED_COLUMNS])
+
+
+def write_corpus(
+    df: DataFrame,
+    location: str,
+    *,
+    sink_format: str = "parquet",
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write the corpus/result frame (parquet sandbox; iceberg in prod)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if sink_format == "iceberg":  # pragma: no cover - no iceberg jars in sandbox
+        writer.format("iceberg").save(location)
+    else:
+        writer.parquet(location)

@@ -5,8 +5,9 @@ The distributed analogue of the reference's validate-many loop
 (:func:`jsl_engine.schema.compile_schema`), shipped to executors as a
 broadcast of plain tuples, compiled **once per executor process** into
 fast-path closures (:mod:`jsl_engine.fastcheck`), then applied to Arrow
-batches of documents inside ``mapInPandas`` — no per-row Python UDFs, no
-schema re-parsing per row or per batch.
+batches of documents inside ``mapInArrow`` — no per-row Python UDFs, no
+per-row pandas object conversion (key and sha columns pass through as
+Arrow buffers zero-copy), no schema re-parsing per row or per batch.
 
 Two-phase evaluation per document:
 
@@ -34,7 +35,6 @@ from __future__ import annotations
 import json
 from typing import Any, Iterator
 
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -90,7 +90,7 @@ def _get_checker(payload: dict, strict: bool, max_depth: int):
 
 
 def _validate_batch(
-    contents: "pd.Series",
+    contents: list,
     payload: dict,
     strict: bool,
     max_errors: int,

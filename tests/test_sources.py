@@ -1,0 +1,36 @@
+"""Source loader tests: parquet/json/csv round-trips, contract validation,
+iceberg error path."""
+
+import pytest
+
+from jsl_engine.corpus import generate_corpus
+from jsl_engine.sources import conform, load_corpus, write_corpus
+
+
+def test_parquet_json_roundtrip(spark, tmp_path):
+    df = generate_corpus(spark, 200, seed=13, partitions=2)
+    want = sorted(map(tuple, df.collect()))
+
+    pq = str(tmp_path / "pq")
+    write_corpus(df, pq)
+    assert sorted(map(tuple, load_corpus(spark, pq).collect())) == want
+
+    js = str(tmp_path / "js")
+    df.write.json(js)
+    assert sorted(map(tuple, load_corpus(spark, js, source_format="json").collect())) == want
+
+
+def test_conform_rejects_missing_columns(spark):
+    bad = spark.createDataFrame([("r", "p")], "repo string, path string")
+    with pytest.raises(ValueError, match="missing required columns.*commit"):
+        conform(bad)
+
+
+def test_unknown_format(spark):
+    with pytest.raises(ValueError, match="unknown source format"):
+        load_corpus(spark, "/nowhere", source_format="orc2")
+
+
+def test_iceberg_unavailable_message(spark, tmp_path):
+    with pytest.raises(RuntimeError, match="iceberg-spark runtime"):
+        load_corpus(spark, "db.tbl", source_format="iceberg")
