@@ -174,6 +174,20 @@ def q_topk_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=10)
 
 
+def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k — the scale path
+    for ANN. Rows-only: the probed candidate set depends on the trained
+    quantizer, which has no SQL analogue; exactness of the re-rank is
+    covered by the full-probe == brute-force pytest."""
+    from jsl_engine.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4)
+
+
 def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs over documents (rows-only: xxhash64
     has no DuckDB equivalent; verified in pytest against exact Jaccard)."""
@@ -233,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_documents": q_exact_dup_documents,
         "token_stats_by_lang": q_token_stats_by_lang,
         "topk_cosine_embeddings": q_topk_cosine_embeddings,
+        "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
         "language_id_documents": q_language_id_documents,
         "jsl_validate_events": q_jsl_validate_events,

@@ -65,3 +65,37 @@ def test_embedding_near_duplicates(spark, vectors):
     assert (5, 10) in pairs
     # random gaussians in 16d almost never hit 0.99 cosine
     assert len(pairs) <= 3
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with clustered data: high recall vs brute force; full probe
+    (n_probe = n_cells) must equal brute force exactly."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16)) * 4
+    vecs = np.vstack([c + rng.normal(scale=0.3, size=(100, 16)) for c in centers]).astype("float32")
+    rows = [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows).cache()
+    try:
+        queries = df.where("vec_id in (0, 150, 350)").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        bf = {(r.query_id, r.vec_id) for r in S.brute_force_topk(df, queries, k=10).collect()}
+
+        ivf = {(r.query_id, r.vec_id)
+               for r in S.ivf_topk(df, queries, k=10, n_cells=8, n_probe=2).collect()}
+        recall = len(bf & ivf) / len(bf)
+        assert recall >= 0.9, recall
+
+        full = S.ivf_topk(df, queries, k=10, n_cells=8, n_probe=8)
+        got = {(r.query_id, r.rank): r.vec_id for r in full.collect()}
+        want = {(r.query_id, r.rank): r.vec_id for r in S.brute_force_topk(df, queries, k=10).collect()}
+        assert got == want
+    finally:
+        df.unpersist()
+
+
+def test_ivf_centroids_deterministic(spark, vectors):
+    df, _ = vectors
+    a = S.train_ivf_centroids(df, n_cells=4)
+    b = S.train_ivf_centroids(df, n_cells=4)
+    assert a == b
