@@ -91,6 +91,12 @@ def q_ri_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key counts via two-phase salted aggregation (skew handling);
+    must equal plain SQL GROUP BY counts."""
+    return tc.skew_aware_counts(_t(spark, sf_dir, "lineitem"), ["l_returnflag"])
+
+
 def q_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact one-vs-rest KS drift of events.value across event_type."""
     return tc.ks_drift(_t(spark, sf_dir, "events"), "value", "event_type")
@@ -239,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_keys_orders_per_order": q_dup_keys_orders_per_order,
         "uniqueness_lineitem": q_uniqueness_lineitem,
         "ri_orders_customer": q_ri_orders_customer,
+        "skew_counts_lineitem": q_skew_counts_lineitem,
         "ks_events_value": q_ks_events_value,
         "chi2_events_daily": q_chi2_events_daily,
         "top_customers": q_top_customers,
@@ -316,6 +323,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey
             FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        """,
+        "skew_counts_lineitem": """
+            SELECT l_returnflag, COUNT(*)::BIGINT AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
         "ks_events_value": """
             WITH base AS (

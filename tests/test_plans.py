@@ -1,0 +1,8 @@
+"""Physical-plan property gate: pushdown, pruning, broadcast, partial aggs
+must survive refactors (tools/explain_plans.py as a test)."""
+
+
+def test_plan_properties():
+    from tools.explain_plans import main
+
+    assert main("/root/testdata/sf0.001") == 0

@@ -36,3 +36,35 @@ def test_stream_matches_batch(spark, tmp_path):
     )
     assert len(got) == len(want) == 800
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_streaming_verdict_counts(spark, tmp_path):
+    """Update-mode stateful aggregation over the validated stream."""
+    from jsl_engine.streaming import streaming_verdict_counts
+    from pyspark.sql import functions as F
+
+    corpus_path = str(tmp_path / "corpus2")
+    generate_corpus(spark, 400, seed=23, defect_rate=0.2, partitions=2).write.parquet(
+        corpus_path
+    )
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    stream = read_corpus_stream(spark, corpus_path, max_files_per_trigger=1)
+    counts = streaming_verdict_counts(validate_stream(stream, schema), key="repo")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("stream_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.repo: (r.n_docs, r.n_ok) for r in spark.sql("SELECT * FROM stream_counts").collect()}
+    batch = validate_df(spark.read.parquet(corpus_path), schema)
+    want = {
+        r.repo: (r.n_docs, r.n_ok)
+        for r in batch.groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(F.col("ok").cast("long")).alias("n_ok"))
+        .collect()
+    }
+    assert got == want
