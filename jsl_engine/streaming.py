@@ -75,3 +75,25 @@ def streaming_verdict_counts(validated: DataFrame, key: str = "repo") -> DataFra
         F.sum(F.col("ok").cast("long")).alias("n_ok"),
         F.sum("n_errors").cast("long").alias("n_violations"),
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    *,
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Stateful cross-microbatch exact dedup: emit each distinct document
+    content once (first writer wins).
+
+    Built on Structured Streaming's stateful ``dropDuplicates`` keyed on
+    sha256(content) — the state store holds one 32-byte digest per distinct
+    document, not the document. Unbounded retention here (a duplicate may
+    arrive arbitrarily late in a backfill); for true firehoses add an event
+    time + ``withWatermark`` and use ``dropDuplicatesWithinWatermark`` to
+    bound the store.
+    """
+    hashed = stream.withColumn("content_sha256", F.sha2(F.col(content_col), 256))
+    return hashed.dropDuplicates(["content_sha256"]).select(
+        *id_cols, "content_sha256", content_col
+    )

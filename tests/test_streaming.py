@@ -68,3 +68,33 @@ def test_streaming_verdict_counts(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Stateful dedup across microbatches: duplicates planted in different
+    files (hence different microbatches) are dropped exactly once."""
+    from jsl_engine.streaming import dedup_stream
+
+    corpus_path = str(tmp_path / "corpus3")
+    # dup_rate plants exact copies of the predecessor row
+    generate_corpus(spark, 600, seed=31, dup_rate=0.05, partitions=6).write.parquet(
+        corpus_path
+    )
+    batch = spark.read.parquet(corpus_path)
+    n_total = batch.count()
+    n_distinct = batch.select("content").distinct().count()
+    assert n_distinct < n_total  # duplicates really exist
+
+    stream = read_corpus_stream(spark, corpus_path, max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT content_sha256 FROM stream_dedup").collect()
+    assert len(out) == n_distinct
+    assert len({r.content_sha256 for r in out}) == n_distinct
