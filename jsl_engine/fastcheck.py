@@ -17,11 +17,18 @@ semantics (reference: src/vm.rs:49-278), including the max-depth guard
 (reference: src/vm.rs:58-60) and strict-mode tag exemption
 (reference: src/vm.rs:182-195).
 
-Short-circuiting cannot change verdicts: a doc failing the fast check gets a
-full kernel traversal, and a doc passing it visited every branch the kernel
-would. ``MaxDepthExceeded`` raised here is the same hard failure the
-reference raises regardless of traversal order (at max_errors=0 the
-reference always reaches every branch).
+The correctness invariant is **compositional**: the pipeline verdict
+(fast check, falling back to the kernel on False) equals the kernel's
+verdict. Two asymmetries make the fast check alone insufficient:
+
+* a passing doc visited every branch the kernel would, so ``True`` implies
+  the kernel neither fails nor exceeds depth;
+* a failing doc may have short-circuited BEFORE a branch where the kernel
+  (which at max_errors=0 traverses everything) would raise
+  ``MaxDepthExceeded`` — e.g. a missing required key next to an optional
+  cyclic ref. The kernel re-run on every fast-check ``False`` restores the
+  reference's hard-failure verdict (found by the random-schema fuzzer in
+  ``tests/test_fastcheck.py``).
 """
 
 from __future__ import annotations

@@ -98,3 +98,115 @@ json_values = st.recursive(
 def test_random_instance_agreement(schema, instance, strict):
     fast, kernel = both_verdicts(schema, instance, strict)
     assert fast == kernel
+
+
+# -- random-schema fuzz: the composed pipeline (fast check → kernel
+# fallback) must reproduce the kernel verdict exactly ---------------------
+
+TYPES14 = [
+    "boolean", "number", "float32", "float64", "int8", "uint8", "int16",
+    "uint16", "int32", "uint32", "int64", "uint64", "string", "timestamp",
+]
+
+
+def _rand_schema(rng, depth, defs_names):
+    forms = ["empty", "type", "enum", "elements", "properties", "values"]
+    if depth > 0:
+        forms += ["discriminator"]
+        if defs_names:
+            forms += ["ref", "ref"]
+    f = rng.choice(forms)
+    if f == "empty":
+        return {}
+    if f == "type":
+        return {"type": rng.choice(TYPES14)}
+    if f == "enum":
+        return {"enum": rng.sample(["a", "b", "c", "d", "e~f", "g/h"], rng.randint(1, 4))}
+    if f == "ref":
+        return {"ref": rng.choice(defs_names)}
+    if f == "elements":
+        return {"elements": _rand_schema(rng, depth - 1, defs_names)}
+    if f == "values":
+        return {"values": _rand_schema(rng, depth - 1, defs_names)}
+    if f == "properties":
+        req = {f"r{i}": _rand_schema(rng, depth - 1, defs_names) for i in range(rng.randint(0, 2))}
+        opt = {f"o{i}": _rand_schema(rng, depth - 1, defs_names) for i in range(rng.randint(0, 2))}
+        out = {}
+        if req or rng.random() < 0.5:
+            out["properties"] = req
+        if opt or not out:
+            out["optionalProperties"] = opt
+        return out
+    mapping = {}
+    for i in range(rng.randint(1, 3)):
+        req = {f"m{j}": _rand_schema(rng, depth - 1, defs_names) for j in range(rng.randint(0, 2))}
+        mapping[f"v{i}"] = {"properties": req}
+    return {"discriminator": {"tag": "t", "mapping": mapping}}
+
+
+def _rand_instance(rng, depth):
+    kinds = ["null", "bool", "int", "float", "str", "ts"] + (["arr", "obj"] if depth > 0 else [])
+    k = rng.choice(kinds)
+    if k == "null":
+        return None
+    if k == "bool":
+        return rng.random() < 0.5
+    if k == "int":
+        return rng.choice([0, 1, -1, 127, 128, 255, 2**31, 2**32, 2**63, 2**64, -(2**63), 5])
+    if k == "float":
+        return rng.choice([0.5, 1.0, -3.25, 1e300, 5.0])
+    if k == "str":
+        return rng.choice(["a", "b", "v0", "v1", "t", "2021-01-01T00:00:00Z", "x/y", ""])
+    if k == "ts":
+        return "2020-02-29T23:59:60+05:30"
+    if k == "arr":
+        return [_rand_instance(rng, depth - 1) for _ in range(rng.randint(0, 3))]
+    return {
+        rng.choice(["r0", "r1", "o0", "t", "k", "m0"]): _rand_instance(rng, depth - 1)
+        for _ in range(rng.randint(0, 3))
+    }
+
+
+def _pipeline_verdict(check, form, defs, instance, strict):
+    """Mirror spark_validate._validate_batch's composition."""
+    from jsl_engine.kernel import validate_node
+
+    try:
+        if check(instance, 1):
+            return "ok"
+        errors = validate_node(form, defs, instance, strict_instance_semantics=strict)
+        return ("bad", len(errors))
+    except MaxDepthExceeded:
+        return "max_depth"
+
+
+def test_random_schema_pipeline_equals_kernel():
+    import random
+
+    rng = random.Random(99)
+    checked = 0
+    for _ in range(200):
+        names = [f"d{i}" for i in range(rng.randint(0, 2))]
+        serde = {}
+        if names:
+            serde["definitions"] = {n: _rand_schema(rng, 2, names) for n in names}
+        serde.update(_rand_schema(rng, 3, names))
+        try:
+            schema = compile_schema(serde)
+        except Exception:
+            continue
+        form = schema.as_node()
+        defs = {k: v.as_node() for k, v in schema.defs.items()}
+        for strict in (False, True):
+            check = compile_check(form, defs, strict=strict)
+            for _ in range(10):
+                inst = _rand_instance(rng, 3)
+                got = _pipeline_verdict(check, form, defs, inst, strict)
+                try:
+                    errors = validate(schema, inst, strict_instance_semantics=strict)
+                    want = "ok" if not errors else ("bad", len(errors))
+                except MaxDepthExceeded:
+                    want = "max_depth"
+                assert got == want, (serde, inst, strict, got, want)
+                checked += 1
+    assert checked > 3000
