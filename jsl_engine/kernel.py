@@ -1,7 +1,8 @@
 """Single-document JSL validation kernel.
 
 Reimplements the reference evaluation VM (reference: src/vm.rs:10-320) with
-byte-for-byte identical error paths. This kernel is the semantic core shared
+byte-for-byte identical error paths, except one documented divergence where
+the reference leaks a schema token (see the discriminator note below). This kernel is the semantic core shared
 by the Spark batched evaluator (:mod:`jsl_engine.spark_validate`) and the
 pytest spec harness; it is deliberately dependency-free and allocation-light
 on the happy path (paths are only materialized when an error is pushed,
@@ -26,6 +27,22 @@ Key parity points, each encoding a reference behavior:
 * discriminator evaluates the mapped schema against the **whole** instance
   with the parent tag exempted from strict mode
   (reference: src/vm.rs:233, src/vm.rs:184).
+
+Deliberate divergence (documented like the chrono notes in
+:mod:`jsl_engine.rfc3339`): the reference's ``Form::Discriminator`` arm
+pushes the ``discriminator`` schema token but **never pops it**
+(reference: src/vm.rs:225-258 — every other arm ends with
+``pop_schema_token``; the discriminator arm ends the match without one).
+The leaked token stays on the schema-token vector, so in the reference any
+error emitted *after* a discriminator evaluation in the same vector gets a
+spurious extra ``discriminator`` segment — e.g. the second bad element of
+``{"elements": {"discriminator": ...}}`` reports
+``/elements/discriminator/discriminator``, and the leak compounds once per
+prior element. This kernel pops the token, yielding the RFC 6901 path the
+schema actually denotes (``/elements/discriminator``). Pass/fail verdicts
+and error *counts* are unaffected — only post-discriminator sibling error
+paths differ. Pinned by the ``discriminator token does not leak across
+siblings`` cases in ``tests/spec/discriminator.json``.
 """
 
 from __future__ import annotations
@@ -273,6 +290,8 @@ class _Vm:
             else:
                 # not an object: error at .../discriminator (src/vm.rs:255-257)
                 self._push_err()
+            # deliberate divergence: the reference leaks this token
+            # (src/vm.rs:225-258 has no trailing pop) — see module docstring
             tokens.pop()
             return
 

@@ -52,6 +52,21 @@ from jsl_engine.fastcheck import compile_check
 from jsl_engine.kernel import validate_node
 from jsl_engine.schema import Schema, plan_payload
 
+
+def _reject_constant(literal: str) -> None:
+    """Python's ``json.loads`` accepts the non-RFC-8259 literals ``NaN``,
+    ``Infinity`` and ``-Infinity``; serde_json — the reference's parser
+    (reference: src/validator.rs:41-45 takes ``serde_json::Value``) — and
+    DuckDB's ``json_valid`` both reject them. Raising here routes such
+    documents to the ``json_parse_error`` verdict, keeping the verdict
+    taxonomy (and the DuckDB oracle) aligned with the reference."""
+    raise ValueError(f"non-RFC-8259 JSON literal: {literal}")
+
+
+def loads_strict(content: str):
+    """``json.loads`` with serde_json-compatible literal handling."""
+    return json.loads(content, parse_constant=_reject_constant)
+
 #: Appended to the pass-through key columns in the validation output.
 RESULT_FIELDS = [
     StructField("ok", BooleanType(), False),
@@ -99,7 +114,7 @@ def _validate_batch(
     """Validate one Arrow batch of JSON strings; returns parallel columns
     (ok, n_errors, error, violations)."""
     check, form, defs = _get_checker(payload, strict, max_depth)
-    loads = json.loads
+    loads = loads_strict
     ok_col: list[bool] = []
     n_col: list[int] = []
     err_col: list[Any] = []

@@ -351,7 +351,12 @@ def skew_aware_counts(
     the tiny partials. AQE's skew handling covers joins; this is the
     equivalent for aggregation when the skewed key is known.
     """
-    # deterministic salt: spray each key's rows round-robin across buckets
+    # nondeterministic-but-count-safe salt: monotonically_increasing_id
+    # depends on partition layout and task retries, but the salt only
+    # decides which bucket a row's +1 lands in — phase 2 sums all buckets,
+    # so the final counts are retry-safe. Do NOT reuse this salt where the
+    # per-bucket assignment itself must be stable; derive it from row
+    # content (e.g. F.pmod(F.xxhash64(*cols), buckets)) in that case.
     salted = df.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     )

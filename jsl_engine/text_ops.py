@@ -196,9 +196,6 @@ def minhash_near_duplicates(
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")).alias("eq"))
-    )
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")

@@ -95,6 +95,28 @@ def test_parse_error_and_depth_verdicts(spark):
     assert out["cyclic"].violations is None
 
 
+def test_non_rfc8259_literals_are_parse_errors(spark):
+    """NaN/Infinity/-Infinity are accepted by Python's json module but
+    rejected by serde_json (the reference's parser) and DuckDB json_valid;
+    they must land in the json_parse_error bucket — NaN passing
+    'type: float64' would silently flip the verdict vs the reference."""
+    schema = compile_schema({"properties": {"k": {"type": "float64"}}})
+    docs = {
+        "nan": '{"k": NaN}',
+        "inf": '{"k": Infinity}',
+        "ninf": '{"k": -Infinity}',
+        "ok": '{"k": 1.5}',
+    }
+    df = spark.createDataFrame(
+        [Row(repo="r", path=p, commit="c", content=c) for p, c in docs.items()]
+    )
+    out = {r.path: r for r in validate_df(df, schema).collect()}
+    for p in ("nan", "inf", "ninf"):
+        assert out[p].error == "json_parse_error", p
+        assert not out[p].ok
+    assert out["ok"].ok
+
+
 def test_corpus_end_to_end(spark):
     """Flagship slice: synthetic source-code table → validate → verdict and
     violation views; defect classes all appear; clean docs all pass."""
