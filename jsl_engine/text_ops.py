@@ -19,13 +19,15 @@ source, n_chars)`` table and are built Spark-first:
 Scale notes: candidate generation is always join-on-key (LSH bucket,
 band hash, fingerprint); nothing materializes pairwise products except
 within a bucket. Bucket skew (e.g. boilerplate shingles) is bounded by
-``max_bucket`` — oversized buckets are dropped and reported, the standard
-trade at web scale.
+``max_bucket`` — oversized buckets are pruned from the banded rows
+*before* the self-join (windowed bucket count), so they contribute zero
+join rows: the standard trade at web scale, applied where it actually
+protects the plan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
 # normalization + shingles
@@ -121,15 +123,29 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 16,
     max_bucket: int = 64,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banding: split each signature into
     ``bands`` rows, bucket on (band index, band hash), pair within bucket.
 
     Returns ``id_a, id_b, n_bands`` (id_a < id_b; n_bands = how many bands
-    collided — a cheap similarity prior). Buckets larger than
-    ``max_bucket`` are dropped (boilerplate guard).
+    collided — a cheap similarity prior).
+
+    Scale-critical ordering: the boilerplate guard runs **before** the
+    self-join. Buckets larger than ``max_bucket`` are removed from the
+    banded rows with a windowed bucket count, so an oversized bucket
+    contributes **zero** join rows — a 10^6-doc boilerplate bucket would
+    otherwise materialize ~5·10^11 pairs before any post-hoc filter. The
+    window partitions on the same (band, bucket) keys the self-join uses,
+    so its exchange is reused by the join. The guard is unconditional and
+    fully declarative: no driver-side action, no data-dependent plan.
+    Documents dropped from an oversized bucket can still pair through
+    their other (non-boilerplate) bands.
+
+    Pass ``num_hashes`` (the signature length) to keep plan construction
+    action-free; if omitted it is probed with a one-row job.
     """
-    n = signatures.select(F.size("sig")).first()[0]
+    n = num_hashes if num_hashes is not None else signatures.select(F.size("sig")).first()[0]
     rows_per_band = n // bands
     banded = signatures.select(
         F.col(id_col),
@@ -148,9 +164,17 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
+    # boilerplate guard FIRST: windowed bucket size, oversized rows dropped
+    # before any pair exists
+    w = Window.partitionBy("band", "bucket")
+    pruned = (
+        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__bucket_n") <= max_bucket)
+        .drop("__bucket_n")
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -164,20 +188,6 @@ def lsh_candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    # boilerplate guard: drop ids living in any oversized bucket
-    big = (
-        banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > max_bucket)
-    )
-    if big.limit(1).count() > 0:
-        bad_ids = (
-            banded.join(big, ["band", "bucket"]).select(F.col(id_col).alias("bad")).distinct()
-        )
-        pairs = pairs.join(
-            F.broadcast(bad_ids), pairs.id_a == F.col("bad"), "left_anti"
-        ).join(F.broadcast(bad_ids), pairs.id_b == F.col("bad"), "left_anti")
-    return pairs
 
 
 def minhash_near_duplicates(
@@ -193,7 +203,7 @@ def minhash_near_duplicates(
     with estimated Jaccard (fraction of equal signature components) ≥
     threshold. Returns ``id_a, id_b, est_jaccard``."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     return (

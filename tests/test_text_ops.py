@@ -63,6 +63,30 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
             assert abs(e - exact[k]) < 0.35, (k, e, exact[k])  # 64 hashes → coarse
 
 
+def test_lsh_oversized_bucket_bounds_pairs(spark):
+    """A boilerplate bucket larger than max_bucket must contribute ZERO
+    candidate pairs (the guard runs before the self-join — without it,
+    150 identical docs alone would materialize 150·149/2 ≈ 11k pairs per
+    band), while distinct near-dups in small buckets still pair."""
+    boiler = [(i, "This file is auto-generated do not edit. " * 6) for i in range(150)]
+    near = [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta " * 5),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta " * 4
+               + "alpha beta gamma delta epsilon zeta eta iota "),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in boiler + near])
+    sigs = T.minhash_signatures(df)
+    pairs = T.lsh_candidate_pairs(sigs, max_bucket=64, num_hashes=64).collect()
+    ids_in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert not (ids_in_pairs & set(range(150)))  # boilerplate never pairs
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1000, 1001)}
+
+    # guard off (huge max_bucket): the boilerplate group pairs explosively —
+    # proves the guard, not the data, is what bounds the output
+    unguarded = T.lsh_candidate_pairs(sigs, max_bucket=10**9, num_hashes=64)
+    assert unguarded.count() == 150 * 149 // 2 + 1
+
+
 def test_simhash_near_duplicates(spark, docs):
     # prefix_bits=8: single-probe blocking misses near-dups whose differing
     # bit lands inside the block prefix (multi-probe fixes that at scale);

@@ -96,6 +96,18 @@ def main(sf_dir: str) -> int:
     ok &= check("top-k no global sort", tk,
                 must_contain=["TakeOrderedAndProject"])
 
+    # 6. LSH candidate pairs: the oversized-bucket guard (windowed bucket
+    #    count + filter on __bucket_n) must sit UPSTREAM of the self-join —
+    #    the guard column is dropped pre-join, so its appearance in a
+    #    Filter proves pruning happens before any pair is materialized;
+    #    and no CartesianProduct anywhere
+    from jsl_engine.text_ops import lsh_candidate_pairs, minhash_signatures
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs), num_hashes=64)
+    ok &= check("LSH guard before self-join", pairs,
+                must_contain=["__bucket_n", "Window"],
+                must_not=["CartesianProduct"])
+
     print("ALL OK" if ok else "PLAN REGRESSIONS FOUND")
     return 0 if ok else 1
 
