@@ -102,6 +102,17 @@ def q_ks_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.ks_drift(_t(spark, sf_dir, "events"), "value", "event_type")
 
 
+def q_ks_events_value_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned one-vs-rest KS drift — the 10^12-row plan (fixed 1024-bin
+    histogram: two aggregations + a |parts|×1024 window, no parts×values
+    crossJoin, no global sort). This is the variant a production job runs;
+    `ks_events_value` keeps the exact dense-grid formulation as the
+    statistical reference point."""
+    return tc.ks_drift_binned(
+        _t(spark, sf_dir, "events"), "value", "event_type", bins=1024
+    )
+
+
 def q_chi2_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square drift of event_type across day partitions (the testdata
     spans a single month, so days are the meaningful time slices)."""
@@ -247,6 +258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ri_orders_customer": q_ri_orders_customer,
         "skew_counts_lineitem": q_skew_counts_lineitem,
         "ks_events_value": q_ks_events_value,
+        "ks_events_value_binned": q_ks_events_value_binned,
         "chi2_events_daily": q_chi2_events_daily,
         "top_customers": q_top_customers,
         "nations_without_suppliers": q_nations_without_suppliers,
@@ -350,6 +362,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM j
             )
             SELECT c.part AS part, p.n_part AS n_part, (t.n - p.n_part)::BIGINT AS n_rest,
+                   ROUND(MAX(ABS(c.cum_part / CAST(p.n_part AS DOUBLE)
+                         - (c.cum_tot - c.cum_part) / CAST(t.n - p.n_part AS DOUBLE))), 6) AS ks_d
+            FROM cum c JOIN parts p ON c.part = p.part CROSS JOIN tot t
+            GROUP BY c.part, p.n_part, t.n
+        """,
+        # binned KS: identical fixed-width binning (lo/hi from min/max,
+        # width=(hi-lo)/1024, last bin absorbs the max) — double arithmetic
+        # is IEEE-identical across engines, so bins and ks_d hash-match
+        "ks_events_value_binned": """
+            WITH base AS (
+                SELECT event_type AS part, CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            mm AS (SELECT MIN(v) AS lo, (MAX(v) - MIN(v)) / 1024 AS width FROM base),
+            binned AS (
+                SELECT part,
+                       LEAST(CAST(FLOOR((v - mm.lo) / mm.width) AS BIGINT), 1023) AS bin
+                FROM base CROSS JOIN mm
+            ),
+            pb AS (SELECT part, bin, COUNT(*) AS c_part FROM binned GROUP BY part, bin),
+            tb AS (SELECT bin, COUNT(*) AS c_tot FROM binned GROUP BY bin),
+            parts AS (SELECT part, COUNT(*)::BIGINT AS n_part FROM binned GROUP BY part),
+            tot AS (SELECT COUNT(*)::BIGINT AS n FROM binned),
+            grid AS (SELECT p.part, t.bin, t.c_tot FROM parts p CROSS JOIN tb t),
+            j AS (
+                SELECT g.part, g.bin, COALESCE(pb.c_part, 0) AS c_part, g.c_tot
+                FROM grid g LEFT JOIN pb ON g.part = pb.part AND g.bin = pb.bin
+            ),
+            cum AS (
+                SELECT part,
+                       SUM(c_part) OVER (PARTITION BY part ORDER BY bin) AS cum_part,
+                       SUM(c_tot) OVER (PARTITION BY part ORDER BY bin) AS cum_tot
+                FROM j
+            )
+            SELECT c.part AS part,
                    ROUND(MAX(ABS(c.cum_part / CAST(p.n_part AS DOUBLE)
                          - (c.cum_tot - c.cum_part) / CAST(t.n - p.n_part AS DOUBLE))), 6) AS ks_d
             FROM cum c JOIN parts p ON c.part = p.part CROSS JOIN tot t
