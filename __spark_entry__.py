@@ -236,16 +236,78 @@ def q_jsl_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts(validated, key_cols=("event_id",))
 
 
-def q_jsl_violations_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exploded violation rows over the deterministic synthetic source-code
-    corpus (seeded; every defect class represented — rows-only check).
-    events.props is uniformly valid at every sf, so the corpus is the
-    discriminating fixture for violation rows."""
-    from jsl_engine.corpus import CODE_FILE_SCHEMA, generate_corpus
+#: JSL schema for the documents-derived JSON corpus below — touches the
+#: required/optional properties, enum, ref (path rebase), elements and
+#: integer-range forms, so every defect class lands on a distinct
+#: reference-shaped (instance_path, schema_path) pair.
+DOCS_JSON_SCHEMA = {
+    "definitions": {"tag": {"type": "string"}},
+    "properties": {
+        "id": {"type": "uint32"},
+        "lang": {"enum": ["de", "en", "es", "fr", "zh"]},
+        "name": {"ref": "tag"},
+        "tokens": {"elements": {"type": "uint32"}},
+    },
+    "optionalProperties": {"note": {"type": "string"}},
+}
 
-    df = generate_corpus(spark, 5000, seed=42, defect_rate=0.05, partitions=8)
-    validated = validate_df(df, compile_schema(CODE_FILE_SCHEMA))
-    return violations(validated)
+
+def _docs_json_content():
+    """Deterministic JSON content per ``documents`` row with defect class
+    ``doc_id % 7`` (0 = valid, 1 = missing required, 2 = uint32 range,
+    3 = enum, 4 = element type, 5 = ref'd type, 6 = parse error).
+
+    Built with plain string concatenation — byte-identical to the DuckDB
+    construction in :func:`oracle_sql`, so the sha256 row invariant is
+    hash-checked end-to-end, and the expected verdicts/violations are
+    hand-derived from JSL semantics in SQL (a true independent oracle —
+    the generate_corpus mapInPandas variant stays covered by pytest and
+    the bench's validate_200k_corpus pass)."""
+    d = F.col("doc_id")
+    cls = d % 7
+    name_ok = F.concat(F.lit('"doc'), d.cast("string"), F.lit('"'))
+    tokens_ok = F.concat(
+        F.lit("["), (d % 5).cast("string"), F.lit(","), (d % 11).cast("string"), F.lit("]")
+    )
+    return F.when(cls == 6, F.lit('{"id": ')).otherwise(
+        F.concat(
+            F.lit('{"id":'),
+            F.when(cls == 2, F.lit("-1")).otherwise(d.cast("string")),
+            F.lit(',"lang":"'),
+            F.when(cls == 3, F.lit("xx")).otherwise(F.col("lang")),
+            F.lit('"'),
+            F.when(cls == 1, F.lit("")).otherwise(
+                F.concat(
+                    F.lit(',"name":'),
+                    F.when(cls == 5, F.lit("42")).otherwise(name_ok),
+                )
+            ),
+            F.lit(',"tokens":'),
+            F.when(cls == 4, F.lit('[1,"bad"]')).otherwise(tokens_ok),
+            F.lit("}"),
+        )
+    )
+
+
+def _validated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    df = docs.withColumn("content", _docs_json_content())
+    return validate_df(df, compile_schema(DOCS_JSON_SCHEMA), key_cols=("doc_id",))
+
+
+def q_jsl_verdicts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document verdicts over the documents-derived defect corpus —
+    fully oracled: ok/n_errors/error per defect class plus the sha256 row
+    invariant over engine-constructed content."""
+    return verdicts(_validated_docs(spark, sf_dir), key_cols=("doc_id",))
+
+
+def q_jsl_violations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded violation rows (doc_id, instance_path, schema_path) over the
+    same corpus — the flagship violation path under the hash gate: every
+    defect class's exact reference-shaped paths are asserted by the oracle,
+    including the ref rebase to /definitions (reference: src/vm.rs:63-64)."""
+    return violations(_validated_docs(spark, sf_dir), key_cols=("doc_id",))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -270,7 +332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
         "language_id_documents": q_language_id_documents,
         "jsl_validate_events": q_jsl_validate_events,
-        "jsl_violations_corpus": q_jsl_violations_corpus,
+        "jsl_verdicts_docs": q_jsl_verdicts_docs,
+        "jsl_violations_docs": q_jsl_violations_docs,
     }
 
 
@@ -302,6 +365,28 @@ def _stats_string_one(col: str, table: str) -> str:
            MAX({col}) AS max_val,
            COUNT(DISTINCT {col})::BIGINT AS n_distinct
     FROM {table}"""
+
+
+#: DuckDB construction of the documents-derived defect corpus — must stay
+#: byte-identical to :func:`_docs_json_content` (the sha256 hash gate
+#: enforces that).
+_DOCS_CONTENT_SQL = """
+    SELECT doc_id, doc_id % 7 AS cls,
+           CASE WHEN doc_id % 7 = 6 THEN '{"id": '
+           ELSE '{"id":'
+             || CASE WHEN doc_id % 7 = 2 THEN '-1' ELSE CAST(doc_id AS VARCHAR) END
+             || ',"lang":"'
+             || CASE WHEN doc_id % 7 = 3 THEN 'xx' ELSE lang END || '"'
+             || CASE WHEN doc_id % 7 = 1 THEN ''
+                ELSE ',"name":' || CASE WHEN doc_id % 7 = 5 THEN '42'
+                                   ELSE '"doc' || CAST(doc_id AS VARCHAR) || '"' END END
+             || ',"tokens":'
+             || CASE WHEN doc_id % 7 = 4 THEN '[1,"bad"]'
+                ELSE '[' || CAST(doc_id % 5 AS VARCHAR) || ',' || CAST(doc_id % 11 AS VARCHAR) || ']' END
+             || '}'
+           END AS content
+    FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -525,8 +610,31 @@ def oracle_sql() -> dict[str, str]:
                    sha256(props) AS content_sha256
             FROM v
         """,
+        # documents-derived defect corpus: the oracle rebuilds the exact
+        # content bytes (sha256 must match) and states the expected
+        # verdict/violation per defect class straight from JSL semantics —
+        # an independent hand-derivation, not a reimplementation of the VM.
+        "jsl_verdicts_docs": f"""
+            WITH c AS ({_DOCS_CONTENT_SQL})
+            SELECT doc_id,
+                   (cls = 0) AS ok,
+                   CASE WHEN cls IN (1,2,3,4,5) THEN 1 ELSE 0 END::INT AS n_errors,
+                   CASE WHEN cls = 6 THEN 'json_parse_error' ELSE NULL END AS error,
+                   sha256(content) AS content_sha256
+            FROM c
+        """,
+        "jsl_violations_docs": f"""
+            WITH c AS ({_DOCS_CONTENT_SQL})
+            SELECT doc_id,
+                   CASE cls WHEN 1 THEN '' WHEN 2 THEN '/id' WHEN 3 THEN '/lang'
+                            WHEN 4 THEN '/tokens/1' WHEN 5 THEN '/name' END AS instance_path,
+                   CASE cls WHEN 1 THEN '/properties/name'
+                            WHEN 2 THEN '/properties/id/type'
+                            WHEN 3 THEN '/properties/lang/enum'
+                            WHEN 4 THEN '/properties/tokens/elements/type'
+                            WHEN 5 THEN '/definitions/tag/type' END AS schema_path
+            FROM c WHERE cls IN (1,2,3,4,5)
+        """,
         # minhash_near_dup_documents / language_id_documents: rows-only —
         # xxhash64-based signatures and argmax tie rules are engine-specific.
-        # jsl_violations_corpus: intentionally omitted —
-        # JSL validation is not ANSI-SQL-expressible; gated by the spec corpus.
     }
