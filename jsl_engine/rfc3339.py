@@ -15,10 +15,32 @@ Cargo.toml:17). Semantics reproduced here:
 * offset magnitude strictly below 24 h: hours ``00``–``23``, minutes
   ``00``–``59`` (chrono ``FixedOffset`` validity range).
 
-Divergences from chrono, documented deliberately: chrono 0.4's permissive
-offset scanner may also accept colon-less offsets like ``+0930``; we reject
-those (strict RFC 3339). The vendored spec corpus under ``tests/spec/``
-avoids such ambiguous inputs, so cross-implementation verdicts agree.
+Chrono-parity pins (``tests/spec/timestamp.json`` "chrono parity pins"
+suites) — each case's verdict with its chrono 0.4 justification:
+
+* ``-00:00`` — **valid**: RFC 3339 unknown-offset; ``FixedOffset`` of 0 s
+  is constructible, chrono parses it.
+* ``+23:59`` — **valid** / ``±24:00`` — **invalid**: chrono ``FixedOffset``
+  requires ``|secs| < 86_400``; 24:00 is exactly 86 400 → out of range.
+  Our ``hour > 23`` check matches.
+* 9-digit and 13-digit fractional seconds — **valid**: chrono's fraction
+  scanner consumes any number of digits at nanosecond precision
+  (truncating beyond 9); a bare ``.`` with no digit — **invalid**.
+* year ``0000``/``9999`` — **valid**: chrono's proleptic-Gregorian range
+  covers both; the RFC grammar is exactly 4 digits, so a signed year
+  (``+2019``) or 3-digit year — **invalid** (chrono scans a fixed-width
+  4-digit year here, no sign).
+* lowercase ``t``/``z`` — **valid** (RFC 3339 §5.6 explicitly).
+
+Version-dependent chrono behaviors, resolved to the strict RFC 3339
+grammar (documented divergence risk): colon-less numeric offsets
+(``+0930``, ``+09``) and the space separator (``2019-01-01 00:00:00Z``).
+The ``time-numoffset`` production requires the colon and the grammar
+requires ``T``, and modern chrono's dedicated RFC 3339 parser enforces
+both, but 2019-era 0.4.x releases (contemporary with the reference,
+Cargo.toml pins only ``chrono = "0.4"``) used more permissive scanners
+that could accept them. We reject all three; the pins make the choice
+explicit and testable instead of silent.
 """
 
 from __future__ import annotations
