@@ -376,21 +376,76 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-#: Tiny per-language stopword marker sets for the heuristic language ID.
-_LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
-    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
-    "fr": ("le", "la", "et", "les", "des", "est", "une", "que"),
-    "es": ("el", "la", "que", "los", "una", "por", "con", "para"),
+#: Stopword / function-word marker sets for Latin-script languages.
+#: High-frequency, language-distinctive tokens; matched against the
+#: punctuation-stripped, lowercased token set.
+_LATIN_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for",
+           "with", "his", "on", "be", "at", "by"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit",
+           "den", "von", "sich", "auf", "für", "er", "dem"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "que", "pour",
+           "dans", "qui", "pas", "sur", "au", "avec", "ce"),
+    "es": ("el", "que", "los", "una", "por", "con", "para", "del", "las",
+           "es", "se", "no", "su", "más", "como", "pero"),
+    "pt": ("o", "que", "não", "uma", "os", "do", "da", "em", "para", "com",
+           "um", "por", "mais", "como", "mas", "ele"),
+    "it": ("il", "che", "di", "non", "per", "una", "sono", "gli", "anche",
+           "come", "più", "nel", "alla", "della", "ha", "si"),
+    "nl": ("de", "het", "een", "en", "van", "ik", "te", "dat", "die",
+           "niet", "aan", "met", "voor", "er", "maar", "zijn"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "om", "han", "var"),
+    "da": ("og", "det", "at", "en", "den", "til", "er", "som", "på", "de",
+           "med", "han", "af", "for", "ikke", "der"),
+    "no": ("og", "det", "at", "en", "er", "som", "på", "til", "av", "han",
+           "med", "for", "seg", "men", "et", "ikke"),
+    "fi": ("ja", "on", "ei", "se", "että", "hän", "oli", "mutta", "kun",
+           "ovat", "niin", "kuin", "myös", "jos", "mitä", "tämä"),
+    "pl": ("i", "w", "nie", "się", "na", "że", "z", "do", "to", "jest",
+           "jak", "po", "co", "tak", "ale", "jego"),
+    "cs": ("a", "se", "na", "je", "že", "v", "co", "to", "jsem", "ale",
+           "jako", "za", "po", "když", "už", "byl"),
+    "tr": ("bir", "ve", "bu", "da", "ne", "için", "çok", "ama", "gibi",
+           "daha", "sonra", "kadar", "ile", "en", "de", "var"),
+    "ro": ("și", "în", "de", "la", "cu", "o", "este", "pe", "un", "care",
+           "nu", "se", "mai", "din", "dar", "sunt"),
+    "hu": ("a", "az", "és", "hogy", "nem", "is", "egy", "ez", "volt",
+           "meg", "csak", "már", "mint", "el", "van", "de"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "adalah", "ke", "juga", "atau"),
+    "vi": ("và", "của", "là", "có", "không", "được", "trong", "người",
+           "cho", "một", "những", "này", "với", "các", "đã", "khi"),
 }
 
+#: Marker sets disambiguating Cyrillic-script languages.
+_CYRILLIC_MARKERS: dict[str, tuple[str, ...]] = {
+    "ru": ("и", "в", "не", "на", "что", "он", "это", "как", "его", "но",
+           "она", "по", "из", "у", "так", "был"),
+    "uk": ("і", "в", "не", "на", "що", "він", "це", "як", "його", "але",
+           "вона", "по", "з", "у", "так", "був"),
+}
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic language ID: count stopword-marker hits per language over
-    the token set, pick the argmax (``und`` = no hits). JVM-only: one
-    array_intersect per language against a literal marker array."""
-    tokens = F.array_distinct(F.split(normalized(F.col(text_col)), " "))
-    scores = F.array(
+#: (lang, Java-regex character class) for script-detected languages, in
+#: precedence order: Hangul before Han (Korean may mix Hanja), kana before
+#: Han (Japanese is kanji + kana).
+_SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("ko", r"\p{IsHangul}"),
+    ("ja", r"[\p{IsHiragana}\p{IsKatakana}]"),
+    ("zh", r"\p{IsHan}"),
+    ("th", r"\p{IsThai}"),
+    ("he", r"\p{IsHebrew}"),
+    ("el", r"\p{IsGreek}"),
+    ("ar", r"\p{IsArabic}"),
+    ("hi", r"\p{IsDevanagari}"),
+    ("__cyr", r"\p{IsCyrillic}"),  # resolved to ru/uk by markers
+)
+
+
+def _marker_scores(tokens, markers: dict[str, tuple[str, ...]]):
+    """array<struct<hits,lang>> of marker-set intersections; argmax via
+    array_max (ties broken by lang descending — deterministic, documented)."""
+    return F.array(
         *[
             F.struct(
                 F.size(
@@ -398,14 +453,82 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                 ).alias("hits"),
                 F.lit(lang).alias("lang"),
             )
-            for lang, words in _LANG_MARKERS.items()
+            for lang, words in markers.items()
         ]
     )
-    best = F.array_max(scores)
-    return df.select(
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID over ~27 languages, all JVM expressions.
+
+    Two signals, script first:
+
+    1. **Unicode-script counting** (``regexp_count`` over Java script
+       classes): a script is *dominant* when it covers ≥3 chars and ≥10%
+       of non-whitespace chars — classifies zh/ja/ko/th/he/el/ar/hi
+       directly and routes Cyrillic to a ru/uk marker vote;
+    2. **stopword-marker argmax** for Latin-script languages
+       (18 marker sets × 16 words, one ``array_intersect`` each against
+       the punctuation-stripped token set).
+
+    ``und`` = no dominant script and zero marker hits. Ties in the argmax
+    break deterministically (max hits, then lexicographically larger lang
+    code via struct ordering). The token array and script counts are
+    materialized in their own projection so the ~20 downstream references
+    don't re-run the split/regexp per language (the CollapseProject trap,
+    see :func:`minhash_signatures`).
+
+    Heuristic by design (a ~100-language production model would be a
+    broadcast fastText scorer behind the same column contract); rows-only
+    in the driver oracle, gated by the per-language fixture pytest.
+    """
+    t = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[^\p{L}\p{M}\s]+", " "), r"\s+", " "
+        )
+    )
+    base = df.select(
         F.col(id_col),
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_id"),
-        best["hits"].alias("marker_hits"),
+        F.array_distinct(F.split(cleaned, " ")).alias("__tokens"),
+        F.length(F.regexp_replace(t, r"\s", "")).alias("__nchars"),
+        *[
+            F.regexp_count(t, F.lit(cls)).alias(f"__s_{lang.strip('_')}")
+            for lang, cls in _SCRIPT_CLASSES
+        ],
+    )
+    tokens = F.col("__tokens")
+    latin_best = F.array_max(_marker_scores(tokens, _LATIN_MARKERS))
+    cyr_best = F.array_max(_marker_scores(tokens, _CYRILLIC_MARKERS))
+
+    def dominant(lang: str):
+        c = F.col(f"__s_{lang.strip('_')}")
+        return (c >= 3) & (c * 10 >= F.col("__nchars"))
+
+    lang_expr = F.when(
+        F.lit(False), F.lit("")
+    )  # seed the when-chain with a never-true branch
+    hits_expr = F.when(F.lit(False), F.lit(0))
+    for lang, _cls in _SCRIPT_CLASSES:
+        col = F.col(f"__s_{lang.strip('_')}")
+        if lang == "__cyr":
+            lang_expr = lang_expr.when(
+                dominant(lang),
+                F.when(cyr_best["hits"] > 0, cyr_best["lang"]).otherwise(F.lit("und")),
+            )
+            hits_expr = hits_expr.when(dominant(lang), cyr_best["hits"])
+        else:
+            lang_expr = lang_expr.when(dominant(lang), F.lit(lang))
+            hits_expr = hits_expr.when(dominant(lang), col)
+    lang_expr = lang_expr.otherwise(
+        F.when(latin_best["hits"] > 0, latin_best["lang"]).otherwise(F.lit("und"))
+    )
+    hits_expr = hits_expr.otherwise(latin_best["hits"])
+
+    return base.select(
+        F.col(id_col),
+        lang_expr.alias("lang_id"),
+        hits_expr.cast("int").alias("marker_hits"),
     )
 
 

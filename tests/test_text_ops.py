@@ -116,6 +116,69 @@ def test_language_id(spark, docs):
     assert out[6] == "und"
 
 
+#: One natural paragraph per supported language (marker-bearing for
+#: Latin/Cyrillic scripts, script-dominant for the rest).
+LANG_FIXTURES = {
+    "en": "It was the best of times, and it is clear that the story begins with his journey to the city.",
+    "de": "Der alte Mann ging mit dem Hund durch die Stadt und das Wetter war nicht gut, aber er wollte zu seiner Schwester.",
+    "fr": "Le petit prince est arrivé dans la ville avec une lettre pour les amis qui ne savaient pas ce que cela voulait dire.",
+    "es": "El viejo pescador salió al mar con su barca para buscar los peces que no había visto desde el verano pasado, pero el agua estaba más fría.",
+    "pt": "O menino não queria uma resposta simples, mas o pai disse que era melhor esperar em casa com um livro do que sair para a chuva.",
+    "it": "Il vecchio professore non era mai stato nella città, ma anche lui sapeva che gli studenti erano più felici nel giardino della scuola.",
+    "nl": "De jongen ging met zijn vader naar het park, maar het was niet de bedoeling dat ze voor de regen thuis zouden zijn.",
+    "sv": "Det var en kall morgon och han visste inte om det var bäst att stanna hemma eller att gå till skogen med den gamla hunden för att jaga.",
+    "da": "Det var en kold morgen, og han vidste ikke, om det var bedst at blive hjemme eller at gå en tur med den gamle hund af sted til byen, for der var ikke meget at lave.",
+    "no": "Det var en fin dag, og han gikk til skogen med hunden for å se på fuglene, men det var ikke lett å finne veien tilbake, så han satte seg ned et sted.",
+    "fi": "Hän oli jo vanha mies, mutta kun aurinko nousi, hän tiesi että tämä päivä ei ollut niin kuin muut, ja se oli myös hyvä asia.",
+    "pl": "To nie jest tak, że po zimie wszystko się kończy, ale jak na wiosnę przyjdzie słońce, to jego ogród znowu będzie pełen kwiatów i ptaków, co cieszy.",
+    "cs": "Když jsem byl malý, tak jsme se s bratrem chodili dívat na vlaky, ale po letech už to není to samé, co to bylo, a je mi z toho smutno.",
+    "tr": "Bu şehirde çok insan var ama ben daha sakin bir yer için buradan sonra köye gitmek istiyorum, çünkü orada her şey denizden daha güzel gibi.",
+    "ro": "În fiecare dimineață el merge pe jos la școală cu sora lui, dar astăzi nu este timp, pentru că autobuzul care vine din sat a plecat mai devreme și ei sunt acasă.",
+    "hu": "Az öreg ember már nem volt fiatal, de az is igaz, hogy egy ilyen szép napon csak el kell menni a folyóhoz, mert ez meg nem történik mint régen.",
+    "id": "Pada pagi hari itu dia pergi ke pasar dengan ibunya untuk membeli sayur dan buah, tetapi tidak ada yang segar dari kebun, jadi mereka akan kembali dalam minggu ini juga.",
+    "vi": "Hôm nay trời đẹp và những người trong làng đã ra đồng từ sáng sớm, có một vài đứa trẻ không muốn đi học, cho nên mẹ của chúng phải nhắc với các thầy cô khi đến trường này.",
+    "ru": "Он вышел из дома рано утром, но на улице было так холодно, что он решил вернуться и выпить чаю, как это делал его отец, и она была рада, что в доме тепло.",
+    "uk": "Він вийшов з дому рано вранці, але на вулиці було так холодно, що він вирішив повернутися і випити чаю, як це робив його батько, і вона була рада, що у домі тепло.",
+    "zh": "今天天气很好，我们一家人去公园散步，孩子们在草地上玩耍，老人坐在长椅上聊天，大家都很开心。",
+    "ja": "今日は天気がとても良いので、家族みんなで公園へ散歩に行きました。子供たちは芝生で遊んで、とても楽しそうでした。",
+    "ko": "오늘은 날씨가 좋아서 가족들과 함께 공원에 산책을 갔습니다. 아이들은 잔디밭에서 놀았고 모두 즐거운 시간을 보냈습니다.",
+    "th": "วันนี้อากาศดีมาก ครอบครัวของเราไปเดินเล่นที่สวนสาธารณะ เด็กๆ วิ่งเล่นบนสนามหญ้าอย่างมีความสุข",
+    "he": "היום מזג האוויר יפה מאוד, המשפחה שלנו הלכה לטייל בפארק והילדים שיחקו על הדשא בשמחה גדולה.",
+    "el": "Σήμερα ο καιρός είναι πολύ καλός, η οικογένειά μας πήγε βόλτα στο πάρκο και τα παιδιά έπαιζαν στο γρασίδι χαρούμενα.",
+    "ar": "اليوم الطقس جميل جدا، ذهبت عائلتنا في نزهة إلى الحديقة ولعب الأطفال على العشب بسعادة كبيرة.",
+    "hi": "आज मौसम बहुत अच्छा है, हमारा परिवार पार्क में टहलने गया और बच्चे घास पर खुशी से खेल रहे थे।",
+}
+
+
+def test_language_id_fixture_per_language(spark):
+    """Every supported language's fixture paragraph must classify
+    correctly — script-detected (zh/ja/ko/th/he/el/ar/hi), Cyrillic
+    marker-split (ru/uk), and Latin marker argmax for the rest."""
+    langs = sorted(LANG_FIXTURES)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=LANG_FIXTURES[lang]) for i, lang in enumerate(langs)]
+    )
+    out = {r.doc_id: (r.lang_id, r.marker_hits) for r in T.language_id(df).collect()}
+    misses = {
+        lang: out[i] for i, lang in enumerate(langs) if out[i][0] != lang
+    }
+    assert not misses, misses
+
+
+def test_language_id_mixed_and_junk(spark):
+    """A mostly-English doc with a couple of CJK chars must stay English
+    (script dominance needs >=10% of chars); pure symbols stay und."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The meeting is at the office and it was good to see 中文 mentioned once in the notes that he wrote."),
+            Row(doc_id=2, text="!!! ??? *** 12345 +++"),
+        ]
+    )
+    out = {r.doc_id: r.lang_id for r in T.language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "und"
+
+
 def test_quality_score(spark, docs):
     q = {r.doc_id: r.quality for r in T.quality_score(docs).collect()}
     assert q[4] == 1.0  # clean english prose
