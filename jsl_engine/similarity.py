@@ -24,9 +24,12 @@ skeleton is unchanged.
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def _dot(a, b):
@@ -167,6 +170,7 @@ def train_ivf_centroids(
     *,
     n_cells: int = 16,
     vec_col: str = "embedding",
+    id_col: str | None = None,
     sample_rows: int = 10_000,
     iterations: int = 10,
     seed: int = 42,
@@ -176,14 +180,21 @@ def train_ivf_centroids(
 
     Training cost is O(sample × cells × dim) on the driver — constant in
     table size; at 10^12 vectors you train on a sample exactly like this
-    and only the assignment pass is distributed. Deterministic: seeded
-    sample order and counter-hash initialization.
+    and only the assignment pass is distributed. Deterministic when
+    ``id_col`` is given: the sample is the ``sample_rows`` smallest ids
+    (compiles to TakeOrderedAndProject — per-partition top-k + driver
+    merge, no global sort), plus counter-hash initialization. Without
+    ``id_col`` the sample follows partition layout (legacy behavior).
     """
     import hashlib
 
     import numpy as np
 
-    rows = vectors.select(vec_col).limit(sample_rows).collect()
+    if id_col is not None:
+        sample = vectors.select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
+        rows = sample.select(vec_col).collect()
+    else:
+        rows = vectors.select(vec_col).limit(sample_rows).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     # deterministic init: pick rows by counter hash
@@ -200,6 +211,72 @@ def train_ivf_centroids(
                 m = members.mean(axis=0)
                 c[j] = m / max(np.linalg.norm(m), 1e-12)
     return [[float(v) for v in row] for row in c]
+
+
+#: Cell count at/above which ivf_topk switches from literal-array JVM
+#: scoring to the Arrow matmul assignment — beyond a few hundred cells the
+#: generated expression tree (n_cells × dim literals) blows up codegen,
+#: while one numpy (batch × dim) @ (dim × cells) matmul per Arrow batch
+#: stays flat.
+ARROW_ASSIGN_THRESHOLD = 256
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign every row to its ``n_probe`` best coarse cells by centroid
+    dot product — the 10^12-vector path: the centroid matrix is broadcast
+    once, each Arrow batch is one numpy matmul + argpartition (vectorized,
+    no per-row Python), non-vector columns pass through untouched, and
+    rows are emitted ``n_probe``-fold with an int cell column appended.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    c = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
+    bc = spark.sparkContext.broadcast(c)
+    in_schema = df.schema
+    vec_idx = in_schema.fieldNames().index(vec_col)
+    out_schema = StructType(in_schema.fields + [StructField(cell_col, IntegerType(), False)])
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        cents = bc.value
+        k = cents.shape[1]
+        probes = min(n_probe, k)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(vec_idx)
+            flat = col.flatten() if hasattr(col, "flatten") else col.values
+            x = np.asarray(flat.to_numpy(zero_copy_only=False), dtype=np.float64)
+            x = x.reshape(n, -1)
+            scores = x @ cents  # (n, k)
+            if probes == 1:
+                cells = np.argmax(scores, axis=1).astype(np.int32)
+                arrays = [batch.column(i) for i in range(batch.num_columns)]
+                arrays.append(pa.array(cells, pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, in_schema.fieldNames() + [cell_col]
+                )
+            else:
+                top = np.argpartition(-scores, probes - 1, axis=1)[:, :probes]
+                idx = np.repeat(np.arange(n), probes)
+                tbl = pa.table(
+                    {f.name: batch.column(i) for i, f in enumerate(batch.schema)}
+                ).take(pa.array(idx))
+                arrays = [tbl.column(i).combine_chunks() for i in range(tbl.num_columns)]
+                arrays.append(pa.array(top.reshape(-1).astype(np.int32), pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, in_schema.fieldNames() + [cell_col]
+                )
+
+    return df.mapInArrow(run, out_schema)
 
 
 def _cell_scores(vec_col, centroids: list[list[float]]):
@@ -227,36 +304,59 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    arrow_threshold: int = ARROW_ASSIGN_THRESHOLD,
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its best coarse cell
-    (one JVM argmax over centroid dot products — the corpus is scanned
-    once), probe each query's best ``n_probe`` cells, exact-rank inside.
+    (the corpus is scanned once), probe each query's best ``n_probe``
+    cells, exact-rank inside.
+
+    Two assignment strategies, switched on cell count: below
+    ``arrow_threshold`` the centroid dot products are literal-array JVM
+    expressions (whole-stage codegen, zero Python); at or above it —
+    where the literal expression tree would blow up codegen — assignment
+    is one broadcast numpy matmul per Arrow batch
+    (:func:`assign_cells_arrow`), the same scale path a FAISS-style
+    10^12-vector deployment uses. Both paths feed the identical
+    bucket-equi-join → exact re-rank skeleton, and agree exactly
+    (pinned by pytest).
 
     Same output shape as :func:`brute_force_topk`. Recall follows
-    ``n_probe``/``n_cells`` exactly as in a FAISS IVF-Flat index; the
-    distributed skeleton (bucket assignment → equi-join → re-rank) is the
-    one a 10^12-vector deployment uses, with k-means instead of random
-    hyperplanes as the quantizer.
+    ``n_probe``/``n_cells`` as in an IVF-Flat index.
     """
     if centroids is None:
         centroids = train_ivf_centroids(
-            vectors, n_cells=n_cells, vec_col=vec_col, seed=seed
+            vectors, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed
         )
-    scores = _cell_scores(F.col(vec_col), centroids)
-    v = vectors.select(
-        F.col(id_col), F.col(vec_col), F.array_max(scores)["cell"].alias("cell")
-    )
-    # queries probe their n_probe best cells (explode → equi-join per cell)
-    q_scores = F.reverse(F.array_sort(scores))
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode(
-                F.transform(F.slice(q_scores, 1, n_probe), lambda s: s["cell"])
-            ).alias("cell"),
+    if len(centroids) >= arrow_threshold:
+        v = assign_cells_arrow(
+            vectors.select(F.col(id_col), F.col(vec_col)), centroids,
+            vec_col=vec_col, n_probe=1,
         )
-    )
+        q = F.broadcast(
+            assign_cells_arrow(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(vec_col).alias("q_vec"),
+                ),
+                centroids, vec_col="q_vec", n_probe=n_probe,
+            )
+        )
+    else:
+        scores = _cell_scores(F.col(vec_col), centroids)
+        v = vectors.select(
+            F.col(id_col), F.col(vec_col), F.array_max(scores)["cell"].alias("cell")
+        )
+        # queries probe their n_probe best cells (explode → equi-join per cell)
+        q_scores = F.reverse(F.array_sort(scores))
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                F.explode(
+                    F.transform(F.slice(q_scores, 1, n_probe), lambda s: s["cell"])
+                ).alias("cell"),
+            )
+        )
     scored = v.join(q, "cell").select(
         "query_id",
         id_col,

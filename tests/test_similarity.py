@@ -99,3 +99,80 @@ def test_ivf_centroids_deterministic(spark, vectors):
     a = S.train_ivf_centroids(df, n_cells=4)
     b = S.train_ivf_centroids(df, n_cells=4)
     assert a == b
+    # id-ordered sampling: deterministic across partition layouts
+    c = S.train_ivf_centroids(df.repartition(7), n_cells=4, id_col="vec_id")
+    d = S.train_ivf_centroids(df.repartition(3), n_cells=4, id_col="vec_id")
+    assert c == d
+
+
+def test_ivf_arrow_path_matches_jvm_path(spark):
+    """The Arrow matmul assignment (scale path for large cell counts) must
+    produce the same top-k as the literal-array JVM path on identical
+    centroids — forced via arrow_threshold=0 vs a huge threshold."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 16)) * 5
+    vecs = np.vstack(
+        [c + rng.normal(scale=0.2, size=(50, 16)) for c in centers]
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    ).cache()
+    try:
+        queries = df.where("vec_id in (0, 120, 260)").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        cents = S.train_ivf_centroids(df, n_cells=6, id_col="vec_id")
+        jvm = {(r.query_id, r.rank): r.vec_id
+               for r in S.ivf_topk(df, queries, k=10, centroids=cents, n_probe=2,
+                                   arrow_threshold=10**9).collect()}
+        arrow = {(r.query_id, r.rank): r.vec_id
+                 for r in S.ivf_topk(df, queries, k=10, centroids=cents, n_probe=2,
+                                     arrow_threshold=0).collect()}
+        assert jvm == arrow
+    finally:
+        df.unpersist()
+
+
+def _clustered_embeddings(spark, n: int, dim: int, clusters: int):
+    """Deterministic clustered synthetic embeddings, generated distributed
+    with JVM hash expressions (no driver materialization): vec = planted
+    cluster center + small per-(id,dim) noise."""
+    from pyspark.sql import functions as F
+
+    cl = F.pmod(F.xxhash64(F.col("id")), F.lit(clusters))
+
+    def u(salt, a, b):  # uniform-ish in [-1, 1] from a counter hash
+        return (F.pmod(F.xxhash64(a, b, F.lit(salt)), F.lit(2001)) - 1000) / 1000.0
+
+    vec = F.array(*[u(1, cl, F.lit(j)) + 0.15 * u(2, F.col("id"), F.lit(j))
+                    for j in range(dim)])
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        vec.cast("array<float>").alias("embedding"),
+    )
+
+
+def test_ivf_topk_at_scale_cell_count(spark):
+    """n_cells=1024 over 100k clustered vectors: the Arrow assignment path
+    must complete (the literal-array JVM path would generate a 1024×32-
+    literal codegen tree) and recall vs brute force must beat the
+    unclustered probe-fraction bound by a wide margin."""
+    df = _clustered_embeddings(spark, 100_000, 32, clusters=64).cache()
+    try:
+        queries = df.where("vec_id in (1, 2, 3)").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        cents = S.train_ivf_centroids(df, n_cells=1024, id_col="vec_id",
+                                      sample_rows=10_000, iterations=5)
+        assert len(cents) == 1024
+        ivf = {(r.query_id, r.vec_id)
+               for r in S.ivf_topk(df, queries, k=10, centroids=cents,
+                                   n_probe=32).collect()}
+        bf = {(r.query_id, r.vec_id)
+              for r in S.brute_force_topk(df, queries, k=10).collect()}
+        recall = len(bf & ivf) / len(bf)
+        # single-probe fraction would be ~3% (32/1024); clustered data must
+        # put most true neighbors into the probed cells
+        assert recall >= 0.5, recall
+    finally:
+        df.unpersist()
