@@ -136,26 +136,37 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: SRP-bucket the corpus once, probe each
     query's bucket, exact-rank within it. Same output shape as
-    :func:`brute_force_topk` (rank within the probed bucket).
+    :func:`brute_force_topk` (rank within the probed buckets).
 
-    Recall is bucket-local (single-probe); production adds multi-probe
-    (flip one bit at a time) — same join, ``n_planes``+1 probes.
-    """
+    ``multi_probe=True`` probes the query's bucket plus every one-bit
+    flip of it (``n_planes``+1 probes): a neighbor separated from the
+    query by exactly one hyperplane is then still found. The probe
+    explosion lives on the tiny broadcast query side, so corpus-side cost
+    is unchanged — this is the production default at scale; single-probe
+    is kept as the minimal-recall baseline."""
     dim = len(vectors.select(vec_col).first()[0])
     planes = _random_planes(dim, n_planes, seed)
     v = vectors.select(
         F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            srp_bucket(F.col(vec_col), planes).alias("bucket"),
-        )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2**i)) for i in range(n_planes)],
+        )
+        q = q.select(
+            "query_id", "q_vec", F.explode(probes).alias("bucket")
+        )
+    q = F.broadcast(q)
     scored = v.join(q, "bucket").select(
         "query_id",
         id_col,

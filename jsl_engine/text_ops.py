@@ -282,18 +282,37 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """SimHash near-dups: block on the top ``prefix_bits`` bits (docs
     within small Hamming distance usually share the prefix), then verify
     ``bit_count(a XOR b) <= max_hamming``. Returns id_a, id_b, hamming.
 
-    At web scale the standard multi-probe (rotate blocks) lowers the miss
-    rate; single-prefix blocking keeps one shuffle here and the verify
-    stage is exact for every candidate."""
+    ``multi_probe=True`` additionally probes every one-bit rotation of the
+    prefix on one side of the join, so a pair whose single differing bit
+    lands *inside* the blocking prefix is still found (the standard
+    multi-probe trade: candidate volume ×(prefix_bits+1) on one side,
+    miss rate down by the in-prefix bit-flip probability). Each matching
+    pair is produced by exactly one probe — equal blocks match only the
+    un-flipped probe, blocks differing in bit j only probe j — so no
+    dedup pass is needed. The verify stage is exact either way."""
     h = simhash(df, text_col, id_col).withColumn(
         "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
     )
-    a, b = h.alias("a"), h.alias("b")
+    if multi_probe:
+        probes = F.array(
+            F.col("block"),
+            *[
+                F.col("block").bitwiseXOR(F.lit(1 << i).cast("bigint"))
+                for i in range(prefix_bits)
+            ],
+        )
+        a = h.select(
+            F.col(id_col), F.col("simhash"), F.explode(probes).alias("block")
+        ).alias("a")
+    else:
+        a = h.alias("a")
+    b = h.alias("b")
     return (
         a.join(
             b,

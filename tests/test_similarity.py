@@ -58,6 +58,31 @@ def test_lsh_topk_subset_of_bucket(spark, vectors):
         assert r.cos_sim == pytest.approx(round(_np_cosine(vecs[5], vecs[r.vec_id]), 6), abs=2e-6)
 
 
+def test_lsh_multi_probe_beats_single(spark, vectors):
+    """Probing the query bucket plus every one-bit flip must strictly
+    improve nearest-neighbor recall at equal bucket structure (measured
+    0.06 -> 0.275 on the 200-gaussian fixture) and keep exact re-rank
+    scores."""
+    df, vecs = vectors
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    np.fill_diagonal(sims, -2)
+    true_nn = {i: int(np.argmax(sims[i])) for i in range(len(vecs))}
+    queries = df.selectExpr("vec_id as query_id", "embedding")
+
+    def nn_recall(multi):
+        out = S.lsh_topk(df, queries, k=2, n_planes=8, multi_probe=multi).collect()
+        byq = {}
+        for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+            if r.vec_id != r.query_id:
+                byq.setdefault(r.query_id, r.vec_id)
+        return sum(1 for q, nn in true_nn.items() if byq.get(q) == nn) / len(true_nn)
+
+    single, multi = nn_recall(False), nn_recall(True)
+    assert multi > single
+    assert multi >= 0.25, (single, multi)
+
+
 def test_embedding_near_duplicates(spark, vectors):
     df, _ = vectors
     out = S.embedding_near_duplicates(df, threshold=0.99, n_planes=8)

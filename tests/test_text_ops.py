@@ -98,6 +98,37 @@ def test_simhash_near_duplicates(spark, docs):
     assert (4, 5) not in out  # unrelated texts differ
 
 
+def test_simhash_multi_probe_beats_single(spark):
+    """One-bit prefix rotations must strictly improve recall on planted
+    near-dups whose differing bits land inside the blocking prefix, and
+    must introduce no false pairs (the Hamming verify stage is exact).
+    Deterministic fixture; measured 0.225 -> 0.5 recall."""
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
+             "pi", "rho", "sigma", "tau", "upsilon"]
+    rows = []
+    for p in range(40):
+        base = " ".join(words[(p + i * 7) % 20] + str((p * 31 + i) % 97)
+                        for i in range(60))
+        var = base.replace(words[p % 20] + str((p * 31) % 97), "CHANGED", 1)
+        rows.append(Row(doc_id=2 * p, text=base))
+        rows.append(Row(doc_id=2 * p + 1, text=var))
+    df = spark.createDataFrame(rows)
+    planted = {(2 * p, 2 * p + 1) for p in range(40)}
+
+    def recall(multi):
+        got = {(r.id_a, r.id_b)
+               for r in T.simhash_near_duplicates(
+                   df, max_hamming=8, prefix_bits=24, multi_probe=multi
+               ).collect()}
+        assert not (got - planted)  # exact verify: no false pairs
+        return len(got & planted) / len(planted)
+
+    single, multi = recall(False), recall(True)
+    assert multi > single
+    assert multi >= 0.45, (single, multi)
+
+
 def test_text_profile_values(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="Ab c.\nd 12!")])
     [r] = T.text_profile(df).collect()
