@@ -46,6 +46,7 @@ MEDIA_SCHEMA = StructType(
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("duration_ms", IntegerType(), True),
+        StructField("n_bytes", LongType(), False),
         StructField("payload", BinaryType(), False),
     ]
 )
@@ -83,13 +84,15 @@ def synth_media(spark, n_rows: int, *, seed: int = 42, partitions: int | None = 
                         64 + i % 512 if kind == "image" else None,
                         64 + (i * 7) % 512 if kind == "image" else None,
                         1000 + i % 60_000 if kind != "image" else None,
+                        len(blob),
                         blob,
                     )
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "kind", "mime", "width", "height", "duration_ms", "payload",
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "n_bytes", "payload",
                 ],
             )
 
@@ -140,14 +143,16 @@ def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
 
 
 def media_stats(media: DataFrame) -> DataFrame:
-    """Metadata-only profile (never touches payload → scan prunes blobs):
-    count, total/avg bytes, dimension ranges per kind."""
+    """Metadata-only profile — byte sizes come from the ``n_bytes``
+    metadata column, not ``length(payload)``, so the scan genuinely prunes
+    the blob column (at blob scale, reading payloads to count bytes would
+    dominate the job): count, total/avg bytes, dimension ranges per kind."""
     return (
         media.groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.length("payload")).alias("total_bytes"),
-            F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
             F.min("width").alias("min_width"),
             F.max("width").alias("max_width"),
             F.round(F.avg("duration_ms"), 2).alias("avg_duration_ms"),

@@ -53,20 +53,33 @@ def shingles(col, n: int = 5):
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_ids: int = 100,
+) -> DataFrame:
     """Groups of byte-identical documents: ``content_hash, n_docs, doc_ids``.
 
-    One shuffle on sha256(text); survivors (n_docs=1) never leave the
-    map side thanks to partial aggregation.
+    ``doc_ids`` lists only the ``max_ids`` smallest ids per group, and the
+    cap is applied *before* the collect (windowed rank filter), so no
+    aggregation buffer ever holds a pathological group (the empty
+    document, license boilerplate — millions of ids at corpus scale) in
+    full. ``n_docs`` stays exact via a windowed count over the same
+    partition key, so the rank filter, the count and the final groupBy all
+    reuse one shuffle on the hash. For scale dedup itself use
+    :func:`dedup_exact`, which never materializes id lists.
     """
+    h = df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    wo = w.orderBy(id_col)
     return (
-        df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
-        .where(F.col("n_docs") > 1)
+        h.withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .withColumn("__rn", F.row_number().over(wo))
+        .where((F.col("n_docs") > 1) & (F.col("__rn") <= max_ids))
+        .groupBy("content_hash", "n_docs")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+        .select("content_hash", "n_docs", "doc_ids")
     )
 
 

@@ -37,6 +37,35 @@ def test_media_stats_kinds(spark):
     assert stats["audio"].avg_duration_ms is not None
 
 
+def test_media_stats_prunes_payload(spark, tmp_path):
+    """media_stats over a parquet media table must not read the blob
+    column (n_bytes metadata serves the byte aggregates): ReadSchema in
+    the physical plan excludes payload."""
+    path = str(tmp_path / "media.parquet")
+    M.synth_media(spark, 30, seed=3, partitions=2).write.parquet(path)
+    stats = M.media_stats(spark.read.parquet(path))
+    plan = stats._sc._jvm.PythonSQLUtils.explainString(
+        stats._jdf.queryExecution(), "formatted"
+    )
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("payload" not in l for l in read_schema), plan[:2000]
+    assert {r.kind for r in stats.collect()} == {"image", "audio", "video"}
+
+
+def test_exact_duplicates_id_cap(spark):
+    """The doc_ids cap must bound the list while n_docs stays exact."""
+    from pyspark.sql import Row
+    from jsl_engine import text_ops as T
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="same text") for i in range(50)]
+        + [Row(doc_id=99, text="unique")]
+    )
+    [row] = T.exact_duplicates(df, max_ids=5).collect()
+    assert row.n_docs == 50
+    assert row.doc_ids == [0, 1, 2, 3, 4]
+
+
 def test_synth_media_deterministic(spark):
     a = M.synth_media(spark, 40, seed=1, partitions=2).collect()
     b = M.synth_media(spark, 40, seed=1, partitions=4).collect()
