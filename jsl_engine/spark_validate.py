@@ -63,9 +63,26 @@ def _reject_constant(literal: str) -> None:
     raise ValueError(f"non-RFC-8259 JSON literal: {literal}")
 
 
+_INF = float("inf")
+
+
+def _parse_float_strict(literal: str) -> float:
+    """Float literals that overflow f64 (``1e400``) become ``inf`` under
+    Python's parser but are a hard parse error in serde_json ("number out
+    of range"); reject them so the verdict matches the reference. Called
+    only for non-integer numeric literals, so the hot path for typical
+    documents (strings/ints) is untouched."""
+    f = float(literal)
+    if f == _INF or f == -_INF:
+        raise ValueError(f"float literal out of f64 range: {literal}")
+    return f
+
+
 def loads_strict(content: str):
-    """``json.loads`` with serde_json-compatible literal handling."""
-    return json.loads(content, parse_constant=_reject_constant)
+    """``json.loads`` with serde_json-compatible number/literal handling."""
+    return json.loads(
+        content, parse_constant=_reject_constant, parse_float=_parse_float_strict
+    )
 
 #: Appended to the pass-through key columns in the validation output.
 RESULT_FIELDS = [

@@ -117,6 +117,24 @@ def test_non_rfc8259_literals_are_parse_errors(spark):
     assert out["ok"].ok
 
 
+def test_overflowing_float_literal_is_parse_error(spark):
+    """serde_json rejects float literals beyond f64 range ('number out of
+    range'); Python maps them to inf — which would then PASS float64 and
+    fail int bounds differently. Both must be json_parse_error."""
+    schema = compile_schema({"properties": {"k": {"type": "float64"}}})
+    df = spark.createDataFrame(
+        [
+            Row(repo="r", path="big", commit="c", content='{"k": 1e400}'),
+            Row(repo="r", path="nbig", commit="c", content='{"k": -1e400}'),
+            Row(repo="r", path="edge", commit="c", content='{"k": 1.7e308}'),
+        ]
+    )
+    out = {r.path: r for r in validate_df(df, schema).collect()}
+    assert out["big"].error == "json_parse_error"
+    assert out["nbig"].error == "json_parse_error"
+    assert out["edge"].ok  # max finite double still parses
+
+
 def test_corpus_end_to_end(spark):
     """Flagship slice: synthetic source-code table → validate → verdict and
     violation views; defect classes all appear; clean docs all pass."""
