@@ -39,8 +39,14 @@ def main() -> int:
         extra_conf={"spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # warm up the session (JVM + python workers) outside the timings
+    # warm up the session outside the timings: JVM + codegen, the parquet
+    # reader path, and one Python worker per core (a cold interpreter per
+    # task would otherwise land inside the first queries — see the
+    # bench-hygiene notes in BENCH/BASELINE.md)
     spark.range(1000).count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey").limit(
+        cpus * 64
+    ).repartition(cpus).mapInPandas(lambda it: it, "l_orderkey long").count()
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
