@@ -179,6 +179,23 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (letter runs / digit runs / punctuation) plus
+    whitespace tokens — the same RE2-compatible pattern runs in DuckDB."""
+    from jsl_engine.text_ops import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_winnow_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) containment candidates over documents —
+    pairs sharing >= 2 selected fingerprints (rows-only: xxhash64 has no
+    DuckDB analogue; the winnowing guarantee is pinned in pytest)."""
+    from jsl_engine.text_ops import fingerprint_overlap_pairs
+
+    return fingerprint_overlap_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
+
+
 def q_topk_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for three query vectors (exact ANN
     baseline; JVM array expressions, broadcast query side)."""
@@ -327,6 +344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_documents": q_text_profile_documents,
         "exact_dup_documents": q_exact_dup_documents,
         "token_stats_by_lang": q_token_stats_by_lang,
+        "token_counts_documents": q_token_counts_documents,
+        "winnow_overlap_documents": q_winnow_overlap_documents,
         "topk_cosine_embeddings": q_topk_cosine_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
@@ -559,6 +578,22 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(punct_ratio), 6) AS avg_punct_ratio
             FROM p GROUP BY lang
         """,
+        "token_counts_documents": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]'))::BIGINT AS n_sub
+                FROM documents
+            )
+            SELECT doc_id,
+                   (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END)::BIGINT AS n_ws_tokens,
+                   n_sub AS n_subword_tokens,
+                   LENGTH(text)::BIGINT AS n_chars,
+                   ROUND(LENGTH(text) / CAST(GREATEST(n_sub, 1) AS DOUBLE), 6) AS chars_per_token
+            FROM t
+        """,
+        # winnow_overlap_documents: rows-only — xxhash64-based fingerprints
+        # are engine-specific; the winnowing guarantee is pytest-gated.
         "topk_cosine_embeddings": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv

@@ -564,6 +564,122 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer-style counting, all JVM regexps::
+
+        id, n_ws_tokens, n_subword_tokens, n_chars, chars_per_token
+
+    ``n_ws_tokens`` = whitespace tokens; ``n_subword_tokens`` approximates
+    a BPE pre-tokenizer with class runs — letter runs, digit runs, and
+    single punctuation marks (``\\p{L}+ | \\p{N}+ | other``) — the unit a
+    subword tokenizer would split further, so it upper-bounds words and
+    lower-bounds true BPE tokens. The same pattern runs verbatim in
+    DuckDB's RE2 (oracled query ``token_counts_documents``)."""
+    t = F.col(text_col)
+    trimmed = F.trim(t)
+    n_ws = F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    n_sub = F.regexp_count(t, F.lit(r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"))
+    return df.select(
+        F.col(id_col),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        n_sub.cast("long").alias("n_subword_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.round(
+            F.length(t) / F.greatest(n_sub, F.lit(1)).cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing (rolling-hash fingerprints, MOSS-style)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints: hash every word ``k``-gram, keep
+    the minimum hash of each sliding window of ``window`` consecutive
+    k-grams, output the distinct selected hashes::
+
+        id, fingerprints: array<bigint>
+
+    Winnowing guarantee: two documents sharing a passage of at least
+    ``window + k - 1`` words share at least one selected fingerprint —
+    which makes this a *containment* detector (a copied paragraph inside
+    two otherwise-different documents), the case Jaccard-based MinHash
+    misses by construction. All JVM expressions: the k-gram hash array is
+    materialized once (CollapseProject trap, see
+    :func:`minhash_signatures`), the per-window minima are
+    ``array_min(slice(...))`` over an index sequence — O(len·window)
+    expression work per row, no UDF.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), k), lambda x: F.xxhash64(x)).alias(
+            "__kh"
+        ),
+    )
+    kh = F.col("__kh")
+    n_windows = F.greatest(F.size(kh) - (window - 1), F.lit(1))
+    fp = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda i: F.array_min(F.slice(kh, i + 1, window)),
+        )
+    )
+    return base.select(F.col(id_col), fp.alias("fingerprints"))
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Containment candidates: pairs of documents sharing at least
+    ``min_shared`` winnowing fingerprints::
+
+        id_a, id_b, n_shared
+
+    Explode fingerprints → equi-join on the hash. Same scale shape as
+    LSH banding: boilerplate fingerprints (shared by more than
+    ``max_bucket`` docs) are pruned with a windowed count *before* the
+    self-join, so they contribute zero pairs (see
+    :func:`lsh_candidate_pairs` for the rationale)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, window)
+    flat = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    w = Window.partitionBy("fp")
+    pruned = (
+        flat.withColumn("__n", F.count(F.lit(1)).over(w))
+        .where(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Composite quality score in [0,1] from the profile metrics —
     length band, punctuation presence, not-mostly-digits, token shape.

@@ -210,6 +210,46 @@ def test_language_id_mixed_and_junk(spark):
     assert out[2] == "und"
 
 
+def test_token_counts_values(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="Ab c.\nd 12!")])
+    [r] = T.token_counts(df).collect()
+    assert r.n_ws_tokens == 4
+    # letter runs Ab/c/d (3) + digit run 12 (1) + punctuation . ! (2)
+    assert r.n_subword_tokens == 6
+    assert r.n_chars == 11
+    assert r.chars_per_token == round(11 / 6, 6)
+
+
+def test_winnowing_shared_passage_guarantee(spark):
+    """Two documents sharing a passage of >= window + k - 1 words must
+    share at least one fingerprint (the winnowing guarantee); identical
+    docs get identical fingerprint sets; disjoint docs get disjoint sets."""
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="intro about databases and engines. " + shared + " closing words here."),
+            Row(doc_id=2, text="completely different opening sentence. " + shared + " unrelated tail text."),
+            Row(doc_id=3, text="nothing in common with the others at all, just some filler prose."),
+            Row(doc_id=4, text="nothing in common with the others at all, just some filler prose."),
+        ]
+    )
+    fps = {r.doc_id: set(r.fingerprints) for r in T.winnow_fingerprints(df).collect()}
+    assert fps[1] & fps[2]  # shared passage -> shared fingerprint
+    assert fps[3] == fps[4]  # identical docs -> identical sets
+    assert not (fps[1] & fps[3])
+
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in T.fingerprint_overlap_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert (3, 4) in pairs
+    assert (1, 3) not in pairs and (1, 4) not in pairs
+
+    # the containment case MinHash misses: full-doc Jaccard of 1 vs 2 is
+    # low (different intros/tails), so near-dup at 0.5 finds nothing
+    mh = T.minhash_near_duplicates(df.where("doc_id in (1,2)"), threshold=0.5)
+    assert not [r for r in mh.collect() if (r.id_a, r.id_b) == (1, 2)]
+
+
 def test_quality_score(spark, docs):
     q = {r.doc_id: r.quality for r in T.quality_score(docs).collect()}
     assert q[4] == 1.0  # clean english prose
