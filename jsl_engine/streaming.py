@@ -77,6 +77,65 @@ def streaming_verdict_counts(validated: DataFrame, key: str = "repo") -> DataFra
     )
 
 
+def windowed_verdict_counts(
+    validated: DataFrame,
+    ts_col: str = "ts",
+    *,
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed verdict counts with late-data handling::
+
+        window_start, window_end, n_docs, n_ok, n_violations
+
+    The watermark bounds state (a window's aggregate is finalized and
+    emitted once event time passes window_end + watermark; later-than-
+    watermark documents are dropped, the standard trade). Append output
+    mode — each window emits exactly once, which is what a downstream
+    manifest/alerting sink wants. Note the inherent tail behavior: windows
+    newer than (max event time − watermark) remain open when a bounded
+    backfill ends, so an availableNow run emits only the closed prefix.
+    """
+    return (
+        validated.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.sum("n_errors").cast("long").alias("n_violations"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_docs",
+            "n_ok",
+            "n_violations",
+        )
+    )
+
+
+def dedup_stream_watermarked(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    *,
+    watermark: str = "1 hour",
+    content_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+) -> DataFrame:
+    """Bounded-state cross-microbatch exact dedup: like
+    :func:`dedup_stream` but the 32-byte digests are evicted once the
+    watermark passes (``dropDuplicatesWithinWatermark``) — the true
+    firehose shape: a duplicate arriving within ``watermark`` of the
+    first copy is dropped; state size is bounded by the watermark window
+    instead of growing with corpus lifetime."""
+    hashed = stream.withColumn(
+        "content_sha256", F.sha2(F.col(content_col), 256)
+    ).withWatermark(ts_col, watermark)
+    return hashed.dropDuplicatesWithinWatermark(["content_sha256"]).select(
+        *id_cols, ts_col, "content_sha256", content_col
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     *,

@@ -70,6 +70,109 @@ def test_streaming_verdict_counts(spark, tmp_path):
     assert got == want
 
 
+def _with_ts(df, days: int = 5):
+    """Deterministic event time spread over `days` from the commit hash."""
+    from pyspark.sql import functions as F
+
+    secs = F.pmod(F.xxhash64("commit", "path"), F.lit(days * 86400))
+    return df.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + secs)
+    )
+
+
+def test_windowed_verdict_counts_watermark(spark, tmp_path):
+    """Event-time windowed aggregation with a watermark (append mode):
+    every emitted window must exactly match the batch computation for that
+    window, and the closed prefix (older than max event time - watermark)
+    must be complete."""
+    from pyspark.sql import functions as F
+    from jsl_engine.streaming import validate_stream, windowed_verdict_counts
+
+    corpus_path = str(tmp_path / "corpus_w")
+    generate_corpus(spark, 500, seed=41, defect_rate=0.1, partitions=5).write.parquet(
+        corpus_path
+    )
+    schema = compile_schema(CODE_FILE_SCHEMA)
+
+    # one microbatch holding all files: the watermark then advances to
+    # max event time - 12h and the no-data finalization batch emits every
+    # closed window exactly once — no row is "late", so the closed prefix
+    # must equal the batch computation bit-for-bit. (With files arriving
+    # unordered across microbatches, rows behind the advancing watermark
+    # are dropped as late — correct streaming semantics, but not a
+    # deterministic fixture.)
+    stream = _with_ts(read_corpus_stream(spark, corpus_path, max_files_per_trigger=100))
+    validated = validate_stream(stream, schema, key_cols=("repo", "path", "commit", "ts"))
+    counts = windowed_verdict_counts(
+        validated, "ts", window_duration="6 hours", watermark="12 hours"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("stream_windows")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: (r.n_docs, r.n_ok, r.n_violations)
+        for r in spark.sql("SELECT * FROM stream_windows").collect()
+    }
+
+    import datetime
+
+    batch = validate_df(
+        _with_ts(spark.read.parquet(corpus_path)), schema,
+        key_cols=("repo", "path", "commit", "ts"),
+    )
+    max_ts = batch.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=12)
+    want = {
+        r.ws: (r.n_docs, r.n_ok, r.n_violations)
+        for r in batch.groupBy(
+            F.window("ts", "6 hours")["start"].alias("ws")
+        ).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.sum("n_errors").cast("long").alias("n_violations"),
+        ).collect()
+        if r.ws + datetime.timedelta(hours=6) <= horizon  # closed windows
+    }
+    assert want  # fixture really has closed windows
+    assert got == want
+
+
+def test_dedup_stream_watermarked(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the
+    watermark of the first copy are dropped; state is bounded."""
+    from jsl_engine.streaming import dedup_stream_watermarked
+
+    corpus_path = str(tmp_path / "corpus_dw")
+    generate_corpus(spark, 600, seed=37, dup_rate=0.05, partitions=6).write.parquet(
+        corpus_path
+    )
+    batch = _with_ts(spark.read.parquet(corpus_path))
+    n_distinct = batch.select("content").distinct().count()
+    assert n_distinct < batch.count()
+
+    stream = _with_ts(read_corpus_stream(spark, corpus_path, max_files_per_trigger=1))
+    q = (
+        dedup_stream_watermarked(stream, "ts", watermark="10 days")
+        .writeStream.format("memory")
+        .queryName("stream_dedup_wm")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT content_sha256 FROM stream_dedup_wm").collect()
+    # duplicate rows are exact copies (same ts), and the watermark spans
+    # the whole event range, so every duplicate is within-watermark
+    assert len(out) == n_distinct
+    assert len({r.content_sha256 for r in out}) == n_distinct
+
+
 def test_dedup_stream(spark, tmp_path):
     """Stateful dedup across microbatches: duplicates planted in different
     files (hence different microbatches) are dropped exactly once."""
