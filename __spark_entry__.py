@@ -122,6 +122,40 @@ def q_chi2_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tc.chi_square_drift(events, "event_type", "day")
 
 
+def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles of l_extendedprice (linear interpolation — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the formula). The
+    exact variant is the oracle-checkable one; at 10^12 rows the engine
+    swaps in `percentile_approx` (KLL sketch, one pass, no sort) — same
+    column contract."""
+    df = _t(spark, sf_dir, "lineitem")
+    agg = df.agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(f"p{n}")
+            for n, p in [(25, 0.25), (50, 0.5), (75, 0.75), (95, 0.95)]
+        ]
+    )
+    return agg.selectExpr(
+        "stack(4, '25', p25, '50', p50, '75', p75, '95', p95) as (pct, value)"
+    )
+
+
+def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (window row_number): the 3 largest orders per
+    order priority, deterministic tiebreak on the key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by account balance (deterministic tiebreak on the key)."""
     return (
@@ -233,8 +267,10 @@ def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID distribution (rows-only; argmax tie rules are
-    engine-specific)."""
+    """Heuristic language ID distribution — oracled: the DuckDB SQL is
+    generated from the same script/marker tables with identical
+    dominance thresholds and argmax tie rules (see
+    :func:`_language_id_oracle_sql`)."""
     from jsl_engine.text_ops import language_id
 
     return (
@@ -339,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_events_value": q_ks_events_value,
         "ks_events_value_binned": q_ks_events_value_binned,
         "chi2_events_daily": q_chi2_events_daily,
+        "quantiles_lineitem": q_quantiles_lineitem,
+        "top_orders_per_priority": q_top_orders_per_priority,
         "top_customers": q_top_customers,
         "nations_without_suppliers": q_nations_without_suppliers,
         "text_profile_documents": q_text_profile_documents,
@@ -384,6 +422,77 @@ def _stats_string_one(col: str, table: str) -> str:
            MAX({col}) AS max_val,
            COUNT(DISTINCT {col})::BIGINT AS n_distinct
     FROM {table}"""
+
+
+def _language_id_oracle_sql() -> str:
+    """DuckDB re-derivation of :func:`jsl_engine.text_ops.language_id`,
+    generated from the SAME marker/script tables so the two can only
+    diverge on logic, not data. Java regex script classes map to RE2 by
+    dropping the ``Is`` prefix; the argmax tie-break (max hits, then
+    lexicographically larger lang code — Spark's struct ordering) is
+    ``ORDER BY hits DESC, lang DESC``."""
+    from jsl_engine.text_ops import _CYRILLIC_MARKERS, _LATIN_MARKERS, _SCRIPT_CLASSES
+
+    script_cols = ",\n        ".join(
+        f"len(regexp_extract_all(text, '{cls.replace('Is', '')}')) AS s_{lang.strip('_')}"
+        for lang, cls in _SCRIPT_CLASSES
+    )
+
+    def marker_union(markers: dict, alias: str) -> str:
+        arms = []
+        for lang, words in markers.items():
+            lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+            arms.append(
+                f"SELECT doc_id, '{lang}' AS lang, "
+                f"len(list_filter({lit}, m -> list_contains(toks, m))) AS hits FROM base"
+            )
+        u = "\n        UNION ALL ".join(arms)
+        return (
+            f"{alias}_all AS (\n        {u}\n    ),\n"
+            f"    {alias} AS (\n"
+            f"        SELECT doc_id, lang, hits FROM (\n"
+            f"            SELECT doc_id, lang, hits,\n"
+            f"                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rk\n"
+            f"            FROM {alias}_all) WHERE rk = 1\n"
+            f"    )"
+        )
+
+    dominance_arms = []
+    for lang, _cls in _SCRIPT_CLASSES:
+        c = f"b.s_{lang.strip('_')}"
+        cond = f"{c} >= 3 AND {c} * 10 >= b.nchars"
+        if lang == "__cyr":
+            arm = (f"WHEN {cond} THEN "
+                   "(CASE WHEN cb.hits > 0 THEN cb.lang ELSE 'und' END)")
+        else:
+            arm = f"WHEN {cond} THEN '{lang}'"
+        dominance_arms.append(arm)
+    dominance = "\n                   ".join(dominance_arms)
+
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       trim(regexp_replace(regexp_replace(lower(text),
+                            '[^\\p{{L}}\\p{{M}}\\s]+', ' ', 'g'), '\\s+', ' ', 'g')),
+                       ' ') AS toks,
+                   length(regexp_replace(text, '\\s', '', 'g')) AS nchars,
+                   {script_cols}
+            FROM documents
+        ),
+        {marker_union(_LATIN_MARKERS, "lbest")},
+        {marker_union(_CYRILLIC_MARKERS, "cbest")},
+        verdict AS (
+            SELECT b.doc_id,
+                   CASE {dominance}
+                   ELSE (CASE WHEN lb.hits > 0 THEN lb.lang ELSE 'und' END)
+                   END AS lang_id
+            FROM base b
+            JOIN lbest lb USING (doc_id)
+            JOIN cbest cb USING (doc_id)
+        )
+        SELECT lang_id, COUNT(*)::BIGINT AS n_docs FROM verdict GROUP BY lang_id
+    """
 
 
 #: DuckDB construction of the documents-derived defect corpus — must stay
@@ -524,6 +633,26 @@ def oracle_sql() -> dict[str, str]:
                              / (c.rt * c.ct / CAST(t.n AS DOUBLE))), 6) AS chi2,
                    ((SELECT COUNT(*) FROM rt) - 1)::BIGINT * ((SELECT COUNT(*) FROM ct) - 1)::BIGINT AS dof
             FROM cells c CROSS JOIN tot t
+        """,
+        "quantiles_lineitem": """
+            SELECT * FROM (
+                SELECT '25' AS pct, ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS value FROM lineitem
+                UNION ALL
+                SELECT '50', ROUND(quantile_cont(l_extendedprice, 0.50), 6) FROM lineitem
+                UNION ALL
+                SELECT '75', ROUND(quantile_cont(l_extendedprice, 0.75), 6) FROM lineitem
+                UNION ALL
+                SELECT '95', ROUND(quantile_cont(l_extendedprice, 0.95), 6) FROM lineitem
+            )
+        """,
+        "top_orders_per_priority": """
+            SELECT o_orderpriority, rank::INT AS rank, o_orderkey, o_totalprice
+            FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                FROM orders
+            ) WHERE rank <= 3
         """,
         "top_customers": """
             SELECT c_custkey, c_name, c_acctbal FROM customer
@@ -670,6 +799,8 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 5 THEN '/definitions/tag/type' END AS schema_path
             FROM c WHERE cls IN (1,2,3,4,5)
         """,
-        # minhash_near_dup_documents / language_id_documents: rows-only —
-        # xxhash64-based signatures and argmax tie rules are engine-specific.
+        "language_id_documents": _language_id_oracle_sql(),
+        # minhash_near_dup_documents / winnow_overlap_documents /
+        # ivf_topk_embeddings: rows-only — xxhash64-based buckets and the
+        # trained-quantizer probe set have no DuckDB analogue.
     }
