@@ -213,6 +213,58 @@ def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score per document (length band, punctuation
+    presence, digit share, token shape) — oracled: the same thresholds
+    over the same rounded profile metrics in SQL."""
+    from jsl_engine.text_ops import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs with multi-probe blocking (rows-only:
+    xxhash64 bit patterns have no DuckDB analogue; recall and exactness
+    of the Hamming verify are pytest-gated)."""
+    from jsl_engine.text_ops import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), max_hamming=3, multi_probe=True
+    )
+
+
+def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for a deterministic pair set (every
+    doc_id divisible by 20 paired with its successor) — fully oracled via
+    DuckDB list set ops over the identical shingling."""
+    from jsl_engine.text_ops import ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.where(F.col("doc_id") % 20 == 0)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    return ngram_jaccard(docs, pairs, n=3)
+
+
+def q_embedding_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (SRP bucket -> exact cosine >=
+    threshold) — fully oracled: the seeded hyperplanes are deterministic
+    Python data, so the oracle embeds the same plane literals and
+    replicates bucketing + re-rank in SQL."""
+    from jsl_engine.similarity import embedding_near_duplicates
+
+    # the testdata embeddings are random gaussians (max within-bucket
+    # cosine ~0.34), so the threshold is lowered to 0.2 to produce
+    # value-bearing rows for the hash gate; real corpora run 0.95+ (the
+    # planted-clone pytest covers that regime)
+    return embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2, n_planes=12, seed=42
+    )
+
+
 def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting (letter runs / digit runs / punctuation) plus
     whitespace tokens — the same RE2-compatible pattern runs in DuckDB."""
@@ -380,7 +432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "nations_without_suppliers": q_nations_without_suppliers,
         "text_profile_documents": q_text_profile_documents,
+        "quality_score_documents": q_quality_score_documents,
         "exact_dup_documents": q_exact_dup_documents,
+        "simhash_near_dup_documents": q_simhash_near_dup_documents,
+        "ngram_jaccard_documents": q_ngram_jaccard_documents,
+        "embedding_near_dup_embeddings": q_embedding_near_dup_embeddings,
         "token_stats_by_lang": q_token_stats_by_lang,
         "token_counts_documents": q_token_counts_documents,
         "winnow_overlap_documents": q_winnow_overlap_documents,
@@ -492,6 +548,37 @@ def _language_id_oracle_sql() -> str:
             JOIN cbest cb USING (doc_id)
         )
         SELECT lang_id, COUNT(*)::BIGINT AS n_docs FROM verdict GROUP BY lang_id
+    """
+
+
+def _embedding_near_dup_oracle_sql() -> str:
+    """DuckDB re-derivation of SRP-bucketed embedding near-dup: the
+    seeded hyperplanes come from the same ``_random_planes(64, 12, 42)``
+    call the Spark operator uses, embedded as literals, so bucketing and
+    the exact-cosine re-rank replicate bit-for-bit."""
+    from jsl_engine.similarity import _random_planes
+
+    planes = _random_planes(64, 12, 42)
+
+    def arr(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    bucket = "\n               + ".join(
+        f"(CASE WHEN list_dot_product(e, {arr(p)}) >= 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        b AS (SELECT vec_id, e,
+               {bucket} AS bucket
+              FROM v)
+        SELECT id_a, id_b, cos_sim FROM (
+            SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+                   ROUND(list_dot_product(a.e, bb.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(bb.e, bb.e))), 6) AS cos_sim
+            FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        ) WHERE cos_sim >= 0.2
     """
 
 
@@ -686,6 +773,55 @@ def oracle_sql() -> dict[str, str]:
                    sha256(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM p
         """,
+        "quality_score_documents": """
+            WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+                       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                             / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS punct_ratio,
+                       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                             / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS digit_ratio,
+                       ROUND(LENGTH(regexp_replace(text, '\\s+', '', 'g'))
+                             / CAST(GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                    ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END, 1) AS DOUBLE), 6) AS avg_token_len
+                FROM documents
+            )
+            SELECT doc_id,
+                   ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0 END)
+                       + (CASE WHEN punct_ratio > 0.0005 AND punct_ratio < 0.2 THEN 0.25 ELSE 0 END)
+                       + (CASE WHEN digit_ratio < 0.3 THEN 0.25 ELSE 0 END)
+                       + (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 0.25 ELSE 0 END), 2) AS quality
+            FROM p
+        """,
+        "ngram_jaccard_documents": """
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, GREATEST(len(w) - 2, 1)),
+                           i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(
+                               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                    FROM documents
+                )
+            ),
+            pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 20 = 0
+            )
+            SELECT id_a, id_b,
+                   ROUND(len(list_intersect(sa.s, sb.s))
+                         / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE), 6) AS jaccard
+            FROM pairs
+            JOIN sh sa ON sa.doc_id = id_a
+            JOIN sh sb ON sb.doc_id = id_b
+        """,
+        "embedding_near_dup_embeddings": _embedding_near_dup_oracle_sql(),
+        # simhash_near_dup_documents: rows-only — xxhash64 bit patterns
+        # have no DuckDB analogue; pytest gates recall + exact verify.
         "exact_dup_documents": """
             SELECT sha256(text) AS content_hash,
                    COUNT(*)::BIGINT AS n_docs,

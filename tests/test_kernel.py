@@ -106,6 +106,17 @@ def test_type_integers_f64_bounds(typ, ok, bad):
         assert errs({"type": typ}, v) == [ValidationError("", "/type")], (typ, v)
 
 
+def test_python_bigint_beyond_f64_fails_bounds():
+    """Python-API callers can hand the kernel an arbitrary-precision int
+    that no JSON parser (serde_json or ours) could produce from text;
+    as_f64 maps it to ±inf, which fails every integer bound but is still
+    a number for float64."""
+    huge = 10**320
+    assert errs({"type": "int64"}, huge) == [ValidationError("", "/type")]
+    assert errs({"type": "uint64"}, -huge) == [ValidationError("", "/type")]
+    assert errs({"type": "float64"}, huge) == []
+
+
 def test_type_string():
     assert errs({"type": "string"}, "x") == []
     assert errs({"type": "string"}, 1) == [ValidationError("", "/type")]

@@ -117,6 +117,39 @@ def test_non_rfc8259_literals_are_parse_errors(spark):
     assert out["ok"].ok
 
 
+def test_parser_serde_json_parity_edges(spark):
+    """orjson-backed parsing must classify exactly like serde_json:
+    lone surrogate escapes and leading zeros reject; ints beyond u64 but
+    within f64 parse to the lossy f64 (so 2^64 still passes uint64).
+    Documented divergence: instances nested beyond serde_json's default
+    128 recursion limit still parse here (kernel recursion is bounded by
+    schema depth via max_depth ref hops, so deep instances cannot crash
+    a task either way)."""
+    schema = compile_schema({"properties": {"k": {}}})
+    deep = '{"k": ' + "[" * 3000 + "1" + "]" * 3000 + "}"
+    docs = {
+        "surrogate": '{"k": "\\ud800"}',
+        "paired": '{"k": "\\ud83d\\ude00"}',
+        "leading_zero": '{"k": 01}',
+        "deep": deep,
+    }
+    df = spark.createDataFrame(
+        [Row(repo="r", path=p, commit="c", content=c) for p, c in docs.items()]
+    )
+    out = {r.path: r for r in validate_df(df, schema).collect()}
+    assert out["surrogate"].error == "json_parse_error"
+    assert out["paired"].ok
+    assert out["leading_zero"].error == "json_parse_error"
+    assert out["deep"].ok  # parses + schema doesn't walk it (divergence pin)
+
+    u64 = compile_schema({"properties": {"k": {"type": "uint64"}}})
+    df2 = spark.createDataFrame(
+        [Row(repo="r", path="big", commit="c", content='{"k": 18446744073709551616}')]
+    )
+    [r] = validate_df(df2, u64).collect()
+    assert r.ok  # 2^64 reads as f64 2^64 == the uint64 max literal
+
+
 def test_overflowing_float_literal_is_parse_error(spark):
     """serde_json rejects float literals beyond f64 range ('number out of
     range'); Python maps them to inf — which would then PASS float64 and
