@@ -51,6 +51,9 @@ from jsl_engine.schema import (
 
 Check = Callable[[Any, int], bool]
 
+#: Sentinel distinguishing "key absent" from a stored None in one lookup.
+_MISSING = object()
+
 
 def _compile_type(typ: str) -> Check:
     if typ == "boolean":
@@ -145,11 +148,14 @@ def compile_check(
             def check_properties(v: Any, d: int) -> bool:
                 if type(v) is not dict:
                     return False
-                for k, sub in req_items:
-                    if k not in v or not sub(v[k], d):
+                get = v.get
+                for k, sub in req_items:  # single lookup via sentinel
+                    x = get(k, _MISSING)
+                    if x is _MISSING or not sub(x, d):
                         return False
                 for k, sub in opt_items:
-                    if k in v and not sub(v[k], d):
+                    x = get(k, _MISSING)
+                    if x is not _MISSING and not sub(x, d):
                         return False
                 if strict:
                     for k in v:

@@ -49,13 +49,18 @@ import re
 
 import numpy as np
 
+#: Field ranges live in the regex (C-speed alternations): month 01-12,
+#: day 01-31, hour 00-23, minute 00-59, second 00-60 (leap second),
+#: offset hour 00-23 / minute 00-59. Python code only settles the
+#: calendar question (day vs days-in-month, leap years) — and only for
+#: day >= 29, so the common case is one regex match + one string compare.
 _RFC3339 = re.compile(
     r"""\A
-    (\d{4})-(\d{2})-(\d{2})
+    (\d{4})-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])
     [Tt]
-    (\d{2}):(\d{2}):(\d{2})
+    (?:[01]\d|2[0-3]):[0-5]\d:(?:[0-5]\d|60)
     (?:\.\d+)?
-    (?:[Zz]|([+-])(\d{2}):(\d{2}))
+    (?:[Zz]|[+-](?:[01]\d|2[0-3]):[0-5]\d)
     \Z""",
     re.VERBOSE,
 )
@@ -63,27 +68,22 @@ _RFC3339 = re.compile(
 _DAYS_IN_MONTH = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
 
 
-def _days_in_month(year: int, month: int) -> int:
-    if month == 2 and (year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)):
-        return 29
-    return _DAYS_IN_MONTH[month - 1]
-
-
 def is_rfc3339(s: str) -> bool:
     """True iff ``s`` is a valid RFC 3339 date-time with offset."""
     m = _RFC3339.match(s)
     if m is None:
         return False
-    year, month, day = int(m.group(1)), int(m.group(2)), int(m.group(3))
-    hour, minute, sec = int(m.group(4)), int(m.group(5)), int(m.group(6))
-    if not (1 <= month <= 12 and 1 <= day <= _days_in_month(year, month)):
-        return False
-    if hour > 23 or minute > 59 or sec > 60:
-        return False
-    if m.group(7) is not None:  # numeric offset
-        if int(m.group(8)) > 23 or int(m.group(9)) > 59:
-            return False
-    return True
+    day = m.group(3)
+    if day < "29":  # fixed-width digits: lexicographic == numeric
+        return True
+    month = int(m.group(2))
+    d = int(day)
+    if d <= _DAYS_IN_MONTH[month - 1]:
+        return True
+    if month == 2 and d == 29:
+        y = int(m.group(1))
+        return y % 4 == 0 and (y % 100 != 0 or y % 400 == 0)
+    return False
 
 
 def is_rfc3339_array(values: "np.ndarray | list[str]") -> np.ndarray:
