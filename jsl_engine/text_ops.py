@@ -596,6 +596,45 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 # winnowing (rolling-hash fingerprints, MOSS-style)
 # ---------------------------------------------------------------------------
 
+def _winnow_flat(
+    df: DataFrame, text_col: str, id_col: str, k: int, window: int
+) -> DataFrame:
+    """``(id, fp)`` rows: the distinct winnowing-selected k-gram hashes.
+
+    Shape matters here: an earlier formulation computed the per-window
+    minima as ``transform(sequence, i -> array_min(slice(kh, ...)))`` over
+    a k-gram-hash alias — and CollapseProject does **not** count
+    references made from inside higher-order-function lambdas, so it
+    happily re-inlined the whole shingle+hash pipeline into the lambda,
+    recomputing it once per window: a measured **400×** slowdown (218 s →
+    0.5 s on 5k documents). This version has no lambda cross-reference to
+    collapse: ``posexplode`` evaluates the k-gram hashing exactly once per
+    document (generators evaluate their input per input row), and the
+    sliding minimum is a plain window frame over (doc, pos) — the same
+    shuffle key the downstream fingerprint join needs anyway."""
+    kh_rows = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(shingles(F.col(text_col), k), lambda x: F.xxhash64(x))
+        ).alias("pos", "h"),
+    )
+    wmin = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    wn = Window.partitionBy(id_col)
+    return (
+        kh_rows.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("h").over(wmin).alias("fp"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        # windows fully inside the hash sequence; short docs (< window
+        # k-grams) keep their single clipped-frame window at pos 0
+        .where((F.col("pos") <= F.col("__n") - window) | (F.col("pos") == 0))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -607,33 +646,20 @@ def winnow_fingerprints(
     the minimum hash of each sliding window of ``window`` consecutive
     k-grams, output the distinct selected hashes::
 
-        id, fingerprints: array<bigint>
+        id, fingerprints: array<bigint> (sorted)
 
     Winnowing guarantee: two documents sharing a passage of at least
     ``window + k - 1`` words share at least one selected fingerprint —
     which makes this a *containment* detector (a copied paragraph inside
     two otherwise-different documents), the case Jaccard-based MinHash
-    misses by construction. All JVM expressions: the k-gram hash array is
-    materialized once (CollapseProject trap, see
-    :func:`minhash_signatures`), the per-window minima are
-    ``array_min(slice(...))`` over an index sequence — O(len·window)
-    expression work per row, no UDF.
+    misses by construction. See :func:`_winnow_flat` for the execution
+    shape (and the CollapseProject lambda trap it avoids).
     """
-    base = df.select(
-        F.col(id_col),
-        F.transform(shingles(F.col(text_col), k), lambda x: F.xxhash64(x)).alias(
-            "__kh"
-        ),
+    return (
+        _winnow_flat(df, text_col, id_col, k, window)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("fp")).alias("fingerprints"))
     )
-    kh = F.col("__kh")
-    n_windows = F.greatest(F.size(kh) - (window - 1), F.lit(1))
-    fp = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_windows - 1),
-            lambda i: F.array_min(F.slice(kh, i + 1, window)),
-        )
-    )
-    return base.select(F.col(id_col), fp.alias("fingerprints"))
 
 
 def fingerprint_overlap_pairs(
@@ -650,13 +676,12 @@ def fingerprint_overlap_pairs(
 
         id_a, id_b, n_shared
 
-    Explode fingerprints → equi-join on the hash. Same scale shape as
-    LSH banding: boilerplate fingerprints (shared by more than
-    ``max_bucket`` docs) are pruned with a windowed count *before* the
-    self-join, so they contribute zero pairs (see
+    Equi-join on the fingerprint hash over the flat (id, fp) rows. Same
+    scale shape as LSH banding: boilerplate fingerprints (shared by more
+    than ``max_bucket`` docs) are pruned with a windowed count *before*
+    the self-join, so they contribute zero pairs (see
     :func:`lsh_candidate_pairs` for the rationale)."""
-    fps = winnow_fingerprints(df, text_col, id_col, k, window)
-    flat = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    flat = _winnow_flat(df, text_col, id_col, k, window)
     w = Window.partitionBy("fp")
     pruned = (
         flat.withColumn("__n", F.count(F.lit(1)).over(w))
