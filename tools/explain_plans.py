@@ -108,6 +108,14 @@ def main(sf_dir: str) -> int:
                 must_contain=["__bucket_n", "Window"],
                 must_not=["CartesianProduct"])
 
+    # 7. winnowing overlap: same guard-before-join property (the guard
+    #    column is dropped pre-join), and no cartesian product
+    from jsl_engine.text_ops import fingerprint_overlap_pairs
+    wp = fingerprint_overlap_pairs(docs)
+    ok &= check("winnow guard before self-join", wp,
+                must_contain=["__n", "Window"],
+                must_not=["CartesianProduct"])
+
     print("ALL OK" if ok else "PLAN REGRESSIONS FOUND")
     return 0 if ok else 1
 
