@@ -30,6 +30,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -52,8 +53,22 @@ MANIFEST_SCHEMA = StructType(
         StructField("n_violations", LongType(), False),
         StructField("n_parse_errors", LongType(), False),
         StructField("n_depth_errors", LongType(), False),
+        # mergeable HLL sketch of content_sha256: global distinct-document
+        # cardinality across all committed partitions (and across resumed
+        # runs) comes from unioning manifest sketches — no data rescan
+        StructField("content_hll", BinaryType(), True),
     ]
 )
+
+
+def global_distinct_docs(spark: SparkSession, manifest_path: str) -> int | None:
+    """Estimated distinct documents across every committed partition,
+    from the manifest's mergeable sketches alone (no scan of the data)."""
+    m = read_manifest(spark, manifest_path).where(F.col("content_hll").isNotNull())
+    row = m.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("content_hll")).alias("d")
+    ).first()
+    return int(row["d"]) if row and row["d"] is not None else None
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
@@ -193,6 +208,9 @@ def run_validation_job(
                     F.sum((F.col("error") == "max_depth_exceeded").cast("long")),
                     F.lit(0),
                 ).alias("n_depth_errors"),
+                F.hll_sketch_agg(F.col("content_sha256"), F.lit(12)).alias(
+                    "content_hll"
+                ),
             )
             .withColumn("schema_fingerprint", F.lit(fingerprint))
             .withColumn("job_id", F.lit(job_id))

@@ -104,3 +104,20 @@ def test_rerun_idempotent_outputs(spark, corpus, tmp_path):
     run_validation_job(spark, corpus, schema, output_root=root)
     after = spark.read.parquet(f"{root}/validated").count()
     assert before == after == 1200
+
+
+def test_manifest_hll_global_distinct(spark, corpus, tmp_path):
+    """The manifest's per-partition content sketches union to a global
+    distinct-document estimate without rescanning data, and survive
+    resume (second no-op run leaves the estimate unchanged)."""
+    from jsl_engine.manifest import global_distinct_docs
+
+    root = str(tmp_path / "out_hll")
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    r1 = run_validation_job(spark, corpus, schema, output_root=root)
+    est = global_distinct_docs(spark, f"{root}/manifest")
+    exact = corpus.select("content").distinct().count()
+    assert est is not None and abs(est - exact) / exact < 0.05, (est, exact)
+
+    run_validation_job(spark, corpus, schema, output_root=root)  # no-op resume
+    assert global_distinct_docs(spark, f"{root}/manifest") == est

@@ -154,3 +154,28 @@ def test_skew_aware_counts(spark):
     # the Zipf head is present and dominant (skew is real in the fixture)
     top = max(plain.values())
     assert top > 2000 * 0.1
+
+
+def test_hll_partition_sketches_merge_exactly(spark):
+    """Union of per-partition HLL sketches must estimate within 1% of a
+    single global sketch (not byte-identical: DataSketches sparse-mode
+    promotion history differs) and within HLL error of exact."""
+    from jsl_engine.corpus import generate_corpus
+    from pyspark.sql import functions as F
+
+    df = generate_corpus(spark, 3000, seed=5, partitions=6).withColumn(
+        "part_key", F.substring("repo", 1, 4)
+    )
+    sk = tc.hll_partition_sketches(df, ["commit", "lang"], "part_key")
+    merged = {r.col_name: r.distinct_estimate for r in tc.hll_global_estimate(sk).collect()}
+
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("commit", F.lit(12))).alias("commit"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("lang", F.lit(12))).alias("lang"),
+    ).first()
+    assert abs(merged["commit"] - direct["commit"]) / direct["commit"] < 0.01
+    assert merged["lang"] == direct["lang"]  # tiny cardinality: identical
+
+    exact = df.select(F.count_distinct("commit"), F.count_distinct("lang")).first()
+    assert abs(merged["commit"] - exact[0]) / exact[0] < 0.05
+    assert merged["lang"] == exact[1]  # tiny cardinality: HLL is exact
