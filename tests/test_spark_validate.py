@@ -168,6 +168,41 @@ def test_overflowing_float_literal_is_parse_error(spark):
     assert out["edge"].ok  # max finite double still parses
 
 
+def test_parse_document_matches_stdlib_on_clean_json():
+    """Property: on RFC 8259-clean JSON (finite numbers, paired
+    surrogates), the orjson-backed parse_document returns exactly what
+    the stdlib would — the serde_json-parity special cases only ever
+    diverge on documents the stdlib mishandles."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from jsl_engine.spark_validate import _PARSE_ERROR, parse_document
+
+    scalars = (
+        st.none()
+        | st.booleans()
+        | st.integers(min_value=-(2**63), max_value=2**64 - 1)
+        | st.floats(allow_nan=False, allow_infinity=False)
+        | st.text()
+    )
+    docs = st.recursive(
+        scalars,
+        lambda inner: st.lists(inner, max_size=4)
+        | st.dictionaries(st.text(max_size=8), inner, max_size=4),
+        max_leaves=20,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(docs)
+    def run(doc):
+        s = json.dumps(doc, allow_nan=False)
+        got = parse_document(s)
+        assert got is not _PARSE_ERROR
+        assert got == json.loads(s)
+
+    run()
+
+
 def test_corpus_end_to_end(spark):
     """Flagship slice: synthetic source-code table → validate → verdict and
     violation views; defect classes all appear; clean docs all pass."""
