@@ -357,7 +357,12 @@ def compile_schema(schema: "str | bytes | dict[str, Any]") -> Schema:
     broadcast (reference contract: src/lib.rs:34-44).
     """
     if isinstance(schema, (str, bytes)):
-        schema = json.loads(schema)
+        # same serde_json-parity parsing as the document path: NaN/
+        # Infinity and f64-overflow literals in schema text are parse
+        # errors, not silent Python floats
+        from jsl_engine.jsonio import loads_strict
+
+        schema = loads_strict(schema if isinstance(schema, str) else schema.decode())
     return Schema.from_serde(schema)
 
 

@@ -53,73 +53,10 @@ from jsl_engine.kernel import validate_node
 from jsl_engine.schema import Schema, plan_payload
 
 
-def _reject_constant(literal: str) -> None:
-    """Python's ``json.loads`` accepts the non-RFC-8259 literals ``NaN``,
-    ``Infinity`` and ``-Infinity``; serde_json — the reference's parser
-    (reference: src/validator.rs:41-45 takes ``serde_json::Value``) — and
-    DuckDB's ``json_valid`` both reject them. Raising here routes such
-    documents to the ``json_parse_error`` verdict, keeping the verdict
-    taxonomy (and the DuckDB oracle) aligned with the reference."""
-    raise ValueError(f"non-RFC-8259 JSON literal: {literal}")
-
-
-_INF = float("inf")
-
-
-def _parse_float_strict(literal: str) -> float:
-    """Float literals that overflow f64 (``1e400``) become ``inf`` under
-    Python's parser but are a hard parse error in serde_json ("number out
-    of range"); reject them so the verdict matches the reference. Called
-    only for non-integer numeric literals, so the hot path for typical
-    documents (strings/ints) is untouched."""
-    f = float(literal)
-    if f == _INF or f == -_INF:
-        raise ValueError(f"float literal out of f64 range: {literal}")
-    return f
-
-
-def loads_strict(content: str):
-    """``json.loads`` with serde_json-compatible number/literal handling."""
-    return json.loads(
-        content, parse_constant=_reject_constant, parse_float=_parse_float_strict
-    )
-
-
-try:  # fast path: orjson parses ~4x faster (0.95 vs 3.8 µs/doc on the
-    # bench corpus) AND is byte-for-byte serde_json number/string parity:
-    # ints beyond u64 but within f64 parse to the same lossy f64 value,
-    # ints/floats beyond f64 are a parse error ("number is infinity"),
-    # NaN/Infinity literals, lone surrogates and leading zeros all reject
-    # — each verified against serde_json semantics; the stdlib needs
-    # custom hooks for the number cases and wrongly accepts lone
-    # surrogates. Known residual divergence (documented): instance
-    # nesting depth 129–1024 parses here but exceeds serde_json's default
-    # 128 recursion limit.
-    import orjson as _orjson
-
-    _fast_loads = _orjson.loads
-except ImportError:  # pragma: no cover - orjson is present in this image
-    _fast_loads = None
-
-
-_PARSE_ERROR = object()
-
-
-def parse_document(content):
-    """Parse one JSON document with serde_json-equivalent acceptance
-    (see the orjson import note). Returns the document or the
-    ``_PARSE_ERROR`` sentinel. Without orjson, falls back to the stdlib
-    with strict number hooks — same verdicts except lone-surrogate
-    escapes, which only orjson rejects."""
-    if _fast_loads is not None:
-        try:
-            return _fast_loads(content)
-        except Exception:
-            return _PARSE_ERROR
-    try:
-        return loads_strict(content)
-    except (ValueError, TypeError, RecursionError):
-        return _PARSE_ERROR
+# serde_json-parity parsing lives in jsl_engine.jsonio (shared with the
+# driver-side schema compiler); re-exported here for the tests/API
+from jsl_engine.jsonio import PARSE_ERROR as _PARSE_ERROR
+from jsl_engine.jsonio import loads_strict, parse_document  # noqa: F401
 
 #: Appended to the pass-through key columns in the validation output.
 RESULT_FIELDS = [
