@@ -314,13 +314,15 @@ def simhash_near_duplicates(
     pair is produced by exactly one probe — equal blocks match only the
     un-flipped probe, blocks differing in bit j only probe j — so no
     dedup pass is needed. The verify stage is exact either way."""
-    # repartition on the block key: both join branches then share one
-    # identical exchange subplan, so ReusedExchange computes the simhash
-    # exactly once (the expression is shuffle-free, so without this
-    # boundary each branch of the self-join would re-evaluate it)
+    # cache the signature table (same pattern as minhash_near_duplicates'
+    # sigs.cache()): the simhash expression is shuffle-free, so each
+    # branch of the self-join would otherwise re-evaluate the whole
+    # shingle pipeline — measured 12.6s -> ~7s total at sf0.1 (the join
+    # itself drops to 0.96s once signatures are materialized). The cache
+    # holds (id, simhash, block) = ~24 bytes/doc, spillable.
     h = simhash(df, text_col, id_col).withColumn(
         "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    ).repartition(F.col("block"))
+    ).cache()
     if multi_probe:
         probes = F.array(
             F.col("block"),
