@@ -221,7 +221,13 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates → verify
     with estimated Jaccard (fraction of equal signature components) ≥
-    threshold. Returns ``id_a, id_b, est_jaccard``."""
+    threshold. Returns ``id_a, id_b, est_jaccard``.
+
+    The signature table is cached because three plan branches consume it
+    (banding + both verify joins). Single-job convenience: at 10^12 docs
+    the signatures are ~0.5 KB/doc — there, write them to a table once
+    (the manifest pattern) and run banding/verify against the stored
+    table instead of a cache."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
@@ -319,7 +325,9 @@ def simhash_near_duplicates(
     # branch of the self-join would otherwise re-evaluate the whole
     # shingle pipeline — measured 12.6s -> ~7s total at sf0.1 (the join
     # itself drops to 0.96s once signatures are materialized). The cache
-    # holds (id, simhash, block) = ~24 bytes/doc, spillable.
+    # holds (id, simhash, block) = ~24 bytes/doc — spillable, and ~24 GB
+    # per 1000 executors at 10^12 docs; beyond that, write the signature
+    # table once and join against storage.
     h = simhash(df, text_col, id_col).withColumn(
         "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
     ).cache()
