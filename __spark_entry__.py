@@ -318,6 +318,17 @@ def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup on the Arrow-batched numpy signature kernel — the
+    10^12-doc path (HOF lambdas are interpreter-bound; the numpy kernel
+    measures ~2.5× the whole pipeline at sf0.1 and ~5× the signature
+    stage). Rows-only: crc32+splitmix64 signatures have no SQL analogue;
+    behavior-equivalence with the JVM variant is pytest-gated."""
+    from jsl_engine.text_ops_arrow import minhash_near_duplicates_arrow
+
+    return minhash_near_duplicates_arrow(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
 def q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID distribution — oracled: the DuckDB SQL is
     generated from the same script/marker tables with identical
@@ -443,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_embeddings": q_topk_cosine_embeddings,
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
+        "minhash_near_dup_arrow": q_minhash_near_dup_arrow,
         "language_id_documents": q_language_id_documents,
         "jsl_validate_events": q_jsl_validate_events,
         "jsl_verdicts_docs": q_jsl_verdicts_docs,

@@ -1,0 +1,187 @@
+"""Arrow-batched (numpy) MinHash / SimHash signature kernels.
+
+The JVM variants in :mod:`jsl_engine.text_ops` evaluate their
+``transform``/``aggregate`` lambdas in Spark's expression interpreter —
+higher-order functions do not participate in whole-stage codegen — which
+sets a ~1 ms/doc/core floor for 64-hash signatures over ~300 shingles
+(docs/DESIGN.md "Higher-order functions are interpreted"). At 10^12
+documents that floor is ~35 executor-hours per signature pass, so these
+Arrow variants are the scale path: one numpy matrix per Arrow batch,
+~10-20× the JVM rate, same distributed shape (a narrow signature table
+feeding the identical LSH banding / Hamming blocking joins).
+
+Hash family: crc32 per shingle mixed per seed with splitmix64 (numpy
+uint64, wrapping arithmetic) — different values from the JVM xxhash64
+family, identical MinHash/SimHash semantics (any well-mixed pairwise-
+independent family works; equivalence is pinned by the same planted-dup
+and estimate-tracking tests as the JVM variants).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+_WS = re.compile(r"\s+")
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over uint64 arrays (wrapping arithmetic)."""
+    z = x + _GOLDEN
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """uint64 hashes of the word n-gram shingles of one document, WITH
+    multiplicity (same normalization as
+    :func:`jsl_engine.text_ops.normalized`; SimHash weights repeated
+    shingles — matching the JVM variant — and MinHash's min is unaffected
+    by repeats, so one kernel serves both)."""
+    words = _WS.sub(" ", text.lower()).strip().split(" ")
+    k = max(len(words) - n + 1, 1)
+    crc = zlib.crc32
+    return np.fromiter(
+        (crc(" ".join(words[j : j + n]).encode("utf-8")) for j in range(k)),
+        dtype=np.uint64,
+        count=k,
+    )
+
+
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """``id, sig: array<bigint>`` — numpy MinHash over Arrow batches.
+
+    Per batch: shingle+crc32 per document (C-speed string work), then one
+    vectorized ``splitmix64(shingles ⊕ seeds).min(axis=0)`` per document.
+    Output shape matches :func:`jsl_engine.text_ops.minhash_signatures`,
+    so LSH banding and verification compose unchanged.
+    """
+    spark = df.sparkSession
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+    bc = spark.sparkContext.broadcast(seeds)
+    pruned = df.select(id_col, text_col)
+    out_schema = StructType(
+        [
+            pruned.schema[id_col],
+            StructField("sig", ArrayType(LongType(), False), False),
+        ]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        s = bc.value
+        width = len(s)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            sigs = np.empty((n, width), dtype=np.uint64)
+            for i, t in enumerate(texts):
+                base = _shingle_hashes(t or "", shingle_n)
+                sigs[i] = _splitmix64(base[:, None] ^ s[None, :]).min(axis=0)
+            values = pa.array(sigs.reshape(-1).view(np.int64), pa.int64())
+            offsets = pa.array(
+                np.arange(0, (n + 1) * width, width, dtype=np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.ListArray.from_arrays(offsets, values)],
+                [id_col, "sig"],
+            )
+
+    return pruned.mapInArrow(run, out_schema)
+
+
+def simhash_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """``id, simhash: bigint`` — numpy SimHash over Arrow batches.
+
+    Per document: unpack the shingle hashes to a (shingles × 64) sign
+    matrix with one broadcasted shift-and-mask, column-sum, pack the sign
+    bits. Output shape matches :func:`jsl_engine.text_ops.simhash`.
+    """
+    pruned = df.select(id_col, text_col)
+    out_schema = StructType(
+        [pruned.schema[id_col], StructField("simhash", LongType(), False)]
+    )
+    bit_idx = np.arange(64, dtype=np.uint64)
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            out = np.empty(n, dtype=np.uint64)
+            for i, t in enumerate(texts):
+                base = _shingle_hashes(t or "", shingle_n)
+                mixed = _splitmix64(base)
+                bits = (mixed[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                counts = bits.sum(axis=0, dtype=np.int64) * 2 - len(mixed)
+                out[i] = np.bitwise_or.reduce(
+                    np.where(counts > 0, np.uint64(1) << bit_idx, np.uint64(0))
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(out.view(np.int64), pa.int64())],
+                [id_col, "simhash"],
+            )
+
+    return pruned.mapInArrow(run, out_schema)
+
+
+def minhash_near_duplicates_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """End-to-end near-dup on the Arrow signature kernel: identical LSH
+    banding + estimated-Jaccard verification as the JVM pipeline (the
+    signature table is the interface; everything downstream is shared)."""
+    from pyspark.sql import functions as F
+
+    from jsl_engine.text_ops import lsh_candidate_pairs
+
+    sigs = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n).cache()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.size("sig_a"),
+                6,
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )

@@ -263,3 +263,42 @@ def test_fingerprint_whitespace_invariant(spark):
     )
     out = {r.doc_id: r.fingerprint for r in T.text_profile(df).collect()}
     assert out[1] == out[2]  # case+whitespace-normalized
+
+
+def test_arrow_minhash_matches_jvm_semantics(spark, docs):
+    """The Arrow signature kernel (different hash family, same MinHash
+    semantics) must find the same planted duplicates/near-dups and track
+    exact Jaccard as well as the JVM variant."""
+    from jsl_engine import text_ops_arrow as TA
+
+    pairs = {(r.id_a, r.id_b): r.est_jaccard
+             for r in TA.minhash_near_duplicates_arrow(
+                 docs, threshold=0.3, bands=32).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs or (2, 3) in pairs
+    assert not any({4, 5} & {a, b} for a, b in pairs)
+
+    cands = {(r.id_a, r.id_b) for r in TA.minhash_near_duplicates_arrow(
+        docs, threshold=0.0).collect()}
+    exact_pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in cands])
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in T.ngram_jaccard(docs, exact_pairs, n=5).collect()}
+    est = {(r.id_a, r.id_b): r.est_jaccard
+           for r in TA.minhash_near_duplicates_arrow(docs, threshold=0.0).collect()}
+    for k, e in est.items():
+        assert abs(e - exact[k]) < 0.35, (k, e, exact[k])
+
+
+def test_arrow_simhash_near_dup_behavior(spark, docs):
+    """Arrow SimHash: identical docs collide exactly; near-dups land at
+    small Hamming distance; unrelated docs do not."""
+    import pyspark.sql.functions as F
+    from jsl_engine import text_ops_arrow as TA
+
+    h = {r.doc_id: r.simhash for r in TA.simhash_arrow(docs).collect()}
+    assert h[1] == h[2]
+    ham = bin((h[1] ^ h[3]) & (2**64 - 1)).count("1")
+    assert ham <= 12
+    ham_far = bin((h[4] ^ h[5]) & (2**64 - 1)).count("1")
+    assert ham_far > 12
