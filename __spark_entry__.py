@@ -318,6 +318,15 @@ def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_overlap_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing containment on the Arrow kernel — computes fingerprints
+    in the map (numpy sliding-window min), eliminating the per-document
+    window shuffle; only the fingerprint equi-join shuffles. Rows-only."""
+    from jsl_engine.text_ops_arrow import fingerprint_overlap_pairs_arrow
+
+    return fingerprint_overlap_pairs_arrow(_t(spark, sf_dir, "documents"), min_shared=2)
+
+
 def q_minhash_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup on the Arrow-batched numpy signature kernel — the
     10^12-doc path (HOF lambdas are interpreter-bound; the numpy kernel
@@ -455,6 +464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": q_ivf_topk_embeddings,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
         "minhash_near_dup_arrow": q_minhash_near_dup_arrow,
+        "winnow_overlap_arrow": q_winnow_overlap_arrow,
         "language_id_documents": q_language_id_documents,
         "jsl_validate_events": q_jsl_validate_events,
         "jsl_verdicts_docs": q_jsl_verdicts_docs,

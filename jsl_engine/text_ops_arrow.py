@@ -147,6 +147,92 @@ def simhash_arrow(
     return pruned.mapInArrow(run, out_schema)
 
 
+def winnow_flat_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """``(id, fp)`` rows of winnowing-selected k-gram hashes, computed
+    entirely in the map: numpy ``sliding_window_view(...).min(axis=1)``
+    per document. Compared to the JVM path
+    (:func:`jsl_engine.text_ops._winnow_flat`) this removes the whole
+    per-document window shuffle — the only remaining shuffle in an
+    overlap-detection pipeline is the fingerprint equi-join itself."""
+    pruned = df.select(id_col, text_col)
+    out_schema = StructType(
+        [pruned.schema[id_col], StructField("fp", LongType(), False)]
+    )
+    swv = np.lib.stride_tricks.sliding_window_view
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_pylist()
+            out_ids: list[np.ndarray] = []
+            out_fps: list[np.ndarray] = []
+            for i, t in enumerate(texts):
+                h = _splitmix64(_shingle_hashes(t or "", k))
+                if len(h) >= window:
+                    fps = np.unique(swv(h, window).min(axis=1))
+                else:
+                    fps = np.asarray([h.min()], dtype=np.uint64)
+                out_fps.append(fps)
+                out_ids.append(np.full(len(fps), ids[i]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_ids)),
+                    pa.array(np.concatenate(out_fps).view(np.int64), pa.int64()),
+                ],
+                [id_col, "fp"],
+            )
+
+    return pruned.mapInArrow(run, out_schema)
+
+
+def fingerprint_overlap_pairs_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Containment candidates on the Arrow winnowing kernel — identical
+    guard-then-join shape as the JVM pipeline, one shuffle fewer (see
+    :func:`winnow_flat_arrow`)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    flat = winnow_flat_arrow(df, text_col, id_col, k, window)
+    w = Window.partitionBy("fp")
+    pruned = (
+        flat.withColumn("__n", F.count(F.lit(1)).over(w))
+        .where(F.col("__n") <= max_bucket)
+        .drop("__n")
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def minhash_near_duplicates_arrow(
     df: DataFrame,
     text_col: str = "text",

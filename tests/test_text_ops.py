@@ -302,3 +302,33 @@ def test_arrow_simhash_near_dup_behavior(spark, docs):
     assert ham <= 12
     ham_far = bin((h[4] ^ h[5]) & (2**64 - 1)).count("1")
     assert ham_far > 12
+
+
+def test_arrow_winnowing_guarantee(spark):
+    """The Arrow winnowing kernel honors the same guarantee as the JVM
+    path: a shared passage of >= window+k-1 words yields shared
+    fingerprints; identical docs identical sets; disjoint docs disjoint —
+    and the overlap pipeline finds the planted containment pair."""
+    from jsl_engine import text_ops_arrow as TA
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="intro about databases and engines. " + shared + " closing words here."),
+            Row(doc_id=2, text="completely different opening sentence. " + shared + " unrelated tail text."),
+            Row(doc_id=3, text="nothing in common with the others at all, just some filler prose."),
+            Row(doc_id=4, text="nothing in common with the others at all, just some filler prose."),
+        ]
+    )
+    flat = TA.winnow_flat_arrow(df)
+    fps = {}
+    for r in flat.collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]
+    assert fps[3] == fps[4]
+    assert not (fps[1] & fps[3])
+
+    pairs = {(r.id_a, r.id_b): r.n_shared
+             for r in TA.fingerprint_overlap_pairs_arrow(df, min_shared=2).collect()}
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert (1, 3) not in pairs
