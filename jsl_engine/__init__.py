@@ -14,9 +14,11 @@ Reimplements the semantics of JSON Schema Language (reference: the Rust crate
   per-partition manifest with idempotent resume (:mod:`jsl_engine.manifest`).
 
 This is NOT a port of the Rust code: the execution strategy is Spark-first
-(broadcast compiled plan + mapInPandas; built-in DataFrame ops for all
-relational work). Only the *semantics* (forms, type checks, error paths) come
-from the reference, cited per-function as file:line.
+(broadcast compiled plan + Arrow-batched ``mapInArrow`` with orjson parsing;
+built-in DataFrame ops for all relational work; numpy Arrow kernels where
+higher-order functions are interpreter-bound). Only the *semantics* (forms,
+type checks, error paths) come from the reference, cited per-function as
+file:line.
 """
 
 from jsl_engine.errors import (
