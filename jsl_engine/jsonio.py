@@ -20,7 +20,8 @@ corpus) AND the closer semantic match — each case verified:
 Known residual divergence (documented, pinned in tests): instances
 nested beyond serde_json's default 128 recursion limit still parse here.
 
-Without orjson the stdlib fallback keeps strict number hooks; the only
+Without orjson the stdlib fallback keeps strict number hooks (including
+serde_json's long-integer-to-f64 fallback via ``parse_int``); the only
 verdict difference is lone-surrogate escapes, which only orjson rejects.
 """
 
@@ -43,12 +44,32 @@ def _parse_float_strict(literal: str) -> float:
     return f
 
 
+def _parse_int_strict(literal: str):
+    """serde_json integer semantics: fits i64/u64 → exact integer;
+    otherwise falls back to f64 — finite → that (lossy) float, infinite →
+    parse error ("number out of range"). Python's default would keep an
+    exact bigint, silently diverging on both counts."""
+    v = int(literal)
+    if -(2**63) <= v < 2**64:
+        return v
+    try:
+        f = float(v)
+    except OverflowError:
+        raise ValueError(f"integer literal out of f64 range: {literal}") from None
+    if f == _INF or f == -_INF:
+        raise ValueError(f"integer literal out of f64 range: {literal}")
+    return f
+
+
 def loads_strict(content: str):
     """stdlib ``json.loads`` with serde_json-compatible number/literal
     handling (used directly when orjson is unavailable, and for schema
     text on the driver)."""
     return json.loads(
-        content, parse_constant=_reject_constant, parse_float=_parse_float_strict
+        content,
+        parse_constant=_reject_constant,
+        parse_float=_parse_float_strict,
+        parse_int=_parse_int_strict,
     )
 
 

@@ -61,11 +61,29 @@ MANIFEST_SCHEMA = StructType(
 )
 
 
-def global_distinct_docs(spark: SparkSession, manifest_path: str) -> int | None:
-    """Estimated distinct documents across every committed partition,
-    from the manifest's mergeable sketches alone (no scan of the data)."""
+def global_distinct_docs(
+    spark: SparkSession, manifest_path: str, fingerprint: str | None = None
+) -> int | None:
+    """Estimated distinct documents across committed partitions, from the
+    manifest's mergeable sketches alone (no scan of the data).
+
+    The manifest is append-only, so a re-processed partition has multiple
+    rows; only the **latest** sketch per ``part_key`` participates —
+    stale sketches would resurrect documents that no longer exist. Pass
+    ``fingerprint`` to scope the estimate to one schema's run (matching
+    the resume semantics of :func:`committed_partitions`)."""
     m = read_manifest(spark, manifest_path).where(F.col("content_hll").isNotNull())
-    row = m.agg(
+    if fingerprint is not None:
+        m = m.where(F.col("schema_fingerprint") == fingerprint)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("part_key").orderBy(F.desc("committed_at"))
+    latest = (
+        m.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    row = latest.agg(
         F.hll_sketch_estimate(F.hll_union_agg("content_hll")).alias("d")
     ).first()
     return int(row["d"]) if row and row["d"] is not None else None
@@ -183,6 +201,13 @@ def run_validation_job(
     # Metrics are aggregated per part_key — a bounded-cardinality row set —
     # and collected, so manifest totals below come from memory instead of
     # re-reading the (ever-growing) manifest table twice.
+    #
+    # COMMIT ORDERING INVARIANT: the manifest append happens strictly
+    # AFTER both derived outputs exist — only the metrics *computation*
+    # (a collect) overlaps the violations write. A partition whose
+    # violations write failed must stay pending, otherwise a resumed run
+    # would skip it and the violations dataset would silently lack its
+    # rows forever.
     committed_at = time.time()
     metric_rows: list = []
 
@@ -191,7 +216,7 @@ def run_validation_job(
             "overwrite"
         ).partitionBy("part_key").parquet(f"{output_root}/violations")
 
-    def commit_metrics() -> None:
+    def compute_metrics() -> None:
         metrics = (
             done_data.groupBy("part_key")
             .agg(
@@ -218,9 +243,6 @@ def run_validation_job(
             .select([f.name for f in MANIFEST_SCHEMA.fields])
         )
         metric_rows.extend(metrics.collect())
-        spark.createDataFrame(metric_rows, MANIFEST_SCHEMA).write.mode(
-            "append"
-        ).parquet(manifest_path)
 
     import threading
 
@@ -234,7 +256,7 @@ def run_validation_job(
 
     threads = [
         threading.Thread(target=guarded, args=(write_violations,)),
-        threading.Thread(target=guarded, args=(commit_metrics,)),
+        threading.Thread(target=guarded, args=(compute_metrics,)),
     ]
     for t in threads:
         t.start()
@@ -242,6 +264,10 @@ def run_validation_job(
         t.join()
     if failures:
         raise failures[0]
+    # commit LAST: every derived output above succeeded
+    spark.createDataFrame(metric_rows, MANIFEST_SCHEMA).write.mode(
+        "append"
+    ).parquet(manifest_path)
 
     return {
         "job_id": job_id,

@@ -33,8 +33,12 @@ from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def _dot(a, b):
+    # widen to double BEFORE multiplying: (float32*float32).cast(double)
+    # rounds the product to float32 first, which diverges from every
+    # double-precision re-derivation (numpy, DuckDB ::DOUBLE[]) by ~1e-8 —
+    # enough to flip ~0.6% of round-6 oracle comparisons on real data
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -42,7 +46,9 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double"))
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
     )
 
 

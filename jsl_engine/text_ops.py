@@ -227,8 +227,26 @@ def minhash_near_duplicates(
     (banding + both verify joins). Single-job convenience: at 10^12 docs
     the signatures are ~0.5 KB/doc — there, write them to a table once
     (the manifest pattern) and run banding/verify against the stored
-    table instead of a cache."""
+    table instead of a cache. The cache stays pinned for the session
+    (unpersisting before the returned frame is consumed would defeat it);
+    long-lived drivers should materialize instead."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+    return near_duplicates_from_signatures(
+        sigs, id_col, threshold, bands, num_hashes
+    )
+
+
+def near_duplicates_from_signatures(
+    sigs: DataFrame,
+    id_col: str,
+    threshold: float,
+    bands: int,
+    num_hashes: int,
+) -> DataFrame:
+    """LSH banding + estimated-Jaccard verification over a signature
+    table — the common tail of every MinHash pipeline (JVM and Arrow
+    signature kernels both feed it). ``sigs`` should be materialized
+    (cache or storage): three plan branches consume it."""
     cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -327,7 +345,9 @@ def simhash_near_duplicates(
     # itself drops to 0.96s once signatures are materialized). The cache
     # holds (id, simhash, block) = ~24 bytes/doc — spillable, and ~24 GB
     # per 1000 executors at 10^12 docs; beyond that, write the signature
-    # table once and join against storage.
+    # table once and join against storage. The cache stays pinned for the
+    # session (it backs the returned lazy frame); long-lived drivers
+    # should materialize instead.
     h = simhash(df, text_col, id_col).withColumn(
         "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
     ).cache()
@@ -701,6 +721,15 @@ def fingerprint_overlap_pairs(
     the self-join, so they contribute zero pairs (see
     :func:`lsh_candidate_pairs` for the rationale)."""
     flat = _winnow_flat(df, text_col, id_col, k, window)
+    return overlap_pairs_from_flat(flat, id_col, min_shared, max_bucket)
+
+
+def overlap_pairs_from_flat(
+    flat: DataFrame, id_col: str, min_shared: int, max_bucket: int
+) -> DataFrame:
+    """Guard + self-join + shared-count over ``(id, fp)`` rows — the
+    common tail of every fingerprint-overlap pipeline (JVM and Arrow
+    winnowing kernels both feed it)."""
     w = Window.partitionBy("fp")
     pruned = (
         flat.withColumn("__n", F.count(F.lit(1)).over(w))

@@ -28,7 +28,11 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-_WS = re.compile(r"\s+")
+#: ASCII flag: Java regex \s (the JVM kernels' normalizer) matches only
+#: ASCII whitespace, while Python's default \s is Unicode-aware — without
+#: the flag, documents containing NBSP/U+2028/U+0085 would shingle
+#: differently across the two kernels.
+_WS = re.compile(r"\s+", re.ASCII)
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -47,7 +51,10 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     :func:`jsl_engine.text_ops.normalized`; SimHash weights repeated
     shingles — matching the JVM variant — and MinHash's min is unaffected
     by repeats, so one kernel serves both)."""
-    words = _WS.sub(" ", text.lower()).strip().split(" ")
+    # strip(' ') not strip(): after the ASCII-\s collapse the edges are
+    # plain spaces, and Python's bare strip() would also remove Unicode
+    # whitespace that the JVM's F.trim (space-only) keeps
+    words = _WS.sub(" ", text.lower()).strip(" ").split(" ")
     k = max(len(words) - n + 1, 1)
     crc = zlib.crc32
     return np.fromiter(
@@ -203,34 +210,14 @@ def fingerprint_overlap_pairs_arrow(
     min_shared: int = 2,
     max_bucket: int = 64,
 ) -> DataFrame:
-    """Containment candidates on the Arrow winnowing kernel — identical
-    guard-then-join shape as the JVM pipeline, one shuffle fewer (see
+    """Containment candidates on the Arrow winnowing kernel — the shared
+    guard-then-join tail (:func:`jsl_engine.text_ops.overlap_pairs_from_flat`),
+    one shuffle fewer on the fingerprint side (see
     :func:`winnow_flat_arrow`)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    from jsl_engine.text_ops import overlap_pairs_from_flat
 
     flat = winnow_flat_arrow(df, text_col, id_col, k, window)
-    w = Window.partitionBy("fp")
-    pruned = (
-        flat.withColumn("__n", F.count(F.lit(1)).over(w))
-        .where(F.col("__n") <= max_bucket)
-        .drop("__n")
-    )
-    a, b = pruned.alias("a"), pruned.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= min_shared)
-    )
+    return overlap_pairs_from_flat(flat, id_col, min_shared, max_bucket)
 
 
 def minhash_near_duplicates_arrow(
@@ -242,32 +229,13 @@ def minhash_near_duplicates_arrow(
     bands: int = 16,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """End-to-end near-dup on the Arrow signature kernel: identical LSH
-    banding + estimated-Jaccard verification as the JVM pipeline (the
-    signature table is the interface; everything downstream is shared)."""
-    from pyspark.sql import functions as F
-
-    from jsl_engine.text_ops import lsh_candidate_pairs
+    """End-to-end near-dup on the Arrow signature kernel: the shared LSH
+    banding + estimated-Jaccard tail
+    (:func:`jsl_engine.text_ops.near_duplicates_from_signatures`) — the
+    signature table is the interface. Cache note as on the JVM variant:
+    the signature cache stays pinned for the session; materialize to a
+    table in long-lived drivers."""
+    from jsl_engine.text_ops import near_duplicates_from_signatures
 
     sigs = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n).cache()
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.round(
-                F.aggregate(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                    F.lit(0),
-                    lambda acc, v: acc + v,
-                ).cast("double")
-                / F.size("sig_a"),
-                6,
-            ),
-        )
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    return near_duplicates_from_signatures(sigs, id_col, threshold, bands, num_hashes)

@@ -121,3 +121,27 @@ def test_manifest_hll_global_distinct(spark, corpus, tmp_path):
 
     run_validation_job(spark, corpus, schema, output_root=root)  # no-op resume
     assert global_distinct_docs(spark, f"{root}/manifest") == est
+
+
+def test_manifest_commits_only_after_derived_outputs(spark, corpus, tmp_path, monkeypatch):
+    """If the violations write fails, NO manifest row may be committed —
+    otherwise a resumed run would skip the partition and the violations
+    dataset would silently lack its rows forever (the commit-ordering
+    invariant of run_validation_job)."""
+    import jsl_engine.manifest as M
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated violations-write failure")
+
+    monkeypatch.setattr(M, "violations", boom)
+    root = str(tmp_path / "out_crash")
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated"):
+        run_validation_job(spark, corpus, schema, output_root=root)
+    assert M.read_manifest(spark, f"{root}/manifest").count() == 0
+
+    monkeypatch.undo()
+    r = run_validation_job(spark, corpus, schema, output_root=root)
+    assert r["docs"] == 1200  # resume re-processes everything
