@@ -236,6 +236,52 @@ def test_corpus_end_to_end(spark):
         validated.unpersist()
 
 
+def test_random_documents_spark_equals_kernel(spark):
+    """Randomized Spark round-trip: ~2000 random instances (unicode
+    strings, nested containers, numeric edges) against a multi-form
+    schema must get exactly the kernel's verdict and error count through
+    the full mapInArrow path — one Spark job, seeds fixed."""
+    import random
+
+    from jsl_engine.kernel import validate
+
+    sys_schema = {
+        "definitions": {"s": {"type": "string"}},
+        "properties": {
+            "a": {"type": "int32"},
+            "b": {"elements": {"ref": "s"}},
+        },
+        "optionalProperties": {"c": {"enum": ["x", "y", "日本"]}},
+    }
+    rng = random.Random(4242)
+
+    def rand_val(depth=2):
+        r = rng.random()
+        if depth == 0 or r < 0.35:
+            return rng.choice(
+                [None, True, False, 0, -1, 2**31, 0.5, -0.0, "", "x",
+                 "日本", "a/b~c", 1e300, rng.randint(-(2**40), 2**40)]
+            )
+        if r < 0.6:
+            return [rand_val(depth - 1) for _ in range(rng.randint(0, 3))]
+        return {rng.choice(["a", "b", "c", "zz", "日"]): rand_val(depth - 1)
+                for _ in range(rng.randint(0, 3))}
+
+    docs = [rand_val() for _ in range(2000)]
+    compiled = compile_schema(sys_schema)
+    df = spark.createDataFrame(
+        [Row(repo="r", path=str(i), commit="c",
+             content=json.dumps(d, ensure_ascii=False)) for i, d in enumerate(docs)]
+    )
+    out = {int(r.path): r for r in validate_df(df, compiled).collect()}
+    for i, d in enumerate(docs):
+        errors = validate(compiled, d)
+        row = out[i]
+        assert row.error is None, (i, row.error)
+        assert row.ok == (not errors), (i, d)
+        assert row.n_errors == len(errors), (i, d)
+
+
 def test_corpus_deterministic(spark):
     a = generate_corpus(spark, 500, seed=7, partitions=2).collect()
     b = generate_corpus(spark, 500, seed=7, partitions=5).collect()
