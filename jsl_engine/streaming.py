@@ -136,6 +136,86 @@ def dedup_stream_watermarked(
     )
 
 
+def streaming_histogram_drift(
+    stream: DataFrame,
+    value_col: str,
+    key_col: str,
+    *,
+    baseline: dict[str, list[int]],
+    lo: float,
+    hi: float,
+    bins: int = 32,
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-key
+    running histogram of ``value_col`` across microbatches, emitting after
+    every batch::
+
+        key, n_total, chi2_vs_baseline
+
+    State per key is the fixed-width histogram counts (``bins`` longs —
+    bounded regardless of stream length); each batch bin-counts its rows
+    with numpy, adds them to state, and emits the chi-square statistic of
+    the accumulated histogram against the provided ``baseline`` histogram
+    (expected frequencies scaled to the observed total; empty baseline
+    bins are excluded, the standard guard). This is the drift-monitor
+    shape a validation firehose needs: "has this repo's document-size
+    distribution drifted from the reference profile?" answered
+    incrementally, without reprocessing history.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    width = (hi - lo) / bins
+    out_type = StructType(
+        [
+            StructField("key", StringType(), False),
+            StructField("n_total", LongType(), False),
+            StructField("chi2_vs_baseline", DoubleType(), False),
+        ]
+    )
+    state_type = StructType([StructField("counts", ArrayType(LongType()), True)])
+
+    def update(key, pdf_iter, state: GroupState):
+        counts = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(bins, dtype=np.int64)
+        )
+        for pdf in pdf_iter:
+            v = pdf[value_col].to_numpy(dtype=np.float64)
+            idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+            counts += np.bincount(idx, minlength=bins)
+        state.update((counts.tolist(),))
+        base = np.array(baseline.get(key[0], [0] * bins), dtype=np.float64)
+        n = int(counts.sum())
+        chi2 = 0.0
+        if n > 0 and base.sum() > 0:
+            expected = base / base.sum() * n
+            mask = expected > 0
+            chi2 = float(
+                (((counts[mask] - expected[mask]) ** 2) / expected[mask]).sum()
+            )
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_total": [n], "chi2_vs_baseline": [chi2]}
+        )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     *,

@@ -201,3 +201,62 @@ def test_dedup_stream(spark, tmp_path):
     out = spark.sql("SELECT content_sha256 FROM stream_dedup").collect()
     assert len(out) == n_distinct
     assert len({r.content_sha256 for r in out}) == n_distinct
+
+
+def test_streaming_histogram_drift_accumulates(spark, tmp_path):
+    """applyInPandasWithState custom operator: the per-key histogram state
+    must accumulate across microbatches — the final chi2 equals a batch
+    computation over ALL the data against the same baseline."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from jsl_engine.streaming import streaming_histogram_drift
+
+    corpus_path = str(tmp_path / "corpus_h")
+    generate_corpus(spark, 600, seed=47, partitions=6).write.parquet(corpus_path)
+    batch = spark.read.parquet(corpus_path).withColumn(
+        "val", F.length("content").cast("double")
+    )
+    lo, hi, bins = 0.0, 400.0, 16
+
+    # baseline: the lang='python' histogram (drift of others against it)
+    base_rows = batch.where("lang = 'python'").select("val").collect()
+    idx = np.clip(((np.array([r.val for r in base_rows]) - lo) / ((hi - lo) / bins)).astype(int), 0, bins - 1)
+    baseline = {lang: np.bincount(idx, minlength=bins).tolist()
+                for lang in ["python", "rust", "go", "java", "c", "js"]}
+
+    stream = read_corpus_stream(spark, corpus_path, max_files_per_trigger=1).withColumn(
+        "val", F.length("content").cast("double")
+    )
+    q = (
+        streaming_histogram_drift(stream, "val", "lang",
+                                  baseline=baseline, lo=lo, hi=hi, bins=bins)
+        .writeStream.format("memory")
+        .queryName("stream_hist")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_h"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits once per key per batch; n_total is monotone in
+    # batch order, so the max-n_total row per key is the fully
+    # accumulated state (collect order is not batch order)
+    rows = spark.sql("SELECT * FROM stream_hist").collect()
+    final = {}
+    for r in rows:
+        if r.key not in final or r.n_total > final[r.key][0]:
+            final[r.key] = (r.n_total, r.chi2_vs_baseline)
+
+    width = (hi - lo) / bins
+    for lang in ["python", "rust"]:
+        vals = np.array([r.val for r in batch.where(F.col("lang") == lang)
+                         .select("val").collect()])
+        counts = np.bincount(np.clip(((vals - lo) / width).astype(int), 0, bins - 1),
+                             minlength=bins).astype(float)
+        base = np.array(baseline[lang], dtype=float)
+        expected = base / base.sum() * counts.sum()
+        mask = expected > 0
+        want_chi2 = float((((counts[mask] - expected[mask]) ** 2) / expected[mask]).sum())
+        n, chi2 = final[lang]
+        assert n == len(vals)
+        assert abs(chi2 - want_chi2) < 1e-6, (lang, chi2, want_chi2)
