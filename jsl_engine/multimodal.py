@@ -142,6 +142,90 @@ def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
     return pruned.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
+    """Resize pass over image rows: payload → decoded → resized → encoded,
+    metadata updated to the new dimensions (aspect preserved, only
+    downscales). The decode/encode is the labeled stub (no Pillow in this
+    container — a real deployment swaps ``decode_stub``-style seams); the
+    Spark plumbing is real: non-image rows pass through untouched, the
+    batch iterates once, output schema equals input schema.
+    """
+    schema = media.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            w = batch["width"].to_numpy(copy=True)
+            h = batch["height"].to_numpy(copy=True)
+            payloads = list(batch["payload"])
+            for i, kind in enumerate(batch["kind"]):
+                if kind != "image" or w[i] is None or pd.isna(w[i]):
+                    continue
+                side = max(int(w[i]), int(h[i]))
+                if side <= max_side:
+                    continue
+                scale = max_side / side
+                nw, nh = max(1, int(w[i] * scale)), max(1, int(h[i] * scale))
+                # STUB resize: deterministic payload transform standing in
+                # for decode→resize→encode (shape: output smaller, derived
+                # from input bytes + target dims)
+                payloads[i] = hashlib.blake2b(
+                    bytes(payloads[i]), digest_size=32,
+                    person=f"{nw}x{nh}".encode()[:8],
+                ).digest()
+                w[i], h[i] = nw, nh
+            out = batch.copy()
+            out["width"] = w
+            out["height"] = h
+            out["payload"] = payloads
+            out["n_bytes"] = [len(bytes(p)) for p in payloads]
+            yield out
+
+    return media.mapInPandas(run, schema)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("frame", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    (``media_id, frame_index, ts_ms, frame``) — the row-explosion batching
+    pattern a video pipeline needs (a 60s clip becomes ≤ ``max_frames``
+    rows, non-video rows produce nothing). Frame extraction is the
+    labeled stub (no codec libs here): deterministic bytes derived from
+    (payload, ts) with a real frame-grid computation from the metadata.
+    """
+    pruned = media.select("media_id", "kind", "duration_ms", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, kind, dur, payload in zip(
+                batch["media_id"], batch["kind"], batch["duration_ms"], batch["payload"]
+            ):
+                if kind != "video" or dur is None or pd.isna(dur):
+                    continue
+                n = min(max_frames, max(1, int(dur) // every_ms))
+                for j in range(n):
+                    ts = j * every_ms
+                    frame = hashlib.blake2b(
+                        bytes(payload), digest_size=24,
+                        person=f"f{ts}".encode()[:8],
+                    ).digest()
+                    rows.append((int(mid), j, ts, frame))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "ts_ms", "frame"]
+            )
+
+    return pruned.mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only profile — byte sizes come from the ``n_bytes``
     metadata column, not ``length(payload)``, so the scan genuinely prunes

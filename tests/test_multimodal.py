@@ -72,3 +72,56 @@ def test_synth_media_deterministic(spark):
     ka = sorted((r.media_id, bytes(r.payload)) for r in a)
     kb = sorted((r.media_id, bytes(r.payload)) for r in b)
     assert ka == kb
+
+
+def test_resize_images_plumbing(spark):
+    """Resize: only oversized images change (metadata + payload + n_bytes
+    consistent, aspect preserved); audio/video rows pass through
+    byte-identical; schema unchanged."""
+    media = M.synth_media(spark, 60, seed=5, partitions=2).cache()
+    try:
+        out = M.resize_images(media, max_side=128)
+        assert out.schema == media.schema
+        before = {r.media_id: r for r in media.collect()}
+        after = {r.media_id: r for r in out.collect()}
+        assert set(before) == set(after)
+        changed = 0
+        for mid, b in before.items():
+            a = after[mid]
+            if b.kind != "image":
+                assert bytes(a.payload) == bytes(b.payload)
+                continue
+            if max(b.width, b.height) <= 128:
+                assert (a.width, a.height) == (b.width, b.height)
+            else:
+                changed += 1
+                assert max(a.width, a.height) <= 128
+                # aspect preserved within integer rounding
+                assert abs(a.width / a.height - b.width / b.height) < 0.1
+                assert a.n_bytes == len(bytes(a.payload))
+        assert changed > 0  # fixture has oversized images
+    finally:
+        media.unpersist()
+
+
+def test_sample_frames_grid(spark):
+    """Frame sampling: one row per sampled frame, videos only, count
+    follows the duration grid capped at max_frames, deterministic."""
+    media = M.synth_media(spark, 60, seed=5, partitions=2).cache()
+    try:
+        frames = M.sample_frames(media, every_ms=1000, max_frames=8)
+        rows = frames.collect()
+        vids = {r.media_id: r.duration_ms for r in media.where("kind = 'video'").collect()}
+        by_media = {}
+        for r in rows:
+            by_media.setdefault(r.media_id, []).append(r)
+        assert set(by_media) == set(vids)
+        for mid, fr in by_media.items():
+            want = min(8, max(1, vids[mid] // 1000))
+            assert len(fr) == want
+            assert sorted(f.ts_ms for f in fr) == [j * 1000 for j in range(want)]
+        again = {(r.media_id, r.frame_index): bytes(r.frame)
+                 for r in M.sample_frames(media, every_ms=1000, max_frames=8).collect()}
+        assert all(again[(r.media_id, r.frame_index)] == bytes(r.frame) for r in rows)
+    finally:
+        media.unpersist()
