@@ -139,3 +139,27 @@ def partition_key(df: DataFrame, prefix_len: int = 2, col: str = "repo") -> Data
     over a hex-ish name space yields ~O(1k) partitions.
     """
     return df.withColumn("part_key", F.substring(F.col(col), 1, prefix_len))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    *,
+    buckets: int = 64,
+    sorted_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and sorted) on its join keys so repeated
+    joins against it are **co-located**: two tables bucketed on the same
+    keys with the same bucket count sort-merge-join with ZERO exchanges
+    (plan-gated in tests/test_plans.py). This is the storage-side answer
+    to a join that runs every day at 10^12 rows — pay the shuffle once at
+    write time instead of per query. Parquet + session catalog here;
+    Iceberg bucket-partition transforms on a production cluster."""
+    w = df.write.bucketBy(buckets, *keys)
+    if sorted_by is None:
+        sorted_by = keys
+    if sorted_by:
+        w = w.sortBy(*sorted_by)
+    w.mode(mode).saveAsTable(table)

@@ -6,3 +6,34 @@ def test_plan_properties():
     from tools.explain_plans import main
 
     assert main("/root/testdata/sf0.001") == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Tables bucketed on the join key must sort-merge-join with zero
+    Exchange operators (the pay-shuffle-once-at-write-time contract of
+    partitioning.write_bucketed)."""
+    from pyspark.sql import functions as F
+
+    from jsl_engine.partitioning import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name"
+        )
+        write_bucketed(orders, "orders_bucketed", ["o_custkey"], buckets=8)
+        write_bucketed(cust, "customer_bucketed", ["o_custkey"], buckets=8)
+        j = spark.table("orders_bucketed").join(
+            spark.table("customer_bucketed"), "o_custkey"
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS customer_bucketed")
