@@ -129,10 +129,16 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps in `percentile_approx` (KLL sketch, one pass, no sort) — same
     column contract."""
     df = _t(spark, sf_dir, "lineitem")
+    # one percentile(col, array(...)) call: the value buffer is built once
+    # for all four quantiles instead of once per quantile
     agg = df.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))"
+        ).alias("ps")
+    ).select(
         *[
-            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(f"p{n}")
-            for n, p in [(25, 0.25), (50, 0.5), (75, 0.75), (95, 0.95)]
+            F.round(F.element_at("ps", i + 1), 6).alias(f"p{n}")
+            for i, n in enumerate((25, 50, 75, 95))
         ]
     )
     return agg.selectExpr(
