@@ -256,10 +256,11 @@ def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates (SRP bucket -> exact cosine >=
-    threshold) — fully oracled: the seeded hyperplanes are deterministic
-    Python data, so the oracle embeds the same plane literals and
-    replicates bucketing + re-rank in SQL."""
+    """Embedding-cosine near-duplicates (SRP bucket -> oversized-bucket
+    guard -> exact cosine >= threshold) — fully oracled: the seeded
+    hyperplanes are deterministic Python data, so the oracle embeds the
+    same plane literals and replicates bucketing, the max_bucket guard
+    (QUALIFY window count) and the re-rank in SQL."""
     from jsl_engine.similarity import embedding_near_duplicates
 
     # the testdata embeddings are random gaussians (max within-bucket
@@ -267,7 +268,8 @@ def q_embedding_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     # value-bearing rows for the hash gate; real corpora run 0.95+ (the
     # planted-clone pytest covers that regime)
     return embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.2, n_planes=12, seed=42
+        _t(spark, sf_dir, "embeddings"), threshold=0.2, n_planes=12, seed=42,
+        max_bucket=1024, dim=64,
     )
 
 
@@ -582,8 +584,9 @@ def _language_id_oracle_sql() -> str:
 def _embedding_near_dup_oracle_sql() -> str:
     """DuckDB re-derivation of SRP-bucketed embedding near-dup: the
     seeded hyperplanes come from the same ``_random_planes(64, 12, 42)``
-    call the Spark operator uses, embedded as literals, so bucketing and
-    the exact-cosine re-rank replicate bit-for-bit."""
+    call the Spark operator uses, embedded as literals, so bucketing, the
+    oversized-bucket guard (``QUALIFY count <= max_bucket``) and the
+    exact-cosine re-rank replicate bit-for-bit."""
     from jsl_engine.similarity import _random_planes
 
     planes = _random_planes(64, 12, 42)
@@ -599,13 +602,15 @@ def _embedding_near_dup_oracle_sql() -> str:
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         b AS (SELECT vec_id, e,
                {bucket} AS bucket
-              FROM v)
+              FROM v),
+        g AS (SELECT * FROM b
+              QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 1024)
         SELECT id_a, id_b, cos_sim FROM (
             SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
                    ROUND(list_dot_product(a.e, bb.e)
                          / (sqrt(list_dot_product(a.e, a.e))
                             * sqrt(list_dot_product(bb.e, bb.e))), 6) AS cos_sim
-            FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+            FROM g a JOIN g bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
         ) WHERE cos_sim >= 0.2
     """
 

@@ -143,6 +143,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     multi_probe: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: SRP-bucket the corpus once, probe each
     query's bucket, exact-rank within it. Same output shape as
@@ -153,8 +154,12 @@ def lsh_topk(
     query by exactly one hyperplane is then still found. The probe
     explosion lives on the tiny broadcast query side, so corpus-side cost
     is unchanged — this is the production default at scale; single-probe
-    is kept as the minimal-recall baseline."""
-    dim = len(vectors.select(vec_col).first()[0])
+    is kept as the minimal-recall baseline.
+
+    Pass ``dim`` (the embedding width) to keep plan construction
+    action-free; if omitted it is probed with a one-row job."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     planes = _random_planes(dim, n_planes, seed)
     v = vectors.select(
         F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
@@ -391,13 +396,38 @@ def embedding_near_duplicates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 1024,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: SRP bucket → pair within bucket →
-    exact cosine ≥ threshold. Returns ``id_a, id_b, cos_sim``."""
-    dim = len(vectors.select(vec_col).first()[0])
+    exact cosine ≥ threshold. Returns ``id_a, id_b, cos_sim``.
+
+    Scale-critical ordering (same pattern as
+    :func:`jsl_engine.text_ops.lsh_candidate_pairs`): real embedding
+    corpora are *clustered* — that is the point of near-dup detection —
+    so a dense cluster collapsing into one ``n_planes``-bit bucket of
+    10^6 vectors would materialize ~5·10^11 pairs. Buckets larger than
+    ``max_bucket`` are therefore pruned with a windowed bucket count
+    **before** the self-join, contributing zero join rows; the window
+    partitions on the same bucket key the join shuffles on, so its
+    exchange is reused. The guard is action-free and unconditional.
+    Oversized buckets are a signal to raise ``n_planes`` (finer buckets)
+    or cluster-then-dedup within cells; dropping them is the standard
+    bounded-cost trade.
+
+    Pass ``dim`` (the embedding width) to keep plan construction
+    action-free; if omitted it is probed with a one-row job."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     planes = _random_planes(dim, n_planes, seed)
     v = vectors.select(
         F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    w = Window.partitionBy("bucket")
+    v = (
+        v.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__bucket_n") <= max_bucket)
+        .drop("__bucket_n")
     )
     a, b = v.alias("a"), v.alias("b")
     return (

@@ -92,6 +92,37 @@ def test_embedding_near_duplicates(spark, vectors):
     assert len(pairs) <= 3
 
 
+def test_embedding_near_dup_oversized_bucket_guard(spark):
+    """A dense cluster bigger than max_bucket must contribute ZERO pairs
+    (pruned before the self-join), while a small planted pair in another
+    bucket survives; with the guard relaxed the cluster pairs reappear."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    # 80 near-identical vectors -> one bucket of 80 (every SRP sign equal)
+    cluster = [base + rng.normal(scale=1e-4, size=16) for _ in range(80)]
+    other = -base  # opposite bucket
+    pair = [other + rng.normal(scale=1e-4, size=16), other]
+    vecs = cluster + pair
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(rows)
+
+    guarded = S.embedding_near_duplicates(
+        df, threshold=0.99, n_planes=8, max_bucket=64, dim=16
+    )
+    pairs = {(r.id_a, r.id_b) for r in guarded.collect()}
+    # the 80-vector cluster (> max_bucket) is pruned entirely; the pair of
+    # ids 80/81 in the small bucket is still found
+    assert pairs == {(80, 81)}
+
+    relaxed = S.embedding_near_duplicates(
+        df, threshold=0.99, n_planes=8, max_bucket=1000, dim=16
+    )
+    n_relaxed = relaxed.count()
+    assert n_relaxed >= 80 * 79 // 2  # cluster pairs all back
+
+
 def test_ivf_topk_recall(spark):
     """IVF with clustered data: high recall vs brute force; full probe
     (n_probe = n_cells) must equal brute force exactly."""

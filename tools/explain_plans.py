@@ -116,6 +116,17 @@ def main(sf_dir: str) -> int:
                 must_contain=["__n", "Window"],
                 must_not=["CartesianProduct"])
 
+    # 8. embedding near-dup: the oversized-bucket guard (windowed bucket
+    #    count, column dropped pre-join) sits upstream of the self-join —
+    #    a dense cluster collapsing into one SRP bucket contributes zero
+    #    pairs instead of ~n²/2; and no cartesian product
+    from jsl_engine.similarity import embedding_near_duplicates
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ed = embedding_near_duplicates(emb, threshold=0.2, n_planes=12, dim=64)
+    ok &= check("embedding guard before join", ed,
+                must_contain=["__bucket_n", "Window"],
+                must_not=["CartesianProduct"])
+
     print("ALL OK" if ok else "PLAN REGRESSIONS FOUND")
     return 0 if ok else 1
 
