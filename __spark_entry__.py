@@ -229,13 +229,25 @@ def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs with multi-probe blocking (rows-only:
-    xxhash64 bit patterns have no DuckDB analogue; recall and exactness
-    of the Hamming verify are pytest-gated)."""
+    """SimHash near-duplicate pairs via pigeonhole block banding —
+    guaranteed 100% recall within the Hamming budget at max_hamming+1
+    banded rows per doc (rows-only: xxhash64 bit patterns have no DuckDB
+    analogue; exact recall is pytest-gated against ground truth)."""
     from jsl_engine.text_ops import simhash_near_duplicates
 
-    return simhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), max_hamming=3, multi_probe=True
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_simhash_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups on the Arrow-batched numpy signature kernel —
+    the 10^12-doc path (interpreted HOF lambdas are the JVM variant's
+    floor) — sharing the pigeonhole banding + exact Hamming verify tail.
+    Rows-only: the numpy hash family has no SQL analogue; pipeline
+    equivalence with the JVM variant is pytest-gated on planted pairs."""
+    from jsl_engine.text_ops_arrow import simhash_near_duplicates_arrow
+
+    return simhash_near_duplicates_arrow(
+        _t(spark, sf_dir, "documents"), max_hamming=3
     )
 
 
@@ -463,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score_documents": q_quality_score_documents,
         "exact_dup_documents": q_exact_dup_documents,
         "simhash_near_dup_documents": q_simhash_near_dup_documents,
+        "simhash_near_dup_arrow": q_simhash_near_dup_arrow,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "embedding_near_dup_embeddings": q_embedding_near_dup_embeddings,
         "token_stats_by_lang": q_token_stats_by_lang,

@@ -218,19 +218,25 @@ def minhash_near_duplicates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    cache: bool = True,
 ) -> DataFrame:
     """End-to-end MinHash near-dup: signatures → LSH candidates → verify
     with estimated Jaccard (fraction of equal signature components) ≥
     threshold. Returns ``id_a, id_b, est_jaccard``.
 
-    The signature table is cached because three plan branches consume it
-    (banding + both verify joins). Single-job convenience: at 10^12 docs
-    the signatures are ~0.5 KB/doc — there, write them to a table once
-    (the manifest pattern) and run banding/verify against the stored
-    table instead of a cache. The cache stays pinned for the session
-    (unpersisting before the returned frame is consumed would defeat it);
-    long-lived drivers should materialize instead."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n).cache()
+    ``cache=True`` (default) caches the signature table because three
+    plan branches consume it (banding + both verify joins). Single-job
+    convenience: at 10^12 docs the signatures are ~0.5 KB/doc — there,
+    write them to a table once (the manifest pattern), run banding/verify
+    against the stored table, and pass ``cache=False``. The cache stays
+    pinned for the session (unpersisting before the returned frame is
+    consumed would defeat it)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    if cache:
+        # eager: see simhash_near_duplicates — a lazy cache races the
+        # join build sides within the first action
+        sigs = sigs.cache()
+        sigs.count()
     return near_duplicates_from_signatures(
         sigs, id_col, threshold, bands, num_hashes
     )
@@ -318,57 +324,62 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.select(F.col(id_col), packed.alias("simhash"))
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
+def simhash_pairs_from_hashes(
+    h: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
-    multi_probe: bool = False,
+    max_bucket: int = 4096,
 ) -> DataFrame:
-    """SimHash near-dups: block on the top ``prefix_bits`` bits (docs
-    within small Hamming distance usually share the prefix), then verify
-    ``bit_count(a XOR b) <= max_hamming``. Returns id_a, id_b, hamming.
+    """Pigeonhole block banding + exact Hamming verify over an
+    ``(id, simhash)`` table — the common tail of every SimHash pipeline
+    (JVM and Arrow signature kernels both feed it).
 
-    ``multi_probe=True`` additionally probes every one-bit rotation of the
-    prefix on one side of the join, so a pair whose single differing bit
-    lands *inside* the blocking prefix is still found (the standard
-    multi-probe trade: candidate volume ×(prefix_bits+1) on one side,
-    miss rate down by the in-prefix bit-flip probability). Each matching
-    pair is produced by exactly one probe — equal blocks match only the
-    un-flipped probe, blocks differing in bit j only probe j — so no
-    dedup pass is needed. The verify stage is exact either way."""
-    # cache the signature table (same pattern as minhash_near_duplicates'
-    # sigs.cache()): the simhash expression is shuffle-free, so each
-    # branch of the self-join would otherwise re-evaluate the whole
-    # shingle pipeline — measured 12.6s -> ~7s total at sf0.1 (the join
-    # itself drops to 0.96s once signatures are materialized). The cache
-    # holds (id, simhash, block) = ~24 bytes/doc — spillable, and ~24 GB
-    # per 1000 executors at 10^12 docs; beyond that, write the signature
-    # table once and join against storage. The cache stays pinned for the
-    # session (it backs the returned lazy frame); long-lived drivers
-    # should materialize instead.
-    h = simhash(df, text_col, id_col).withColumn(
-        "block", F.shiftrightunsigned("simhash", 64 - prefix_bits)
-    ).cache()
-    if multi_probe:
-        probes = F.array(
-            F.col("block"),
-            *[
-                F.col("block").bitwiseXOR(F.lit(1 << i).cast("bigint"))
-                for i in range(prefix_bits)
-            ],
+    The 64 signature bits are split into ``max_hamming + 1`` contiguous
+    blocks: a pair within Hamming distance ``max_hamming`` differs in at
+    most ``max_hamming`` bits, so at least one block carries **zero**
+    differing bits and the pair collides on that block's exact value —
+    **guaranteed 100% recall** (pigeonhole principle), unlike prefix
+    blocking or multi-probe, at only ``max_hamming + 1`` banded rows per
+    document. The verify stage (``bit_count(a XOR b) <= max_hamming``) is
+    exact, so precision is 1.0 by construction; a pair matching in
+    several blocks is deduplicated by the final ``distinct``.
+
+    Scale shape mirrors :func:`lsh_candidate_pairs`: the oversized-bucket
+    guard (windowed count on the (block, value) key, pruned rows
+    contribute zero pairs) runs *before* the self-join and partitions on
+    the join keys. ``h`` should be materialized (cache or storage): the
+    self-join evaluates the signature plan once per branch — exchange
+    reuse does not trigger across the dedup-rewritten branches (measured:
+    12.1 s uncached vs 7 s cached at sf0.1, and the shuffle_merge-hinted
+    SMJ variant still re-evaluated both branches at 9.1 s).
+    """
+    n_blocks = max_hamming + 1
+    base_w, extra = divmod(64, n_blocks)
+    widths = [base_w + 1 if i < extra else base_w for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    block_vals = [
+        F.shiftrightunsigned("simhash", off).bitwiseAND(
+            F.lit((1 << w) - 1).cast("bigint")
         )
-        a = h.select(
-            F.col(id_col), F.col("simhash"), F.explode(probes).alias("block")
-        ).alias("a")
-    else:
-        a = h.alias("a")
-    b = h.alias("b")
+        for off, w in zip(offsets, widths)
+    ]
+    banded = h.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*block_vals)).alias("block", "block_val"),
+    )
+    w = Window.partitionBy("block", "block_val")
+    pruned = (
+        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__bucket_n") <= max_bucket)
+        .drop("__bucket_n")
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
     return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
@@ -379,7 +390,46 @@ def simhash_near_duplicates(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+    cache: bool = True,
+) -> DataFrame:
+    """SimHash near-dups with **exact recall**: pigeonhole block banding
+    (split the 64 bits into ``max_hamming + 1`` blocks — any pair within
+    the Hamming budget shares at least one exact block value) followed by
+    an exact ``bit_count`` verify. Returns ``id_a, id_b, hamming``.
+
+    Replaces the earlier prefix+multi-probe formulation, which produced
+    ×(prefix_bits+1) probe rows on a full side of the self-join and still
+    missed pairs differing in ≥2 prefix bits; pigeonhole banding emits
+    only ``max_hamming + 1`` rows per document and misses nothing (see
+    :func:`simhash_pairs_from_hashes` for the guarantee and the
+    oversized-bucket guard).
+
+    ``cache=True`` (default) caches the 16-byte/doc ``(id, simhash)``
+    table: the self-join would otherwise evaluate the signature
+    expression once per branch (measured 12.1 s vs 7 s total at sf0.1 —
+    exchange reuse does not trigger across the dedup-rewritten branches).
+    The cache stays pinned for the session; long-lived drivers should
+    pass ``cache=False`` and materialize the signature table to storage
+    instead (the manifest pattern)."""
+    h = simhash(df, text_col, id_col)
+    if cache:
+        # eager materialization: within a single action the broadcast/build
+        # side of the self-join starts before the probe side has populated
+        # a lazy cache, so the signature plan would still run twice
+        # (measured 10.7 s lazy vs ~7 s eager at sf0.1)
+        h = h.cache()
+        h.count()
+    return simhash_pairs_from_hashes(h, id_col, max_hamming, max_bucket)
 
 
 # ---------------------------------------------------------------------------

@@ -220,6 +220,31 @@ def fingerprint_overlap_pairs_arrow(
     return overlap_pairs_from_flat(flat, id_col, min_shared, max_bucket)
 
 
+def simhash_near_duplicates_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+    max_bucket: int = 4096,
+    cache: bool = True,
+) -> DataFrame:
+    """SimHash near-dups on the Arrow signature kernel — the 10^12-doc
+    path: signatures from :func:`simhash_arrow` (numpy sign-matrix, no
+    interpreted HOF lambdas), then the shared pigeonhole-banding + exact
+    Hamming verify tail (:func:`jsl_engine.text_ops.simhash_pairs_from_hashes`,
+    100% recall within ``max_hamming``). ``cache`` as on the JVM variant
+    (the self-join evaluates the kernel once per branch otherwise);
+    long-lived drivers pass ``cache=False`` and materialize to storage."""
+    from jsl_engine.text_ops import simhash_pairs_from_hashes
+
+    h = simhash_arrow(df, text_col, id_col, shingle_n)
+    if cache:
+        h = h.cache()
+        h.count()  # eager: see the JVM variant
+    return simhash_pairs_from_hashes(h, id_col, max_hamming, max_bucket)
+
+
 def minhash_near_duplicates_arrow(
     df: DataFrame,
     text_col: str = "text",
@@ -228,14 +253,18 @@ def minhash_near_duplicates_arrow(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    cache: bool = True,
 ) -> DataFrame:
     """End-to-end near-dup on the Arrow signature kernel: the shared LSH
     banding + estimated-Jaccard tail
     (:func:`jsl_engine.text_ops.near_duplicates_from_signatures`) — the
     signature table is the interface. Cache note as on the JVM variant:
-    the signature cache stays pinned for the session; materialize to a
-    table in long-lived drivers."""
+    the signature cache stays pinned for the session; long-lived drivers
+    pass ``cache=False`` and materialize to a table instead."""
     from jsl_engine.text_ops import near_duplicates_from_signatures
 
-    sigs = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n).cache()
+    sigs = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n)
+    if cache:
+        sigs = sigs.cache()
+        sigs.count()  # eager: see the JVM variant
     return near_duplicates_from_signatures(sigs, id_col, threshold, bands, num_hashes)

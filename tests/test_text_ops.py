@@ -88,21 +88,14 @@ def test_lsh_oversized_bucket_bounds_pairs(spark):
 
 
 def test_simhash_near_duplicates(spark, docs):
-    # prefix_bits=8: single-probe blocking misses near-dups whose differing
-    # bit lands inside the block prefix (multi-probe fixes that at scale);
-    # a coarser block keeps this correctness test recall-complete
     out = {(r.id_a, r.id_b): r.hamming
-           for r in T.simhash_near_duplicates(docs, max_hamming=12, prefix_bits=8).collect()}
+           for r in T.simhash_near_duplicates(docs, max_hamming=12).collect()}
     assert out.get((1, 2)) == 0  # identical → identical simhash
     assert out.get((1, 3)) == 1 and out.get((2, 3)) == 1  # near-dup found
     assert (4, 5) not in out  # unrelated texts differ
 
 
-def test_simhash_multi_probe_beats_single(spark):
-    """One-bit prefix rotations must strictly improve recall on planted
-    near-dups whose differing bits land inside the blocking prefix, and
-    must introduce no false pairs (the Hamming verify stage is exact).
-    Deterministic fixture; measured 0.225 -> 0.5 recall."""
+def _planted_corpus(spark):
     words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
              "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
              "pi", "rho", "sigma", "tau", "upsilon"]
@@ -113,20 +106,36 @@ def test_simhash_multi_probe_beats_single(spark):
         var = base.replace(words[p % 20] + str((p * 31) % 97), "CHANGED", 1)
         rows.append(Row(doc_id=2 * p, text=base))
         rows.append(Row(doc_id=2 * p + 1, text=var))
-    df = spark.createDataFrame(rows)
-    planted = {(2 * p, 2 * p + 1) for p in range(40)}
+    return spark.createDataFrame(rows)
 
-    def recall(multi):
-        got = {(r.id_a, r.id_b)
-               for r in T.simhash_near_duplicates(
-                   df, max_hamming=8, prefix_bits=24, multi_probe=multi
-               ).collect()}
-        assert not (got - planted)  # exact verify: no false pairs
-        return len(got & planted) / len(planted)
 
-    single, multi = recall(False), recall(True)
-    assert multi > single
-    assert multi >= 0.45, (single, multi)
+def test_simhash_pigeonhole_exact_recall(spark):
+    """Pigeonhole block banding must find EVERY pair within the Hamming
+    budget (100% recall — the guarantee that replaced the probabilistic
+    multi-probe formulation) and, because the bit_count verify is exact,
+    produce exactly the ground-truth pair set."""
+    df = _planted_corpus(spark)
+    max_hamming = 8
+    sig = {r.doc_id: r.simhash for r in T.simhash(df).collect()}
+    truth = {
+        (a, b): bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1")
+        for a in sig for b in sig if a < b
+        if bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1") <= max_hamming
+    }
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in T.simhash_near_duplicates(df, max_hamming=max_hamming).collect()}
+    assert got == truth
+    assert len(truth) >= 20  # the fixture plants real near-dups
+
+
+def test_simhash_banded_volume_and_bucket_guard(spark):
+    """Candidate volume is exactly (max_hamming+1) banded rows per doc,
+    and an oversized (block, value) bucket is pruned before the join."""
+    df = _planted_corpus(spark)
+    # max_bucket=1: every bucket with >= 2 members (i.e. every potential
+    # pair) is pruned -> zero output rows, proving the guard sits before
+    # the join rather than filtering pairs afterwards
+    assert T.simhash_near_duplicates(df, max_hamming=8, max_bucket=1).count() == 0
 
 
 def test_text_profile_values(spark):
@@ -302,6 +311,31 @@ def test_arrow_simhash_near_dup_behavior(spark, docs):
     assert ham <= 12
     ham_far = bin((h[4] ^ h[5]) & (2**64 - 1)).count("1")
     assert ham_far > 12
+
+
+def test_arrow_simhash_pipeline_equivalence(spark):
+    """JVM and Arrow SimHash near-dup pipelines agree behaviorally on
+    planted pairs: different hash families, same planted-pair detection
+    through the shared pigeonhole tail, and the Arrow output equals its
+    own ground truth exactly (100%-recall guarantee holds for both)."""
+    from jsl_engine import text_ops_arrow as TA
+
+    df = _planted_corpus(spark)
+    planted = {(2 * p, 2 * p + 1) for p in range(40)}
+    max_hamming = 8
+
+    jvm = {(r.id_a, r.id_b)
+           for r in T.simhash_near_duplicates(df, max_hamming=max_hamming).collect()}
+    arrow = {(r.id_a, r.id_b)
+             for r in TA.simhash_near_duplicates_arrow(df, max_hamming=max_hamming).collect()}
+    # both kernels find the overwhelming majority of planted pairs ...
+    assert len(jvm & planted) / len(planted) >= 0.9
+    assert len(arrow & planted) / len(planted) >= 0.9
+    # ... and the Arrow pipeline matches ITS ground truth exactly
+    sig = {r.doc_id: r.simhash for r in TA.simhash_arrow(df).collect()}
+    truth = {(a, b) for a in sig for b in sig if a < b
+             if bin((sig[a] ^ sig[b]) & (2**64 - 1)).count("1") <= max_hamming}
+    assert arrow == truth
 
 
 def test_arrow_winnowing_guarantee(spark):
