@@ -10,11 +10,24 @@ Arrow variants are the scale path: one numpy matrix per Arrow batch,
 ~10-20× the JVM rate, same distributed shape (a narrow signature table
 feeding the identical LSH banding / Hamming blocking joins).
 
-Hash family: crc32 per shingle mixed per seed with splitmix64 (numpy
-uint64, wrapping arithmetic) — different values from the JVM xxhash64
-family, identical MinHash/SimHash semantics (any well-mixed pairwise-
-independent family works; equivalence is pinned by the same planted-dup
-and estimate-tracking tests as the JVM variants).
+Hash family: a genuinely 64-bit shingle fingerprint — each word is
+hashed to 64 bits (forward crc32 in the high half, byte-reversed crc32
+in the low half: two distinct GF(2)-linear maps of the word bytes, so a
+joint collision needs both 32-bit maps to collide — crc32 alone is even
+injective for words ≤ 4 bytes), splitmix64-mixed, then each shingle's
+fingerprint is the position-weighted XOR of its words' hashes through a
+final splitmix64. This replaces the earlier crc32-then-splitmix64 scheme
+whose bijective mixing capped total fingerprint entropy at 2^32 — fatal
+for :func:`winnow_flat_arrow`, where fingerprints are *global equi-join
+keys*: at 10^12 docs a 2^32 key space saturates (every value shared by
+thousands of docs), so the max_bucket guard would prune essentially all
+buckets and unrelated docs would share >= min_shared fingerprints by
+collision. Hashing per word instead of per shingle also removes the
+per-shingle string join, so the fix is *faster* than the scheme it
+replaces. Values differ from the JVM xxhash64 family; MinHash/SimHash
+semantics are identical (any well-mixed family works; equivalence is
+pinned by the same planted-dup and estimate-tracking tests as the JVM
+variants).
 """
 
 from __future__ import annotations
@@ -45,23 +58,43 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+#: Odd position constants for combining word hashes into shingle
+#: fingerprints (odd => multiplication mod 2^64 is a bijection, so no
+#: position's contribution collapses); supports shingles up to 64 words.
+_POS = _splitmix64(np.arange(1, 65, dtype=np.uint64)) | np.uint64(1)
+
+_SWV = np.lib.stride_tricks.sliding_window_view
+
+
 def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    """uint64 hashes of the word n-gram shingles of one document, WITH
-    multiplicity (same normalization as
+    """uint64 (full 64-bit) hashes of the word n-gram shingles of one
+    document, WITH multiplicity (same normalization as
     :func:`jsl_engine.text_ops.normalized`; SimHash weights repeated
     shingles — matching the JVM variant — and MinHash's min is unaffected
-    by repeats, so one kernel serves both)."""
+    by repeats, so one kernel serves both).
+
+    Scheme: 64-bit word hash = (crc32(w) << 32) | crc32(reversed w) —
+    two distinct linear maps of the word bytes, jointly 64-bit (see the
+    module docstring) — splitmix64-mixed, then per shingle the
+    position-weighted XOR of its word hashes (odd-constant multiply per
+    offset, vectorized over a sliding window) through a final
+    splitmix64. Docs shorter than ``n`` words form their single
+    all-words shingle, matching the JVM ``shingles()`` clipping."""
     # strip(' ') not strip(): after the ASCII-\s collapse the edges are
     # plain spaces, and Python's bare strip() would also remove Unicode
     # whitespace that the JVM's F.trim (space-only) keeps
     words = _WS.sub(" ", text.lower()).strip(" ").split(" ")
-    k = max(len(words) - n + 1, 1)
+    bl = [w.encode("utf-8") for w in words]
+    k = len(bl)
     crc = zlib.crc32
-    return np.fromiter(
-        (crc(" ".join(words[j : j + n]).encode("utf-8")) for j in range(k)),
-        dtype=np.uint64,
-        count=k,
-    )
+    hi = np.fromiter((crc(b) for b in bl), dtype=np.uint32, count=k).astype(np.uint64)
+    lo = np.fromiter((crc(b[::-1]) for b in bl), dtype=np.uint32, count=k).astype(np.uint64)
+    wm = _splitmix64((hi << np.uint64(32)) | lo)
+    if k >= n:
+        acc = np.bitwise_xor.reduce(_SWV(wm, n) * _POS[None, :n], axis=1)
+    else:
+        acc = np.atleast_1d(np.bitwise_xor.reduce(wm * _POS[:k]))
+    return _splitmix64(acc)
 
 
 def minhash_signatures_arrow(

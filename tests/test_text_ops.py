@@ -313,6 +313,46 @@ def test_arrow_simhash_near_dup_behavior(spark, docs):
     assert ham_far > 12
 
 
+def test_arrow_shingle_hashes_are_64_bit():
+    """The Arrow base hash must populate the full 64-bit space: the old
+    crc32-then-splitmix64 scheme was a bijection of a 32-bit value, so at
+    most 2^32 distinct fingerprints could ever exist — saturating the
+    global winnowing join keys at corpus scale. 200k distinct shingles
+    must produce 200k distinct hashes AND spread over (not collapse
+    into) the 32-bit-image subset: with only 2^32 reachable values the
+    birthday bound makes ~5 collisions likely; a full 64-bit image makes
+    any collision a 1-in-10^9 event."""
+    import numpy as np
+    from jsl_engine.text_ops_arrow import _shingle_hashes
+
+    hs = []
+    for d in range(2000):
+        text = " ".join(f"w{d}x{i}" for i in range(104))
+        hs.append(_shingle_hashes(text, 5))
+    allh = np.concatenate(hs)
+    assert len(allh) == 200_000
+    assert len(np.unique(allh)) == 200_000
+    # the high and low 32-bit halves must both carry entropy
+    assert len(np.unique(allh >> np.uint64(32))) > 190_000
+    assert len(np.unique(allh & np.uint64(0xFFFFFFFF))) > 190_000
+
+
+def test_arrow_shingle_hashes_content_identity():
+    """Equal shingles hash equal across documents/positions; shingle
+    multiplicity is preserved; short docs yield their single clipped
+    shingle."""
+    import numpy as np
+    from jsl_engine.text_ops_arrow import _shingle_hashes
+
+    a = _shingle_hashes("one two three four five six", 5)   # 2 shingles
+    b = _shingle_hashes("zero one two three four five", 5)  # shifted window
+    assert a[0] in b  # "one two three four five" appears in both
+    rep = _shingle_hashes("a b a b a b a b", 3)
+    assert len(rep) == 6 and len(np.unique(rep)) == 2  # multiplicity kept
+    short = _shingle_hashes("just three words", 5)
+    assert len(short) == 1
+
+
 def test_arrow_simhash_pipeline_equivalence(spark):
     """JVM and Arrow SimHash near-dup pipelines agree behaviorally on
     planted pairs: different hash families, same planted-pair detection
