@@ -126,8 +126,9 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles of l_extendedprice (linear interpolation — Spark's
     `percentile` and DuckDB's `quantile_cont` share the formula). The
     exact variant is the oracle-checkable one; at 10^12 rows the engine
-    swaps in `percentile_approx` (KLL sketch, one pass, no sort) — same
-    column contract."""
+    swaps in `percentile_approx` — shipped and property-gated as
+    :func:`q_quantiles_lineitem_approx` (same quantile set, GK sketch,
+    one pass, bounded memory)."""
     df = _t(spark, sf_dir, "lineitem")
     # one percentile(col, array(...)) call: the value buffer is built once
     # for all four quantiles instead of once per quantile
@@ -144,6 +145,57 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         "stack(4, '25', p25, '50', p50, '75', p75, '95', p95) as (pct, value)"
     )
+
+
+def q_quantiles_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles — the 10^12-row path promised by
+    :func:`q_quantiles_lineitem`: ``percentile_approx`` (Greenwald–Khanna
+    sketch; one pass, bounded memory, no sort — the exact ``percentile``
+    buffers every value in one aggregation state).
+
+    Oracled as a *property gate*: sketch values are engine-specific
+    (DuckDB's t-digest cannot reproduce them), so the query verifies the
+    GK guarantee against the data instead — for each requested quantile
+    ``p`` the exact rank interval of the returned value must contain
+    ``p`` within ``1/accuracy`` plus a 2/n rank-discreteness term (the
+    sketch returns actual data elements, so sub-element precision is
+    unattainable when n < accuracy) — and emits ``(pct, within_bound)``.
+    The oracle is the constant TRUE table; any approximation-contract
+    violation hash-mismatches. A pytest additionally pins approx-vs-exact
+    value closeness at fixture scale."""
+    accuracy = 10_000
+    qs = (0.25, 0.50, 0.75, 0.95)
+    df = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    arr = ", ".join(str(q) for q in qs)
+    [row] = df.agg(
+        F.expr(
+            f"percentile_approx(l_extendedprice, array({arr}), {accuracy})"
+        ).alias("ps")
+    ).collect()
+    vals = list(row["ps"])
+    aggs = [F.count("l_extendedprice").alias("n")]
+    for i, v in enumerate(vals):
+        aggs.append(
+            F.sum((F.col("l_extendedprice") < F.lit(v)).cast("long")).alias(f"lt{i}")
+        )
+        aggs.append(
+            F.sum((F.col("l_extendedprice") <= F.lit(v)).cast("long")).alias(f"le{i}")
+        )
+    counts = df.agg(*aggs)
+    eps = F.lit(1.0 / accuracy) + F.lit(2.0) / F.col("n")
+    checks = [
+        F.struct(
+            F.lit(str(int(q * 100))).alias("pct"),
+            (
+                (F.lit(q) >= F.col(f"lt{i}") / F.col("n") - eps)
+                & (F.lit(q) <= F.col(f"le{i}") / F.col("n") + eps)
+            ).alias("within_bound"),
+        )
+        for i, q in enumerate(qs)
+    ]
+    return counts.select(
+        F.explode(F.array(*checks)).alias("c")
+    ).select("c.pct", "c.within_bound")
 
 
 def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_events_value_binned": q_ks_events_value_binned,
         "chi2_events_daily": q_chi2_events_daily,
         "quantiles_lineitem": q_quantiles_lineitem,
+        "quantiles_lineitem_approx": q_quantiles_lineitem_approx,
         "top_orders_per_priority": q_top_orders_per_priority,
         "top_customers": q_top_customers,
         "nations_without_suppliers": q_nations_without_suppliers,
@@ -777,6 +830,16 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT '95', ROUND(quantile_cont(l_extendedprice, 0.95), 6) FROM lineitem
             )
+        """,
+        # quantiles_lineitem_approx is a property gate: the Spark side
+        # verifies the GK sketch's rank-error guarantee against the data;
+        # the oracle is the constant-TRUE table (a violated guarantee
+        # hash-mismatches). Sketch VALUES are engine-specific by design.
+        "quantiles_lineitem_approx": """
+            SELECT '25' AS pct, TRUE AS within_bound UNION ALL
+            SELECT '50', TRUE UNION ALL
+            SELECT '75', TRUE UNION ALL
+            SELECT '95', TRUE
         """,
         "top_orders_per_priority": """
             SELECT o_orderpriority, rank::INT AS rank, o_orderkey, o_totalprice

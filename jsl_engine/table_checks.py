@@ -249,14 +249,30 @@ def ks_drift(df: DataFrame, value_col: str, part_col: str) -> DataFrame:
 
 
 def ks_drift_binned(
-    df: DataFrame, value_col: str, part_col: str, *, bins: int = 1024
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    *,
+    bins: int = 1024,
+    lo: float | None = None,
+    hi: float | None = None,
 ) -> DataFrame:
     """Approximate one-vs-rest KS over fixed-width bins — the 10^12-row
-    path: two aggregations, no global sort; D error ≤ max bin mass."""
+    path: no global sort; D error ≤ max bin mass.
+
+    Pass a fixed ``lo``/``hi`` domain to make the plan fully
+    **action-free and single-scan** — production drift monitors have
+    fixed domains, which also keeps bin edges stable across runs (a
+    property the run-over-run comparison wants anyway). When omitted,
+    min/max are derived in ONE combined driver action (they were two —
+    min/max agg + a full count — before; the total row count now comes
+    from a window over the tiny per-partition aggregate instead of a
+    rescan)."""
     base = df.select(
         F.col(part_col).alias("part"), F.col(value_col).cast("double").alias("v")
     ).where(F.col(value_col).isNotNull())
-    lo, hi = base.agg(F.min("v"), F.max("v")).first()
+    if lo is None or hi is None:
+        lo, hi = base.agg(F.min("v"), F.max("v")).first()
     if lo is None or hi is None or lo == hi:
         return base.select("part").distinct().select(
             "part", F.lit(0.0).alias("ks_d")
@@ -267,8 +283,13 @@ def ks_drift_binned(
     )
     pb = binned.groupBy("part", "bin").agg(F.count(F.lit(1)).alias("c_part"))
     tb = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c_tot"))
+    # totals from the tiny per-partition aggregate — no second data scan:
+    # n_rest = (sum of all n_part) - n_part via a global window over
+    # |parts| rows
     parts = binned.groupBy("part").agg(F.count(F.lit(1)).alias("n_part"))
-    total = base.count()
+    parts = parts.withColumn(
+        "n_rest", F.sum("n_part").over(Window.partitionBy()) - F.col("n_part")
+    )
 
     # dense part×bin grid so partitions missing a bin still accumulate
     grid = parts.select("part").crossJoin(tb.select("bin"))
@@ -288,7 +309,6 @@ def ks_drift_binned(
     )
     return (
         cum.join(parts, "part")
-        .withColumn("n_rest", F.lit(total) - F.col("n_part"))
         .withColumn(
             "d",
             F.abs(
@@ -308,8 +328,13 @@ def chi_square_drift(df: DataFrame, cat_col: str, part_col: str) -> DataFrame:
 
         chi2, dof
 
-    Two shuffles over tiny aggregates (|parts| × |categories| cells);
-    map-side combine makes the first pass the only full-data scan.
+    Fully declarative and **single-scan**: the contingency aggregate
+    ``obs`` is the only full-data pass (map-side combine); row totals,
+    column totals, the grand total and the dof counts all derive from
+    ``obs``'s tiny output, and every branch hangs off the same
+    (part, cat) exchange, which Spark reuses (ReusedExchange). The
+    previous formulation ran three extra driver actions — each a full
+    rescan (``base.count()``, ``row_tot.count()``, ``col_tot.count()``).
     """
     base = df.select(
         F.col(part_col).alias("part"), F.col(cat_col).alias("cat")
@@ -317,21 +342,34 @@ def chi_square_drift(df: DataFrame, cat_col: str, part_col: str) -> DataFrame:
     obs = base.groupBy("part", "cat").agg(F.count(F.lit(1)).alias("o"))
     row_tot = obs.groupBy("part").agg(F.sum("o").alias("rt"))
     col_tot = obs.groupBy("cat").agg(F.sum("o").alias("ct"))
-    n = base.count()
-    n_parts = row_tot.count()
-    n_cats = col_tot.count()
+    # grand total + dof counts from the tiny totals (1-row broadcasts)
+    tot = F.broadcast(
+        row_tot.agg(
+            F.sum("rt").alias("n"), F.count(F.lit(1)).alias("n_parts")
+        )
+    )
+    ctot = F.broadcast(col_tot.agg(F.count(F.lit(1)).alias("n_cats")))
 
     # dense grid: absent cells are observed-zero but have expected > 0
     grid = row_tot.crossJoin(col_tot)
     cells = grid.join(obs, ["part", "cat"], "left").fillna({"o": 0})
-    chi2 = cells.select(
-        (
-            F.pow(F.col("o") - F.col("rt") * F.col("ct") / F.lit(n), 2)
-            / (F.col("rt") * F.col("ct") / F.lit(n))
-        ).alias("term")
-    ).agg(F.round(F.sum("term"), ROUND).alias("chi2"))
-    return chi2.select(
-        "chi2", F.lit((n_parts - 1) * (n_cats - 1)).cast("long").alias("dof")
+    return (
+        cells.crossJoin(tot)
+        .crossJoin(ctot)
+        .select(
+            (
+                F.pow(F.col("o") - F.col("rt") * F.col("ct") / F.col("n"), 2)
+                / (F.col("rt") * F.col("ct") / F.col("n"))
+            ).alias("term"),
+            "n_parts",
+            "n_cats",
+        )
+        .agg(
+            F.round(F.sum("term"), ROUND).alias("chi2"),
+            (
+                (F.first("n_parts") - 1) * (F.first("n_cats") - 1)
+            ).cast("long").alias("dof"),
+        )
     )
 
 

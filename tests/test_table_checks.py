@@ -179,3 +179,82 @@ def test_hll_partition_sketches_merge_exactly(spark):
     exact = df.select(F.count_distinct("commit"), F.count_distinct("lang")).first()
     assert abs(merged["commit"] - exact[0]) / exact[0] < 0.05
     assert merged["lang"] == exact[1]  # tiny cardinality: HLL is exact
+
+
+def test_approx_quantiles_query_bound_and_closeness(spark):
+    """The percentile_approx headline query must pass its own GK
+    rank-error gate (all within_bound TRUE) and the sketch values must
+    track the exact percentile closely at fixture scale."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {r.pct: r.within_bound
+           for r in em.q_quantiles_lineitem_approx(spark, sf_dir).collect()}
+    assert out == {"25": True, "50": True, "75": True, "95": True}
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    [row] = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.25,0.5,0.75,0.95))").alias("ex"),
+        F.expr("percentile_approx(l_extendedprice, array(0.25,0.5,0.75,0.95), 10000)").alias("ap"),
+    ).collect()
+    for exact, approx in zip(row["ex"], row["ap"]):
+        assert abs(approx - exact) / max(abs(exact), 1e-9) < 0.01, (exact, approx)
+
+
+def test_binned_ks_and_chi2_scan_discipline(spark):
+    """Scale gates for the drift operators: with a fixed lo/hi domain the
+    binned-KS plan is built with ZERO driver jobs (fully declarative);
+    with a derived domain exactly ONE job runs (combined min/max — the
+    old shape added a full-count rescan). chi_square_drift construction
+    is action-free and its physical plan scans the source exactly once,
+    reusing the contingency exchange for totals."""
+    import uuid
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(part="a" if i % 3 else "b", v=float(i % 17), cat=str(i % 5))
+         for i in range(300)]
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_during(fn):
+        group = f"probe-{uuid.uuid4()}"
+        sc.setJobGroup(group, "scan-discipline probe")
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(tracker.getJobIdsForGroup(group))
+
+    _, n_fixed = jobs_during(
+        lambda: tc.ks_drift_binned(df, "v", "part", lo=0.0, hi=16.0)
+    )
+    assert n_fixed == 0
+
+    # one ACTION (combined min/max agg; AQE materializes its shuffle as a
+    # separate job, so <= 2 jobs) — the old shape ran a second full-count
+    # action on top, i.e. >= 3 jobs here
+    _, n_derived = jobs_during(lambda: tc.ks_drift_binned(df, "v", "part"))
+    assert 1 <= n_derived <= 2
+
+    chi, n_chi = jobs_during(lambda: tc.chi_square_drift(df, "cat", "part"))
+    assert n_chi == 0
+    # single-scan evidence: in the EXECUTED adaptive plan all derived
+    # branches (row totals, column totals, grand total, dof counts) reuse
+    # the one contingency (part, cat) exchange — the scan under it runs
+    # exactly once
+    chi.collect()
+    plan = chi._sc._jvm.PythonSQLUtils.explainString(
+        chi._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange [Reuses operator id") >= 3
+
+    # fixed-domain result equals derived-domain result when lo/hi match
+    a = {r.part: r.ks_d for r in
+         tc.ks_drift_binned(df, "v", "part", lo=0.0, hi=16.0).collect()}
+    b = {r.part: r.ks_d for r in tc.ks_drift_binned(df, "v", "part").collect()}
+    assert a == b
