@@ -18,16 +18,30 @@ corpus) AND the closer semantic match — each case verified:
 * leading zeros → parse error.
 
 Known residual divergence (documented, pinned in tests): instances
-nested beyond serde_json's default 128 recursion limit still parse here.
+nested beyond serde_json's default 128 recursion limit still parse here
+by default — orjson's iterative parser has no depth cap, so an
+arbitrarily deep instance is *valid* here where the reference reports a
+parse error. Callers wanting exact parity pass ``max_nesting=128`` to
+``validate_df``/``exceeds_nesting`` — off by default because the depth
+walk costs O(nodes) on a hot path that otherwise runs ~1 µs/doc. Either
+way, a document too deep for the engine to traverse (RecursionError in
+the kernel walk) is classified ``json_parse_error`` (it is a parse error
+upstream in the reference), never a schema-side ``max_depth_exceeded``.
 
 Without orjson the stdlib fallback keeps strict number hooks (including
 serde_json's long-integer-to-f64 fallback via ``parse_int``); the only
 verdict difference is lone-surrogate escapes, which only orjson rejects.
+Because that makes verdicts environment-dependent, the module exposes
+``PARSER`` (+ :func:`require_parser`), emits a one-time warning when the
+fallback engages, and ``validate_df`` asserts every executor resolved
+the same parser as the driver — a mixed-executor cluster fails fast
+instead of mixing verdicts within one job.
 """
 
 from __future__ import annotations
 
 import json
+import warnings
 
 
 def _reject_constant(literal: str) -> None:
@@ -77,8 +91,54 @@ try:
     import orjson as _orjson
 
     _fast_loads = _orjson.loads
+    #: Which parser :func:`parse_document` resolved to in THIS process.
+    PARSER = "orjson"
 except ImportError:  # pragma: no cover - orjson is present in this image
     _fast_loads = None
+    PARSER = "stdlib"
+    warnings.warn(
+        "jsl_engine.jsonio: orjson unavailable — falling back to the stdlib "
+        "parser. Verdicts for lone-surrogate escapes will differ from the "
+        "orjson path; a cluster mixing both parsers would produce mixed "
+        "verdicts within one job (validate_df fails fast on that).",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+
+
+def require_parser(expected: str) -> None:
+    """Raise if this process resolved a different JSON parser than
+    ``expected`` — used to detect mixed driver/executor environments
+    before they can mix verdict semantics within one job."""
+    if PARSER != expected:
+        raise RuntimeError(
+            f"JSON parser mismatch: driver resolved {expected!r} but this "
+            f"executor resolved {PARSER!r}; install orjson uniformly (or "
+            "remove it everywhere) so one job uses one parse semantics"
+        )
+
+
+def exceeds_nesting(doc, limit: int) -> bool:
+    """True if the parsed document nests containers deeper than ``limit``
+    levels (a container at level ``limit + 1`` is too deep — serde_json
+    counts containers entered, scalars are free) — the opt-in serde
+    128-level parity check. Iterative, no recursion; O(nodes), hence not
+    run by default on the hot path."""
+    stack = [(doc, 1)]
+    push = stack.append
+    while stack:
+        node, d = stack.pop()
+        if isinstance(node, dict):
+            if d > limit:
+                return True
+            for v in node.values():
+                push((v, d + 1))
+        elif isinstance(node, list):
+            if d > limit:
+                return True
+            for v in node:
+                push((v, d + 1))
+    return False
 
 
 #: Sentinel returned by :func:`parse_document` for unparseable content.

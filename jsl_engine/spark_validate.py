@@ -56,7 +56,11 @@ from jsl_engine.schema import Schema, plan_payload
 # serde_json-parity parsing lives in jsl_engine.jsonio (shared with the
 # driver-side schema compiler); re-exported here for the tests/API
 from jsl_engine.jsonio import PARSE_ERROR as _PARSE_ERROR
-from jsl_engine.jsonio import loads_strict, parse_document  # noqa: F401
+from jsl_engine.jsonio import (  # noqa: F401
+    exceeds_nesting,
+    loads_strict,
+    parse_document,
+)
 
 #: Appended to the pass-through key columns in the validation output.
 RESULT_FIELDS = [
@@ -101,6 +105,7 @@ def _validate_batch(
     strict: bool,
     max_errors: int,
     max_depth: int,
+    max_nesting: int | None = None,
 ) -> tuple[list, list, list, list]:
     """Validate one Arrow batch of JSON strings; returns parallel columns
     (ok, n_errors, error, violations)."""
@@ -113,6 +118,12 @@ def _validate_batch(
     vio_col: list[Any] = []
     for content in contents:
         doc = parse(content)
+        if doc is not sentinel and max_nesting is not None and isinstance(
+            doc, (dict, list)
+        ) and exceeds_nesting(doc, max_nesting):
+            # serde_json parity: the reference's parser rejects instances
+            # nested past its 128-level recursion limit before the VM runs
+            doc = sentinel
         if doc is sentinel:
             ok_col.append(False)
             n_col.append(0)
@@ -151,13 +162,18 @@ def _validate_batch(
             vio_col.append(None)
         except RecursionError:
             # a ~1000+-deep *instance* exhausts Python's recursion limit in
-            # the tree walk before the schema-side max_depth guard can fire
-            # (that guard counts ref hops, not instance depth). Classify
+            # the tree walk. Classify as json_parse_error — in the
+            # reference pipeline serde_json's 128-level recursion limit
+            # makes any such instance a parse error before the VM runs, so
+            # this is the taxonomy-consistent bucket (max_depth_exceeded is
+            # the schema-side ref-hop guard, a different failure). Classify
             # instead of crashing the task — one absurd document must not
-            # fail a 10^12-row job.
+            # fail a 10^12-row job. For exact 128-level parity pass
+            # max_nesting=128 (off by default: the depth walk is O(nodes)
+            # on a ~1 µs/doc hot path).
             ok_col.append(False)
             n_col.append(0)
-            err_col.append("max_depth_exceeded")
+            err_col.append("json_parse_error")
             vio_col.append(None)
     return ok_col, n_col, err_col, vio_col
 
@@ -172,6 +188,7 @@ def validate_df(
     max_errors: int = 0,
     max_depth: int = 32,
     with_sha256: bool = True,
+    max_nesting: int | None = None,
 ) -> DataFrame:
     """Validate every row's ``content_col`` against a compiled root schema.
 
@@ -186,10 +203,22 @@ def validate_df(
 
     Catalyst sees the UDF as a black box, so input pruning is explicit: only
     ``key_cols + (sha,) + (content,)`` enter the Arrow exchange.
+
+    ``max_nesting=128`` opts into exact serde_json deep-instance parity
+    (instances nested past the limit become ``json_parse_error``); the
+    default ``None`` skips the O(nodes) depth walk on the hot path — see
+    :mod:`jsl_engine.jsonio` for the documented divergence window.
+
+    Every executor batch asserts it resolved the same JSON parser
+    (orjson vs stdlib) as the driver, so a mixed-environment cluster
+    fails fast instead of mixing verdict semantics within one job.
     """
     spark = df.sparkSession
     payload = plan_payload(schema)
     bc = spark.sparkContext.broadcast(payload)
+    from jsl_engine import jsonio as _jsonio
+
+    driver_parser = _jsonio.PARSER
 
     cols = [F.col(c) for c in key_cols]
     sha = (
@@ -228,12 +257,15 @@ def validate_df(
         # content column is materialized as Python strings for json.loads.
         # This halves the per-row overhead vs converting every column to
         # pandas objects and back.
+        from jsl_engine.jsonio import require_parser
+
+        require_parser(driver_parser)  # fail fast on mixed environments
         payload_local = bc.value
         for batch in batches:
             contents = batch.column(len(key_list) + 1).to_pylist()
             ok, n, err, vio = _validate_batch(
                 contents, payload_local, strict_instance_semantics,
-                max_errors, max_depth,
+                max_errors, max_depth, max_nesting,
             )
             arrays = [batch.column(i) for i in range(len(key_list))]
             arrays.append(pa.array(ok, pa.bool_()))

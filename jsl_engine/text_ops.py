@@ -59,24 +59,36 @@ def exact_duplicates(
 ) -> DataFrame:
     """Groups of byte-identical documents: ``content_hash, n_docs, doc_ids``.
 
-    ``doc_ids`` lists only the ``max_ids`` smallest ids per group, and the
-    cap is applied *before* the collect (windowed rank filter), so no
-    aggregation buffer ever holds a pathological group (the empty
-    document, license boilerplate — millions of ids at corpus scale) in
-    full. ``n_docs`` stays exact via a windowed count over the same
-    partition key, so the rank filter, the count and the final groupBy all
-    reuse one shuffle on the hash. For scale dedup itself use
-    :func:`dedup_exact`, which never materializes id lists.
+    Scale shape — partial aggregation for the common case, bounded
+    buffers for the pathological one:
+
+    1. ``groupBy(hash).count()`` first: unique hashes (the vast majority
+       of a real corpus) are combined **map-side** and never ship full
+       rows — an earlier all-window formulation shuffled every input row
+       just to discover most groups had one member;
+    2. only rows in duplicate groups survive the join back (AQE picks a
+       broadcast join while the dup-group table is small, so unique rows
+       are dropped map-side too; the SMJ fallback at extreme dup rates
+       equals the old shape);
+    3. the ``max_ids`` cap is applied with a windowed rank over the
+       *duplicate rows only*, **before** the collect, so no aggregation
+       buffer ever holds a pathological group (the empty document,
+       license boilerplate — millions of ids at corpus scale) in full;
+       ``n_docs`` stays exact from step 1.
+
+    For scale dedup itself use :func:`dedup_exact`, which never
+    materializes id lists.
     """
     h = df.select(
         F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
     )
-    w = Window.partitionBy("content_hash")
-    wo = w.orderBy(id_col)
+    counts = h.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_counts = counts.where(F.col("n_docs") > 1)
+    dup_rows = h.join(dup_counts, "content_hash")
+    wo = Window.partitionBy("content_hash").orderBy(id_col)
     return (
-        h.withColumn("n_docs", F.count(F.lit(1)).over(w))
-        .withColumn("__rn", F.row_number().over(wo))
-        .where((F.col("n_docs") > 1) & (F.col("__rn") <= max_ids))
+        dup_rows.withColumn("__rn", F.row_number().over(wo))
+        .where(F.col("__rn") <= max_ids)
         .groupBy("content_hash", "n_docs")
         .agg(F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
         .select("content_hash", "n_docs", "doc_ids")

@@ -288,3 +288,61 @@ def test_corpus_deterministic(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     c = generate_corpus(spark, 500, seed=8, partitions=2).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_deep_instance_taxonomy(spark):
+    """Deep-instance parity taxonomy: by default deep valid instances
+    PASS (orjson's iterative parser has no depth cap — the documented
+    divergence from serde_json's 128 limit); with max_nesting=128 they
+    are json_parse_error (serde parity) — and never the schema-side
+    max_depth_exceeded bucket."""
+    deep_200 = "[" * 200 + "1" + "]" * 200
+    deep_2000 = "[" * 2000 + "1" + "]" * 2000
+    df = spark.createDataFrame(
+        [Row(k="d200", content=deep_200), Row(k="d2000", content=deep_2000)]
+    )
+    schema = compile_schema("{}")
+
+    out = {r.k: r for r in validate_df(
+        df, schema, content_col="content", key_cols=("k",)
+    ).collect()}
+    assert out["d200"].ok is True
+    assert out["d2000"].ok is True  # the divergence, pinned
+
+    strict = {r.k: r for r in validate_df(
+        df, schema, content_col="content", key_cols=("k",), max_nesting=128
+    ).collect()}
+    assert strict["d200"].ok is False
+    assert strict["d200"].error == "json_parse_error"
+    assert strict["d2000"].error == "json_parse_error"
+
+
+def test_exceeds_nesting_boundary():
+    """Container-depth counting: exactly 128 levels passes, 129 fails;
+    scalars are free; wide-but-shallow documents pass."""
+    from jsl_engine.jsonio import exceeds_nesting
+
+    def nested(n):
+        doc = 1
+        for _ in range(n):
+            doc = [doc]
+        return doc
+
+    assert not exceeds_nesting(nested(128), 128)
+    assert exceeds_nesting(nested(129), 128)
+    assert not exceeds_nesting({"a": [1] * 10_000, "b": "x" * 1000}, 128)
+    assert not exceeds_nesting("scalar", 128)
+    wrapped = {"k": nested(127)}  # dict level 1 + 127 lists = 128
+    assert not exceeds_nesting(wrapped, 128)
+    assert exceeds_nesting({"k": nested(128)}, 128)
+
+
+def test_parser_identity_assert():
+    """require_parser detects a driver/executor parser mismatch; the
+    resolved parser in this image is orjson."""
+    from jsl_engine import jsonio
+
+    assert jsonio.PARSER == "orjson"
+    jsonio.require_parser("orjson")  # no-op when matched
+    with pytest.raises(RuntimeError, match="parser mismatch"):
+        jsonio.require_parser("stdlib")
