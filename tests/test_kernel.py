@@ -332,3 +332,25 @@ def test_rfc3339_valid(ts):
 )
 def test_rfc3339_invalid(ts):
     assert not is_rfc3339(ts)
+
+
+def test_max_depth_default_boundary_30_31_32():
+    """Exactly at the default max_depth=32 (reference:
+    src/validator.rs:111): both VMs start with ONE schema-token frame
+    (vm.rs:23 `schema_tokens: vec![vec![]]`) and the check fires when the
+    stack height EQUALS max_depth BEFORE following a ref (src/vm.rs:58-60)
+    — the k-th ref in a chain sees height k, so chains of 30 and 31 refs
+    validate and a chain of 32 raises."""
+
+    def chain(k):
+        defs = {f"d{i}": {"ref": f"d{i + 1}"} for i in range(1, k)}
+        defs[f"d{k}"] = {"type": "string"}
+        return {"definitions": defs, "ref": "d1"}
+
+    assert validate(compile_schema(chain(30)), "ok") == []
+    assert validate(compile_schema(chain(31)), "ok") == []
+    with pytest.raises(MaxDepthExceeded):
+        validate(compile_schema(chain(32)), "ok")
+    # at the boundary it raises regardless of instance validity
+    with pytest.raises(MaxDepthExceeded):
+        validate(compile_schema(chain(32)), 1)

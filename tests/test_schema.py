@@ -229,3 +229,27 @@ def test_fingerprint_stable():
     assert a.fingerprint() == b.fingerprint()
     c = compile_schema({"properties": {"x": {"type": "int64"}}})
     assert a.fingerprint() != c.fingerprint()
+
+
+def test_discriminator_mapping_must_be_properties_form():
+    """Mapped schemas must be of the properties form — a discriminator
+    (or any other form) inside a mapping is InvalidForm at compile time
+    (reference: src/schema.rs:160-176), so discriminator nesting composes
+    only through properties/elements/values."""
+    import json
+
+    import pytest
+
+    from jsl_engine.errors import InvalidForm
+    from jsl_engine.schema import compile_schema
+
+    nested = {"discriminator": {"tag": "outer", "mapping": {
+        "one": {"discriminator": {"tag": "inner", "mapping": {
+            "x": {"properties": {"v": {"type": "boolean"}}}}}}}}}
+    with pytest.raises(InvalidForm):
+        compile_schema(json.dumps(nested))
+    for bad in ({"type": "string"}, {"elements": {"type": "string"}}, {}):
+        with pytest.raises(InvalidForm):
+            compile_schema(json.dumps(
+                {"discriminator": {"tag": "t", "mapping": {"m": bad}}}
+            ))

@@ -346,3 +346,33 @@ def test_parser_identity_assert():
     jsonio.require_parser("orjson")  # no-op when matched
     with pytest.raises(RuntimeError, match="parser mismatch"):
         jsonio.require_parser("stdlib")
+
+
+def test_malformed_numbers_and_duplicate_keys_raw(spark):
+    """Parse-level corners through the full Spark path (raw content, not
+    the spec corpus, which holds parsed values): malformed number forms
+    are json_parse_error with BOTH parsers (serde_json parity), and
+    duplicate JSON keys resolve last-wins before validation."""
+    from jsl_engine.jsonio import PARSE_ERROR, loads_strict, parse_document
+
+    malformed = ["01", "1e", "-", "+1", "1.", ".5", "00.1", "0x10",
+                 "[1,]", "{\"a\":1,}", "1e+", "--1"]
+    for m in malformed:
+        assert parse_document(m) is PARSE_ERROR, m          # orjson path
+        try:                                                 # stdlib path
+            loads_strict(m)
+            assert False, f"stdlib accepted {m!r}"
+        except (ValueError, TypeError):
+            pass
+
+    # duplicate keys: last wins in orjson, stdlib AND the reference's
+    # serde_json — pinned through validation (enum only matches the
+    # last-wins value)
+    assert parse_document('{"a": 1, "a": 2}') == {"a": 2}
+    assert loads_strict('{"a": 1, "a": 2}') == {"a": 2}
+    df = spark.createDataFrame(
+        [Row(k="dup", content='{"tag": "old", "tag": "new"}')]
+    )
+    schema = compile_schema('{"properties": {"tag": {"enum": ["new"]}}}')
+    [r] = validate_df(df, schema, content_col="content", key_cols=("k",)).collect()
+    assert r.ok is True
