@@ -5,7 +5,8 @@
 
 Per-query seconds cover full execution (collect) after a shared warm-up
 of the Spark session. The flagship validation throughput is measured as
-a separate 200k-document corpus pass and reported via files_per_sec.
+a separate 1M-document corpus pass (``VALIDATE_ROWS``) and reported via
+files_per_sec.
 """
 
 from __future__ import annotations

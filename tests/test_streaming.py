@@ -260,3 +260,58 @@ def test_streaming_histogram_drift_accumulates(spark, tmp_path):
         n, chi2 = final[lang]
         assert n == len(vals)
         assert abs(chi2 - want_chi2) < 1e-6, (lang, chi2, want_chi2)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Exactly-once across a stop/restart: run the validated stream to an
+    idempotent file sink with availableNow, STOP it, land new corpus
+    files, then restart a fresh query over the SAME checkpoint + sink.
+    The second run must process only the new files (no reprocessing, no
+    loss): the sink ends up row-for-row equal to the batch path over the
+    union — the RUNBOOK's resume claim, now pinned."""
+    from pyspark.sql import functions as F
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt_restart")
+    schema = compile_schema(CODE_FILE_SCHEMA)
+
+    def run_once():
+        stream = read_corpus_stream(spark, landing, max_files_per_trigger=2)
+        q = (
+            validate_stream(stream, schema)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    generate_corpus(spark, 300, seed=31, defect_rate=0.15, partitions=3).write.parquet(
+        landing
+    )
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == 300
+
+    # new files land while the query is down; restart resumes from the
+    # checkpoint and must pick up ONLY these
+    generate_corpus(spark, 200, seed=37, defect_rate=0.3, partitions=2).write.mode(
+        "append"
+    ).parquet(landing)
+    run_once()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out)
+            .select("repo", "path", "commit", "ok", "n_errors", "content_sha256")
+            .collect())
+    )
+    want = sorted(
+        map(tuple, validate_df(spark.read.parquet(landing), schema)
+            .select("repo", "path", "commit", "ok", "n_errors", "content_sha256")
+            .collect())
+    )
+    assert len(got) == 500  # 300 + 200: nothing reprocessed, nothing lost
+    assert got == want
