@@ -127,6 +127,14 @@ def main(sf_dir: str) -> int:
                 must_contain=["__bucket_n", "Window"],
                 must_not=["CartesianProduct"])
 
+    # 9. simhash pigeonhole banding: per-(block, value) bucket guard
+    #    upstream of the self-join, exact bit_count verify, no cartesian
+    from jsl_engine.text_ops import simhash, simhash_pairs_from_hashes
+    sp = simhash_pairs_from_hashes(simhash(docs), max_hamming=3)
+    ok &= check("simhash guard before join", sp,
+                must_contain=["__bucket_n", "Window", "bit_count"],
+                must_not=["CartesianProduct"])
+
     print("ALL OK" if ok else "PLAN REGRESSIONS FOUND")
     return 0 if ok else 1
 
