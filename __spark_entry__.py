@@ -410,6 +410,53 @@ def q_minhash_near_dup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates_arrow(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_near_dup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup GROUPS: connected components (iterative
+    min-label propagation) over a deterministic edge set — the verified
+    n-gram-Jaccard pairs plus a chain edge per pair group, so components
+    span 2 hops and the propagation loop must actually iterate. Fully
+    oracled: a DuckDB recursive CTE computes the same min-reachable-id
+    fixpoint over the identical edge construction."""
+    from jsl_engine.text_ops import connected_components, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    sim = ngram_jaccard(docs, base, n=3).where(F.col("jaccard") >= 0.0).select(
+        "id_a", "id_b"
+    )
+    chain = docs.where(F.col("doc_id") % 20 == 2).select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return connected_components(sim.union(chain)).orderBy("id")
+
+
+def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced sampling: at most 5 documents per
+    lang, chosen by the content-derived Knuth hash order — identical
+    BIGINT arithmetic in DuckDB, so the exact sample is oracled (the
+    reproducibility contract partition-dependent df.sample cannot give)."""
+    from jsl_engine.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, ["lang"], 5)
+
+
+def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/eval split (id-hash permille bucket; stable
+    under repartitioning and corpus growth) — reported as per-lang split
+    counts, fully oracled via the same arithmetic in SQL."""
+    from jsl_engine.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        hash_split(docs, eval_permille=50)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID distribution — oracled: the DuckDB SQL is
     generated from the same script/marker tables with identical
@@ -539,6 +586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
         "minhash_near_dup_arrow": q_minhash_near_dup_arrow,
         "winnow_overlap_arrow": q_winnow_overlap_arrow,
+        "near_dup_components_documents": q_near_dup_components_documents,
+        "stratified_sample_documents": q_stratified_sample_documents,
+        "hash_split_documents": q_hash_split_documents,
         "language_id_documents": q_language_id_documents,
         "jsl_validate_events": q_jsl_validate_events,
         "jsl_verdicts_docs": q_jsl_verdicts_docs,
@@ -929,6 +979,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sb ON sb.doc_id = id_b
         """,
         "embedding_near_dup_embeddings": _embedding_near_dup_oracle_sql(),
+        # components: recursive-CTE transitive closure computes the same
+        # min-reachable-id fixpoint as the Spark label-propagation loop.
+        # The sim edges mirror ngram_jaccard's join (both ids must exist);
+        # the >= 0.0 jaccard threshold is tautological for non-empty
+        # shingle sets, so the oracle mirrors it as the existence join.
+        "near_dup_components_documents": """
+            WITH RECURSIVE
+            sim AS (
+                SELECT a.doc_id AS src, a.doc_id + 1 AS dst
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 20 = 0
+            ),
+            chain AS (
+                SELECT doc_id - 1 AS src, doc_id AS dst
+                FROM documents WHERE doc_id % 20 = 2
+            ),
+            edges AS (
+                SELECT src, dst FROM sim UNION SELECT dst, src FROM sim
+                UNION SELECT src, dst FROM chain UNION SELECT dst, src FROM chain
+            ),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+            )
+            SELECT v.id, LEAST(v.id, MIN(r.b)) AS component
+            FROM (SELECT DISTINCT src AS id FROM edges) v
+            JOIN reach r ON r.a = v.id
+            GROUP BY v.id
+        """,
+        "stratified_sample_documents": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 5
+        """,
+        "hash_split_documents": """
+            SELECT lang,
+                   CASE WHEN ((doc_id * 2654435761) % 2147483648) % 1000 < 50
+                        THEN 'eval' ELSE 'train' END AS split,
+                   COUNT(*)::BIGINT AS n
+            FROM documents GROUP BY 1, 2
+        """,
         # simhash_near_dup_documents: rows-only — xxhash64 bit patterns
         # have no DuckDB analogue; pytest gates recall + exact verify.
         "exact_dup_documents": """

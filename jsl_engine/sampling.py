@@ -1,0 +1,78 @@
+"""Deterministic sampling operators for training-data pipelines:
+stratified per-class sampling and hash-based train/eval splits.
+
+Spark's built-in ``df.sample``/``sampleBy`` are seed-based but
+partition-layout-dependent (a repartition changes the sample), which
+breaks reproducibility contracts at pipeline scale. These operators
+derive every decision from *row content* (an arithmetic Knuth
+multiplicative hash of the id — plain BIGINT math, so DuckDB/any engine
+reproduces it bit-for-bit, making the queries fully oracle-checkable),
+so the same input produces the same sample under any partitioning,
+retry, or engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: Knuth multiplicative constant (2^32 / phi, odd) — portable BIGINT math.
+_KNUTH = 2654435761
+_MOD = 2**31
+
+
+def order_hash(id_col):
+    """Deterministic pseudo-random ordering key from an integer id:
+    ``(id * 2654435761) mod 2^31`` — identical arithmetic in every
+    SQL engine (no engine-specific hash function)."""
+    return F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """At most ``n_per_stratum`` rows per stratum, chosen by the
+    content-derived hash order (ties broken by id) — class-balanced
+    subsampling for training mixes.
+
+    Execution: one shuffle on the strata key for the window rank. A
+    pathologically large stratum lands on one reducer; when stratum
+    counts are known (one cheap pre-aggregation), pre-filter with
+    ``order_hash(id) < threshold`` sized to ~2× the target before the
+    exact rank — the standard two-phase trim at 10^12 rows. The exact
+    window ships here because it is the deterministic, oracle-checkable
+    contract; the pre-filter composes without changing results.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        order_hash(id_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    eval_permille: int = 50,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/eval assignment: rows whose id-hash falls in
+    the lowest ``eval_permille``/1000 of the hash space become ``eval``,
+    the rest ``train``. Stable under repartitioning, retries, incremental
+    arrival (a document's split never changes as the corpus grows) —
+    the property seed-based ``randomSplit`` cannot give. Pure projection:
+    no shuffle, whole-stage codegen."""
+    frac = F.pmod(order_hash(id_col), F.lit(1000))
+    return df.withColumn(
+        split_col,
+        F.when(frac < F.lit(eval_permille), F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -827,3 +827,96 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.when((p.avg_token_len >= 2.0) & (p.avg_token_len <= 12.0), 0.25).otherwise(0.0)
     )
     return p.select(id_col, F.round(score, 2).alias("quality"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup components + dedup-keep-representative
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step that
+    turns near-dup PAIRS into dedup GROUPS (``id, component`` where
+    ``component`` is the smallest id reachable from ``id``).
+
+    Algorithm: iterative minimum-label propagation. Each round every
+    vertex adopts the minimum label among itself and its neighbors;
+    convergence in at most `diameter` rounds, and near-dup graphs are
+    overwhelmingly tiny cliques/chains (diameter 1-3), so the driver loop
+    runs 2-4 rounds. Each round is one join + one aggregation on the
+    (small) pair list — at 10^12 docs the pair list is the bounded output
+    of the guarded LSH/banding stages, orders of magnitude smaller than
+    the corpus, and labels converge per-component independently. The loop
+    stops when a round changes no label (one tiny driver action per
+    round); ``max_iterations`` bounds adversarial chains (a 10^6-vertex
+    path would need 10^6 rounds — that is not a near-dup graph shape; the
+    standard large-diameter escape is alternating star contraction, which
+    this API could swap in behind the same contract).
+
+    Deterministic, oracle-checkable (a recursive CTE computes the same
+    min-reachable-id fixpoint).
+    """
+    # cache the symmetrized edge list: every propagation round joins it,
+    # and the upstream pair pipeline (LSH banding, jaccard verify, ...)
+    # must not re-run per round. One action materializes edges + the
+    # initial labels together.
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    ).cache()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    ).cache()
+    labels.count()
+    for _ in range(max_iterations):
+        # candidate labels: own + every neighbor's current label
+        neighbor = edges.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "component")
+        new_labels = (
+            labels.select("id", "component").union(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).cache()
+        # ONE action per round: the convergence probe materializes
+        # new_labels' cache as a side effect (limit(1) short-circuits as
+        # soon as any changed label is found)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", "component")
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup component: drops
+    every document whose component label is a smaller id. Documents in no
+    pair are kept untouched (left anti join against the non-representative
+    set — the corpus is scanned once; only pair-involved ids shuffle)."""
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

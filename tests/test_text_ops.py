@@ -406,3 +406,58 @@ def test_arrow_winnowing_guarantee(spark):
              for r in TA.fingerprint_overlap_pairs_arrow(df, min_shared=2).collect()}
     assert (1, 2) in pairs and (3, 4) in pairs
     assert (1, 3) not in pairs
+
+
+def test_connected_components_multi_hop(spark):
+    """Min-label propagation over a 5-chain (needs multiple rounds), a
+    separate triangle, and an isolated pair — every vertex must end at
+    its component's minimum id."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in
+         [(10, 11), (11, 12), (12, 13), (13, 14),   # chain 10..14
+          (2, 7), (7, 5), (2, 5),                   # triangle {2,5,7}
+          (100, 99)]]                                # pair (unordered input)
+    )
+    got = {r.id: r.component for r in T.connected_components(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   2: 2, 5: 2, 7: 2, 99: 99, 100: 99}
+
+
+def test_dedup_near_keeps_component_minimum(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(8)]
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=3), Row(id_a=3, id_b=5), Row(id_a=6, id_b=7)]
+    )
+    kept = sorted(r.doc_id for r in T.dedup_near(docs, pairs).collect())
+    # component {1,3,5} -> keep 1; {6,7} -> keep 6; untouched 0,2,4 stay
+    assert kept == [0, 1, 2, 4, 6]
+
+
+def test_sampling_determinism_and_stability(spark):
+    """Stratified sample is identical under repartitioning (the property
+    seed-based sample lacks); hash_split never reassigns an existing id
+    as the corpus grows."""
+    from jsl_engine import sampling as S
+
+    rows = [Row(doc_id=i, lang=["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, S.stratified_sample(df, ["lang"], 4).collect()))
+    b = sorted(map(tuple,
+                   S.stratified_sample(df.repartition(7), ["lang"], 4).collect()))
+    assert a == b
+    assert len(a) == 12  # 4 per lang x 3 langs
+    langs = {}
+    for _id, lang in a:
+        langs[lang] = langs.get(lang, 0) + 1
+    assert langs == {"en": 4, "de": 4, "fr": 4}
+
+    small = {r.doc_id: r.split for r in S.hash_split(df).collect()}
+    grown = spark.createDataFrame(
+        rows + [Row(doc_id=i, lang="en") for i in range(300, 600)]
+    )
+    big = {r.doc_id: r.split for r in S.hash_split(grown).collect()}
+    assert all(big[k] == v for k, v in small.items())  # never reassigned
+    n_eval = sum(1 for v in big.values() if v == "eval")
+    assert 0 < n_eval < 100  # ~5% of 600
