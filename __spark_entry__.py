@@ -1014,14 +1014,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang,
                        ROW_NUMBER() OVER (
                            PARTITION BY lang
-                           ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+                           ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648, doc_id
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 5
         """,
         "hash_split_documents": """
             SELECT lang,
-                   CASE WHEN ((doc_id * 2654435761) % 2147483648) % 1000 < 50
+                   CASE WHEN (((doc_id % 2147483648) * 2654435761) % 2147483648) % 1000 < 50
                         THEN 'eval' ELSE 'train' END AS split,
                    COUNT(*)::BIGINT AS n
             FROM documents GROUP BY 1, 2

@@ -22,9 +22,12 @@ _MOD = 2**31
 
 def order_hash(id_col):
     """Deterministic pseudo-random ordering key from an integer id:
-    ``(id * 2654435761) mod 2^31`` — identical arithmetic in every
-    SQL engine (no engine-specific hash function)."""
-    return F.pmod(F.col(id_col) * F.lit(_KNUTH), F.lit(_MOD))
+    ``((id mod 2^31) * 2654435761) mod 2^31`` — identical arithmetic in
+    every SQL engine (no engine-specific hash function). The id is
+    reduced mod 2^31 *before* the multiply so the product stays below
+    2^62: no signed-64-bit overflow (ANSI mode would crash, and engines
+    disagree on wrap semantics) for any id up to the full BIGINT range."""
+    return F.pmod(F.pmod(F.col(id_col), F.lit(_MOD)) * F.lit(_KNUTH), F.lit(_MOD))
 
 
 def stratified_sample(

@@ -263,23 +263,35 @@ def ks_drift_binned(
     Pass a fixed ``lo``/``hi`` domain to make the plan fully
     **action-free and single-scan** — production drift monitors have
     fixed domains, which also keeps bin edges stable across runs (a
-    property the run-over-run comparison wants anyway). When omitted,
-    min/max are derived in ONE combined driver action (they were two —
-    min/max agg + a full count — before; the total row count now comes
-    from a window over the tiny per-partition aggregate instead of a
-    rescan)."""
+    property the run-over-run comparison wants anyway). Out-of-domain
+    values clamp into the edge bins (bin 0 below ``lo``, bin ``bins-1``
+    above ``hi``), so outliers cannot inflate the dense part×bin grid
+    past ``bins`` cells. A partially specified domain derives only the
+    missing bound from data (the given one is honored — bin edges on
+    that side stay stable). When both are omitted, min/max come from ONE
+    combined driver action (they were two — min/max agg + a full count —
+    before; the total row count now comes from a window over the tiny
+    per-partition aggregate instead of a rescan)."""
     base = df.select(
         F.col(part_col).alias("part"), F.col(value_col).cast("double").alias("v")
     ).where(F.col(value_col).isNotNull())
     if lo is None or hi is None:
-        lo, hi = base.agg(F.min("v"), F.max("v")).first()
-    if lo is None or hi is None or lo == hi:
+        dlo, dhi = base.agg(F.min("v"), F.max("v")).first()
+        lo = lo if lo is not None else dlo
+        hi = hi if hi is not None else dhi
+    if lo is None or hi is None or lo >= hi:
         return base.select("part").distinct().select(
             "part", F.lit(0.0).alias("ks_d")
         )
     width = (hi - lo) / bins
     binned = base.withColumn(
-        "bin", F.least(F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+        "bin",
+        F.greatest(
+            F.least(
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+            ),
+            F.lit(0),
+        ),
     )
     pb = binned.groupBy("part", "bin").agg(F.count(F.lit(1)).alias("c_part"))
     tb = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c_tot"))

@@ -55,7 +55,7 @@ def shingles(col, n: int = 5):
 
 def exact_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    max_ids: int = 100,
+    max_ids: int = 100, cache: bool = True,
 ) -> DataFrame:
     """Groups of byte-identical documents: ``content_hash, n_docs, doc_ids``.
 
@@ -78,10 +78,20 @@ def exact_duplicates(
 
     For scale dedup itself use :func:`dedup_exact`, which never
     materializes id lists.
+
+    ``cache=True`` (default) eagerly caches the narrow ``(id, hash)``
+    projection: both plan branches (count aggregate + join probe) consume
+    it, and sha256 over every document is the dominant CPU cost — without
+    the cache it is computed twice. At 10^12 rows the projection is
+    ~70 B/doc; pass ``cache=False`` and write it to a table instead (the
+    manifest pattern) when that exceeds cluster cache capacity.
     """
     h = df.select(
         F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
     )
+    if cache:
+        h = h.cache()
+        h.count()
     counts = h.groupBy("content_hash").agg(F.count(F.lit(1)).alias("n_docs"))
     dup_counts = counts.where(F.col("n_docs") > 1)
     dup_rows = h.join(dup_counts, "content_hash")
@@ -350,11 +360,18 @@ def simhash_pairs_from_hashes(
     blocks: a pair within Hamming distance ``max_hamming`` differs in at
     most ``max_hamming`` bits, so at least one block carries **zero**
     differing bits and the pair collides on that block's exact value —
-    **guaranteed 100% recall** (pigeonhole principle), unlike prefix
-    blocking or multi-probe, at only ``max_hamming + 1`` banded rows per
-    document. The verify stage (``bit_count(a XOR b) <= max_hamming``) is
-    exact, so precision is 1.0 by construction; a pair matching in
-    several blocks is deduplicated by the final ``distinct``.
+    **100% recall among banded rows** (pigeonhole principle), unlike
+    prefix blocking or multi-probe, at only ``max_hamming + 1`` banded
+    rows per document. The one qualifier is the ``max_bucket`` guard
+    below: a (block, value) bucket holding more than ``max_bucket``
+    documents is pruned like every other banding operator here, so a
+    group of >``max_bucket`` near-identical documents reports no pairs —
+    that pathology is exact-dup territory (run :func:`dedup_exact`
+    first), and the guard is what keeps a boilerplate cluster from
+    materializing ~n²/2 join rows. The verify stage
+    (``bit_count(a XOR b) <= max_hamming``) is exact, so precision is
+    1.0 by construction; a pair matching in several blocks is
+    deduplicated by the final ``distinct``.
 
     Scale shape mirrors :func:`lsh_candidate_pairs`: the oversized-bucket
     guard (windowed count on the (block, value) key, pruned rows
@@ -369,10 +386,14 @@ def simhash_pairs_from_hashes(
     base_w, extra = divmod(64, n_blocks)
     widths = [base_w + 1 if i < extra else base_w for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def mask_lit(w: int):
+        # a 64-bit mask doesn't fit a positive bigint literal; all-ones
+        # is -1 in two's complement (max_hamming=0 → one full-width block)
+        return F.lit((1 << w) - 1 if w < 64 else -1).cast("bigint")
+
     block_vals = [
-        F.shiftrightunsigned("simhash", off).bitwiseAND(
-            F.lit((1 << w) - 1).cast("bigint")
-        )
+        F.shiftrightunsigned("simhash", off).bitwiseAND(mask_lit(w))
         for off, w in zip(offsets, widths)
     ]
     banded = h.select(
@@ -422,9 +443,11 @@ def simhash_near_duplicates(
     Replaces the earlier prefix+multi-probe formulation, which produced
     ×(prefix_bits+1) probe rows on a full side of the self-join and still
     missed pairs differing in ≥2 prefix bits; pigeonhole banding emits
-    only ``max_hamming + 1`` rows per document and misses nothing (see
-    :func:`simhash_pairs_from_hashes` for the guarantee and the
-    oversized-bucket guard).
+    only ``max_hamming + 1`` rows per document and misses nothing except
+    pairs inside buckets pruned by the ``max_bucket`` boilerplate guard
+    (see :func:`simhash_pairs_from_hashes` for the guarantee and that
+    qualifier — groups of >``max_bucket`` near-identical documents are
+    exact-dup territory).
 
     ``cache=True`` (default) caches the 16-byte/doc ``(id, simhash)``
     table: the self-join would otherwise evaluate the signature
@@ -881,14 +904,16 @@ def connected_components(
         neighbor = edges.join(
             labels.withColumnRenamed("id", "dst"), "dst"
         ).select(F.col("src").alias("id"), "component")
+        # localCheckpoint, NOT cache: caching materializes DATA but the
+        # LOGICAL plan still nests one level per round — after ~12 rounds
+        # the driver OOMs just rendering the plan (found by the
+        # nonconvergence regression test). Checkpointing truncates the
+        # lineage so every round starts from a flat scan of stored blocks.
         new_labels = (
             labels.select("id", "component").union(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).cache()
-        # ONE action per round: the convergence probe materializes
-        # new_labels' cache as a side effect (limit(1) short-circuits as
-        # soon as any changed label is found)
+        ).localCheckpoint()
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "id")
             .where(F.col("component") != F.col("old"))
@@ -899,6 +924,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent partial convergence would hand dedup_near wrong groups
+        # (several "representatives" per true component)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "rounds — the pair graph has a longer diameter than a near-dup "
+            "graph should (adversarial chain?); raise max_iterations or "
+            "switch to star-contraction"
+        )
     edges.unpersist()
     return labels.select("id", "component")
 

@@ -80,6 +80,11 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     offset, vectorized over a sliding window) through a final
     splitmix64. Docs shorter than ``n`` words form their single
     all-words shingle, matching the JVM ``shingles()`` clipping."""
+    if n > len(_POS):
+        raise ValueError(
+            f"shingle width n={n} exceeds the {len(_POS)} position "
+            "constants — widen _POS if >64-word shingles are ever needed"
+        )
     # strip(' ') not strip(): after the ASCII-\s collapse the edges are
     # plain spaces, and Python's bare strip() would also remove Unicode
     # whitespace that the JVM's F.trim (space-only) keeps

@@ -258,3 +258,24 @@ def test_binned_ks_and_chi2_scan_discipline(spark):
          tc.ks_drift_binned(df, "v", "part", lo=0.0, hi=16.0).collect()}
     b = {r.part: r.ks_d for r in tc.ks_drift_binned(df, "v", "part").collect()}
     assert a == b
+
+
+def test_binned_ks_fixed_domain_clamps_and_partial_bounds(spark):
+    """Out-of-domain values clamp into edge bins (the dense grid stays
+    <= bins cells even with extreme outliers), and a partially-specified
+    domain honors the given bound."""
+    from pyspark.sql import Row
+
+    rows = [Row(part="a" if i % 2 else "b", v=float(i % 10)) for i in range(200)]
+    rows += [Row(part="a", v=-1e6), Row(part="b", v=1e6)]  # wild outliers
+    df = spark.createDataFrame(rows)
+    out = tc.ks_drift_binned(df, "v", "part", bins=64, lo=0.0, hi=9.0).collect()
+    assert len(out) == 2
+    assert all(0.0 <= r.ks_d <= 1.0 for r in out)
+
+    # partial spec: lo honored, hi derived — equals the fully-specified call
+    a = {r.part: r.ks_d
+         for r in tc.ks_drift_binned(df, "v", "part", bins=64, lo=0.0).collect()}
+    b = {r.part: r.ks_d
+         for r in tc.ks_drift_binned(df, "v", "part", bins=64, lo=0.0, hi=1e6).collect()}
+    assert a == b

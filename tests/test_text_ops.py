@@ -461,3 +461,45 @@ def test_sampling_determinism_and_stability(spark):
     assert all(big[k] == v for k, v in small.items())  # never reassigned
     n_eval = sum(1 for v in big.values() if v == "eval")
     assert 0 < n_eval < 100  # ~5% of 600
+
+
+def test_simhash_max_hamming_zero_exact_blocking(spark, docs):
+    """max_hamming=0 = identical-signature blocking: one full-width
+    64-bit block (the all-ones mask is -1 in two's complement — a
+    positive 2^64-1 literal would not fit a bigint)."""
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in T.simhash_near_duplicates(docs, max_hamming=0).collect()}
+    assert out == {(1, 2): 0}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(12)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        T.connected_components(chain, max_iterations=3)
+    # and converges fine when given enough rounds
+    got = {r.id: r.component
+           for r in T.connected_components(chain, max_iterations=20).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_arrow_shingle_width_validated():
+    from jsl_engine.text_ops_arrow import _shingle_hashes
+
+    with pytest.raises(ValueError, match="shingle width"):
+        _shingle_hashes("some words here", 65)
+
+
+def test_sampling_huge_ids_no_overflow(spark):
+    """order_hash reduces the id mod 2^31 before multiplying: ids near
+    the BIGINT maximum must not overflow under ANSI mode."""
+    from jsl_engine import sampling as S
+
+    df = spark.createDataFrame(
+        [Row(doc_id=2**62 + i, lang="en") for i in range(10)]
+    )
+    out = S.stratified_sample(df, ["lang"], 3).collect()
+    assert len(out) == 3
+    split = S.hash_split(df).collect()
+    assert {r.split for r in split} <= {"train", "eval"}
