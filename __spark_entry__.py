@@ -432,6 +432,29 @@ def q_near_dup_components_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return connected_components(sim.union(chain)).orderBy("id")
 
 
+def q_dedup_near_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: drop every document that is not its
+    component's min-id representative (anti-join over the corpus — one
+    scan), over the same deterministic edge set as
+    :func:`q_near_dup_components_documents`. Output: per-lang survivor
+    counts (small, hash-stable). Fully oracled via the recursive-CTE
+    component fixpoint + the same anti-join in SQL."""
+    from jsl_engine.text_ops import dedup_near, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    sim = ngram_jaccard(docs, base, n=3).where(F.col("jaccard") >= 0.0).select(
+        "id_a", "id_b"
+    )
+    chain = docs.where(F.col("doc_id") % 20 == 2).select(
+        (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    kept = dedup_near(docs, sim.union(chain))
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
 def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic class-balanced sampling: at most 5 documents per
     lang, chosen by the content-derived Knuth hash order — identical
@@ -587,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_arrow": q_minhash_near_dup_arrow,
         "winnow_overlap_arrow": q_winnow_overlap_arrow,
         "near_dup_components_documents": q_near_dup_components_documents,
+        "dedup_near_documents": q_dedup_near_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
         "hash_split_documents": q_hash_split_documents,
         "language_id_documents": q_language_id_documents,
@@ -1008,6 +1032,38 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT src AS id FROM edges) v
             JOIN reach r ON r.a = v.id
             GROUP BY v.id
+        """,
+        "dedup_near_documents": """
+            WITH RECURSIVE
+            sim AS (
+                SELECT a.doc_id AS src, a.doc_id + 1 AS dst
+                FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 20 = 0
+            ),
+            chain AS (
+                SELECT doc_id - 1 AS src, doc_id AS dst
+                FROM documents WHERE doc_id % 20 = 2
+            ),
+            edges AS (
+                SELECT src, dst FROM sim UNION SELECT dst, src FROM sim
+                UNION SELECT src, dst FROM chain UNION SELECT dst, src FROM chain
+            ),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+            ),
+            comp AS (
+                SELECT v.id, LEAST(v.id, MIN(r.b)) AS component
+                FROM (SELECT DISTINCT src AS id FROM edges) v
+                JOIN reach r ON r.a = v.id
+                GROUP BY v.id
+            ),
+            dropped AS (SELECT id FROM comp WHERE id <> component)
+            SELECT d.lang, COUNT(*)::BIGINT AS n_kept
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+            GROUP BY d.lang
         """,
         "stratified_sample_documents": """
             SELECT doc_id, lang FROM (

@@ -503,3 +503,21 @@ def test_sampling_huge_ids_no_overflow(spark):
     assert len(out) == 3
     split = S.hash_split(df).collect()
     assert {r.split for r in split} <= {"train", "eval"}
+
+
+def test_connected_components_scale_shape(spark):
+    """20k vertices in 10k two-cliques plus 500 four-chains: converges in
+    a handful of rounds (diameter-bound, not size-bound) with correct
+    min labels everywhere — the shape a guarded near-dup pair list
+    actually has at corpus scale."""
+    pairs = [Row(id_a=2 * i, id_b=2 * i + 1) for i in range(10_000)]
+    pairs += [Row(id_a=100_000 + 4 * i + j, id_b=100_000 + 4 * i + j + 1)
+              for i in range(500) for j in range(3)]
+    out = {r.id: r.component
+           for r in T.connected_components(spark.createDataFrame(pairs)).collect()}
+    assert len(out) == 20_000 + 2_000
+    for i in range(0, 20_000, 2):
+        assert out[i] == i and out[i + 1] == i
+    for i in range(500):
+        base = 100_000 + 4 * i
+        assert all(out[base + j] == base for j in range(4))
