@@ -466,6 +466,23 @@ def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return stratified_sample(docs, ["lang"], 5)
 
 
+def q_mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix sampling: per-source keep rates applied via
+    the deterministic id-hash permille bucket (nested: raising a rate
+    keeps previously selected rows). Reported as per-source kept counts;
+    fully oracled — the rate CASE and hash arithmetic run verbatim in
+    SQL."""
+    from jsl_engine.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    return (
+        mixture_sample(docs, rates, default_rate=0.1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/eval split (id-hash permille bucket; stable
     under repartitioning and corpus growth) — reported as per-lang split
@@ -612,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components_documents": q_near_dup_components_documents,
         "dedup_near_documents": q_dedup_near_documents,
         "stratified_sample_documents": q_stratified_sample_documents,
+        "mixture_sample_documents": q_mixture_sample_documents,
         "hash_split_documents": q_hash_split_documents,
         "language_id_documents": q_language_id_documents,
         "jsl_validate_events": q_jsl_validate_events,
@@ -1074,6 +1092,17 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 5
+        """,
+        "mixture_sample_documents": """
+            SELECT source, COUNT(*)::BIGINT AS n_kept FROM (
+                SELECT source,
+                       (((doc_id % 2147483648) * 2654435761) % 2147483648) % 1000 AS frac,
+                       CASE WHEN source = 'src0' THEN 1000.0
+                            WHEN source = 'src1' THEN 500.0
+                            WHEN source = 'src2' THEN 250.0
+                            ELSE 100.0 END AS rate
+                FROM documents
+            ) WHERE frac < rate GROUP BY source
         """,
         "hash_split_documents": """
             SELECT lang,

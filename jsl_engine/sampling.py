@@ -59,6 +59,31 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Weighted dataset mixing: keep each row of source ``s`` with
+    probability ``rates[s]`` (sources absent from ``rates`` fall back to
+    ``default_rate``) — the training-mix step that up/down-samples
+    sources to a target recipe. Selection is the id-hash permille bucket,
+    so it is deterministic, partition-stable, and *nested*: raising a
+    source's rate keeps every previously selected row (incremental recipe
+    changes re-use earlier outputs). Pure filter — no shuffle, rates
+    become a literal CASE, whole-stage codegen."""
+    frac = F.pmod(order_hash(id_col), F.lit(1000))
+    rate_expr = F.lit(float(default_rate) * 1000)
+    for src, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(source_col) == F.lit(src), F.lit(float(rate) * 1000)
+        ).otherwise(rate_expr)
+    return df.where(frac < rate_expr)
+
+
 def hash_split(
     df: DataFrame,
     *,

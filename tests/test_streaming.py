@@ -315,3 +315,48 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     )
     assert len(got) == 500  # 300 + 200: nothing reprocessed, nothing lost
     assert got == want
+
+
+def test_arrow_signature_kernels_compose_with_streams(spark, tmp_path):
+    """The Arrow signature kernels are stateless per document, so they
+    lift onto Structured Streaming unchanged — signature extraction over
+    a file stream equals the batch kernel over the same corpus (the
+    landing-zone pattern for continuous dedup-signature ingestion)."""
+    from pyspark.sql import Row
+
+    from jsl_engine.text_ops_arrow import minhash_signatures_arrow, simhash_arrow
+
+    corpus = str(tmp_path / "sig_corpus")
+    spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma {i} delta epsilon zeta " * 5)
+         for i in range(200)]
+    ).repartition(4).write.parquet(corpus)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(corpus)
+    )
+    q = (
+        simhash_arrow(stream).writeStream.format("memory")
+        .queryName("stream_simhash")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sig"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id: r.simhash for r in spark.sql("SELECT * FROM stream_simhash").collect()}
+    want = {r.doc_id: r.simhash
+            for r in simhash_arrow(spark.read.parquet(corpus)).collect()}
+    assert got == want and len(got) == 200
+
+    # minhash signatures stream too (stateless mapInArrow)
+    q2 = (
+        minhash_signatures_arrow(stream).writeStream.format("memory")
+        .queryName("stream_minhash")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sig2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert spark.sql("SELECT count(*) FROM stream_minhash").first()[0] == 200

@@ -521,3 +521,23 @@ def test_connected_components_scale_shape(spark):
     for i in range(500):
         base = 100_000 + 4 * i
         assert all(out[base + j] == base for j in range(4))
+
+
+def test_mixture_sample_nested_and_deterministic(spark):
+    """Raising a source's rate keeps every previously selected row
+    (nested property); selection is repartition-stable; rates track
+    realized fractions."""
+    from jsl_engine import sampling as S
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source=f"s{i % 3}") for i in range(3000)]
+    )
+    low = {r.doc_id for r in S.mixture_sample(df, {"s0": 0.2}, default_rate=0.0).collect()}
+    high = {r.doc_id for r in S.mixture_sample(df, {"s0": 0.6}, default_rate=0.0).collect()}
+    assert low <= high  # nested
+    assert abs(len(low) / 1000 - 0.2) < 0.05
+    assert abs(len(high) / 1000 - 0.6) < 0.05
+    again = {r.doc_id
+             for r in S.mixture_sample(df.repartition(11), {"s0": 0.2},
+                                       default_rate=0.0).collect()}
+    assert again == low  # partition-stable
