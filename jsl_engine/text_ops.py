@@ -930,11 +930,93 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge within {max_iterations} "
             "rounds — the pair graph has a longer diameter than a near-dup "
-            "graph should (adversarial chain?); raise max_iterations or "
-            "switch to star-contraction"
+            "graph should (adversarial chain?); raise max_iterations or use "
+            "connected_components_star (O(log² n) rounds on any shape)"
         )
     edges.unpersist()
     return labels.select("id", "component")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    *,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_rounds: int = 60,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction — the adversarial-diameter scale path promised by
+    :func:`connected_components` (min-label propagation needs `diameter`
+    rounds; a 10^6-vertex chain would need 10^6 — star contraction
+    converges in O(log² n) rounds on ANY graph shape).
+
+    One round = large-star (every vertex links its strictly-larger
+    neighbors to the minimum of its closed neighborhood) then small-star
+    (every vertex links its smaller-or-equal neighbors and itself to
+    their minimum). Both are windowed min + filter over the edge list —
+    **no collect_list**, so a star root of component size 10^6 never
+    materializes its neighborhood in one buffer. Edges are
+    localCheckpointed per round (flat lineage); convergence = the
+    canonical edge set's (count, hash-sum) fingerprint repeating, one
+    tiny action per round. Returns the same ``id, component`` contract as
+    :func:`connected_components`.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star over the symmetrized edges: center u, m = min of the
+        # closed neighborhood, attach strictly-larger neighbors to m
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        wu = Window.partitionBy("u")
+        ls = sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+        e1 = (
+            ls.where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (u > v)-normalized edges: attach u and its
+        # smaller neighbors to the neighborhood minimum
+        ss = e1.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+        e2 = (
+            ss.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(ss.select("u", F.col("m").alias("v")).distinct())
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        [sig] = (
+            e2.agg(
+                F.count(F.lit(1)).alias("n"),
+                # bit_xor, not sum: summing 64-bit hashes overflows under
+                # ANSI mode; XOR over the distinct edge set is order- and
+                # overflow-free
+                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+            ).collect()
+        )
+        e = e2
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge within {max_rounds} rounds"
+        )
+    # converged: edges form stars (u -> root v); roots map to themselves
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.union(roots)
 
 
 def dedup_near(

@@ -541,3 +541,45 @@ def test_mixture_sample_nested_and_deterministic(spark):
              for r in S.mixture_sample(df.repartition(11), {"s0": 0.2},
                                        default_rate=0.0).collect()}
     assert again == low  # partition-stable
+
+
+def test_star_contraction_long_chain(spark):
+    """A 2000-vertex path — the adversarial-diameter shape where
+    min-label propagation would need 2000 rounds — converges via star
+    contraction in O(log^2 n) rounds with every vertex labeled 0."""
+    chain = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(1999)])
+    got = {r.id: r.component
+           for r in T.connected_components_star(chain).collect()}
+    assert len(got) == 2000
+    assert set(got.values()) == {0}
+
+
+def test_star_contraction_matches_union_find(spark):
+    """Random graph vs a pure-Python union-find ground truth, and vs the
+    propagation variant."""
+    import random
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(400)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(500))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    vertices = {v for e in edges for v in e}
+    truth = {v: find(v) for v in vertices}
+
+    df = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    star = {r.id: r.component for r in T.connected_components_star(df).collect()}
+    assert star == truth
+    prop = {r.id: r.component for r in T.connected_components(df).collect()}
+    assert prop == truth
