@@ -236,3 +236,114 @@ def dedup_stream(
     return hashed.dropDuplicates(["content_sha256"]).select(
         *id_cols, "content_sha256", content_col
     )
+
+
+def near_dup_stream(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming MinHash near-duplicate detection: every arriving document
+    is compared against the signatures already seen in its LSH buckets,
+    emitting ``id_a, id_b, band, est_jaccard`` pairs incrementally —
+    continuous dedup over a landing zone, without reprocessing history.
+
+    Construction mirrors the batch pipeline piece for piece: the Arrow
+    signature kernel (stateless, streams unchanged), the shared
+    :func:`jsl_engine.text_ops.band_rows` banding, and the same estimated
+    Jaccard (fraction of equal signature components) ≥ ``threshold``
+    verify. Custom stateful operator (``applyInPandasWithState``) keyed
+    on (band, bucket): state holds at most ``max_bucket`` ``(id,
+    signature)`` entries per bucket (8·num_hashes bytes each). A bucket
+    exceeding ``max_bucket`` **saturates**: it stops storing and stops
+    emitting — the streaming analogue of the batch boilerplate guard
+    (batch prunes the oversized bucket retroactively; a stream cannot
+    retract, so pairs emitted before saturation stand — documented
+    semantic difference). A pair colliding in several bands is emitted
+    once per band; deduplicate on ``(id_a, id_b)`` at the consumer (kept
+    out of this operator so it composes with any output mode).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from jsl_engine.text_ops import band_rows
+    from jsl_engine.text_ops_arrow import minhash_signatures_arrow
+
+    sigs = minhash_signatures_arrow(stream, text_col, id_col, num_hashes, shingle_n)
+    banded = band_rows(sigs, id_col, bands, num_hashes)
+
+    out_type = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("band", IntegerType(), False),
+            StructField("est_jaccard", DoubleType(), False),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("ids", ArrayType(LongType()), True),
+            StructField("flat", ArrayType(LongType()), True),
+            StructField("n_seen", LongType(), True),
+        ]
+    )
+    n_h = num_hashes
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ids, flat, n_seen = (
+                list(state.get[0]),
+                list(state.get[1]),
+                int(state.get[2]),
+            )
+        else:
+            ids, flat, n_seen = [], [], 0
+        band = int(key[0])  # key = (band, bucket) in groupBy order
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        for pdf in pdf_iter:
+            for doc_id, sig in zip(pdf[id_col], pdf["sig"]):
+                n_seen += 1
+                if n_seen > max_bucket:
+                    continue  # saturated: guard semantics, state bounded
+                doc_id = int(doc_id)
+                s = np.asarray(list(sig), dtype=np.int64)
+                if ids:
+                    stored = np.asarray(flat, dtype=np.int64).reshape(-1, n_h)
+                    est = (stored == s[None, :]).mean(axis=1)
+                    for other, e in zip(ids, est):
+                        if e >= threshold and other != doc_id:
+                            out_a.append(min(other, doc_id))
+                            out_b.append(max(other, doc_id))
+                            out_j.append(round(float(e), 6))
+                ids.append(doc_id)
+                flat.extend(int(x) for x in s)
+        state.update((ids, flat, n_seen))
+        yield pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "band": pd.Series([band] * len(out_a), dtype="int32"),
+                "est_jaccard": pd.Series(out_j, dtype="float64"),
+            }
+        )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+    )

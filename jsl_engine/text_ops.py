@@ -160,6 +160,36 @@ def minhash_signatures(
     return base.select(F.col(id_col), F.array(*mins).alias("sig"))
 
 
+def band_rows(
+    signatures: DataFrame, id_col: str, bands: int, num_hashes: int
+) -> DataFrame:
+    """``(id, sig, band, bucket)`` rows: each signature split into
+    ``bands`` banded rows keyed by (band index, band hash) — the shared
+    banding construction of the batch LSH join
+    (:func:`lsh_candidate_pairs`, which drops ``sig``) and the streaming
+    stateful near-dup (:func:`jsl_engine.streaming.near_dup_stream`,
+    which carries ``sig`` into per-bucket state)."""
+    rows_per_band = num_hashes // bands
+    return signatures.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -188,24 +218,7 @@ def lsh_candidate_pairs(
     action-free; if omitted it is probed with a one-row job.
     """
     n = num_hashes if num_hashes is not None else signatures.select(F.size("sig")).first()[0]
-    rows_per_band = n // bands
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = band_rows(signatures, id_col, bands, n).drop("sig")
     # boilerplate guard FIRST: windowed bucket size, oversized rows dropped
     # before any pair exists
     w = Window.partitionBy("band", "bucket")

@@ -360,3 +360,57 @@ def test_arrow_signature_kernels_compose_with_streams(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.sql("SELECT count(*) FROM stream_minhash").first()[0] == 200
+
+
+def test_near_dup_stream_matches_batch(spark, tmp_path):
+    """Streaming near-dup over a file stream finds exactly the batch
+    pipeline's pairs (same Arrow signatures, same banding, same estimated
+    Jaccard verify) when buckets stay under the cap — incremental dedup
+    without reprocessing history. Runs as TWO availableNow queries over a
+    shared checkpoint with new files in between: pairs spanning the two
+    arrivals prove the state store carries signatures across restarts."""
+    from pyspark.sql import Row
+
+    from jsl_engine.streaming import near_dup_stream
+    from jsl_engine.text_ops_arrow import minhash_near_duplicates_arrow
+
+    def doc(i, variant=0):
+        words = " ".join(f"tok{(i * 7 + j) % 19}x{j}" for j in range(80))
+        return words if variant == 0 else words.replace("tok", "CHANGED", 1) + " tail"
+
+    # batch A: 30 base docs; batch B: 30 near-dup variants (pair i <-> 100+i)
+    a_rows = [Row(doc_id=i, text=doc(i)) for i in range(30)]
+    b_rows = [Row(doc_id=100 + i, text=doc(i, variant=1)) for i in range(30)]
+    landing = str(tmp_path / "nd_landing")
+    out_dir = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(landing)
+        )
+        q = (
+            near_dup_stream(stream, threshold=0.5)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(a_rows).repartition(3).write.parquet(landing)
+    run_once()
+    spark.createDataFrame(b_rows).repartition(3).write.mode("append").parquet(landing)
+    run_once()
+
+    got = {(r.id_a, r.id_b)
+           for r in spark.read.parquet(out_dir).select("id_a", "id_b").distinct().collect()}
+    batch_df = spark.createDataFrame(a_rows + b_rows)
+    want = {(r.id_a, r.id_b)
+            for r in minhash_near_duplicates_arrow(batch_df, threshold=0.5).collect()}
+    assert want, "fixture must plant real near-dups"
+    assert got == want
