@@ -1,0 +1,110 @@
+"""End-to-end corpus deduplication job: documents table → exact dedup →
+MinHash near-dup (Arrow signature kernel) → connected components →
+keep-one-representative → deduplicated corpus + report.
+
+The composed pipeline a training-data run executes before tokenization,
+wired from the engine's guarded building blocks:
+
+1. **exact**: :func:`jsl_engine.text_ops.dedup_exact` (sha256 groupBy —
+   map-side combine, one shuffle);
+2. **near**: :func:`jsl_engine.text_ops_arrow.minhash_near_duplicates_arrow`
+   (numpy signatures, banding with the pre-join oversized-bucket guard,
+   estimated-Jaccard verify) over the exact-dedup survivors;
+3. **group**: :func:`jsl_engine.text_ops.connected_components` (min-label
+   propagation; pass ``--star`` for the O(log² n) star-contraction variant
+   on adversarial-diameter graphs) + keep the min-id representative per
+   component (one anti-join over the corpus).
+
+Usage::
+
+    python jobs/dedup_job.py [--input DIR_OR_PARQUET] [--output DIR]
+        [--threshold 0.8] [--cpus 8] [--star] [--keep-output]
+
+Prints one JSON line: docs_in, exact_dropped, near_dropped, docs_out,
+pairs, components, seconds, docs_per_sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from jsl_engine.partitioning import get_spark
+from jsl_engine.text_ops import (
+    connected_components,
+    connected_components_star,
+    dedup_exact,
+)
+from jsl_engine.text_ops_arrow import minhash_near_duplicates_arrow
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.01/documents.parquet")
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--star", action="store_true",
+                    help="star-contraction components (any-diameter graphs)")
+    ap.add_argument("--keep-output", action="store_true")
+    args = ap.parse_args()
+
+    out_dir = args.output or tempfile.mkdtemp(prefix="jsl_dedup_")
+    spark = get_spark(
+        f"local[{args.cpus}]",
+        app_name="jsl-dedup-job",
+        shuffle_partitions=max(8, args.cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    docs_in = docs.count()
+
+    survivors = dedup_exact(docs)
+    n_after_exact = survivors.count()
+
+    pairs = minhash_near_duplicates_arrow(
+        survivors, threshold=args.threshold
+    ).select("id_a", "id_b")
+    components_fn = connected_components_star if args.star else connected_components
+    comp = components_fn(pairs)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    n_components = comp.select("component").distinct().count()
+    n_pairs = pairs.count()
+
+    deduped = survivors.join(drop, "doc_id", "left_anti")
+    deduped.write.mode("overwrite").parquet(f"{out_dir}/documents")
+    docs_out = spark.read.parquet(f"{out_dir}/documents").count()
+    seconds = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "docs_in": docs_in,
+        "exact_dropped": docs_in - n_after_exact,
+        "near_dropped": n_after_exact - docs_out,
+        "docs_out": docs_out,
+        "pairs": n_pairs,
+        "components": n_components,
+        "seconds": seconds,
+        "docs_per_sec": round(docs_in / seconds, 1),
+        "strategy": "star" if args.star else "propagation",
+    }))
+    if not args.keep_output and args.output is None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -583,3 +583,37 @@ def test_star_contraction_matches_union_find(spark):
     assert star == truth
     prop = {r.id: r.component for r in T.connected_components(df).collect()}
     assert prop == truth
+
+
+def test_dedup_job_end_to_end(spark, tmp_path):
+    """The composed dedup job (exact -> near (arrow) -> components ->
+    keep-representative) on a corpus with planted exact AND near dups:
+    report math consistent, survivors correct, both component strategies
+    agree."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    rows = [Row(doc_id=i, text=f"unique document {i} " + " ".join(
+        f"w{i}x{j}" for j in range(60))) for i in range(40)]
+    rows += [Row(doc_id=100, text=base), Row(doc_id=101, text=base)]      # exact dup
+    rows += [Row(doc_id=102, text=base + " extra tail words here")]       # near dup
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows).repartition(2).write.parquet(src)
+
+    repo = Path(__file__).resolve().parent.parent
+    for flag in ([], ["--star"]):
+        out = subprocess.run(
+            [sys.executable, str(repo / "jobs" / "dedup_job.py"),
+             "--input", src, "--threshold", "0.6", "--cpus", "4", *flag],
+            capture_output=True, text=True, timeout=600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        rep = json.loads(line)
+        assert rep["docs_in"] == 43
+        assert rep["exact_dropped"] == 1          # 101 dies in exact dedup
+        assert rep["near_dropped"] == 1           # 102 dies in near dedup
+        assert rep["docs_out"] == 41
+        assert rep["docs_in"] - rep["exact_dropped"] - rep["near_dropped"] == rep["docs_out"]
