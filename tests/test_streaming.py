@@ -414,3 +414,36 @@ def test_near_dup_stream_matches_batch(spark, tmp_path):
             for r in minhash_near_duplicates_arrow(batch_df, threshold=0.5).collect()}
     assert want, "fixture must plant real near-dups"
     assert got == want
+
+
+def test_near_dup_stream_bucket_saturation(spark, tmp_path):
+    """A boilerplate bucket larger than max_bucket saturates: state stays
+    bounded and the bucket stops emitting — the streaming analogue of the
+    batch oversized-bucket guard (pairs from before saturation stand)."""
+    from pyspark.sql import Row
+
+    from jsl_engine.streaming import near_dup_stream
+
+    boiler = "This file is auto-generated do not edit. " * 8
+    rows = [Row(doc_id=i, text=boiler) for i in range(40)]
+    landing = str(tmp_path / "sat_landing")
+    spark.createDataFrame(rows).repartition(2).write.parquet(landing)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(landing)
+    )
+    q = (
+        near_dup_stream(stream, threshold=0.5, max_bucket=5)
+        .writeStream.format("memory")
+        .queryName("sat_pairs")
+        .option("checkpointLocation", str(tmp_path / "sat_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT COUNT(DISTINCT id_a, id_b) FROM sat_pairs").first()[0]
+    # unbounded, 40 identical docs would emit 40*39/2 = 780 pairs; the cap
+    # bounds it at <= C(max_bucket, 2) distinct pairs
+    assert n <= 5 * 4 // 2

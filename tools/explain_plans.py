@@ -135,6 +135,14 @@ def main(sf_dir: str) -> int:
                 must_contain=["__bucket_n", "Window", "bit_count"],
                 must_not=["CartesianProduct"])
 
+    # 10. hash_split is a pure projection: no Exchange, no Window — the
+    #     split decision is row-local arithmetic inside codegen
+    from jsl_engine.sampling import hash_split
+    hs = hash_split(docs.select("doc_id", "lang"))
+    ok &= check("hash_split pure projection", hs,
+                must_contain=["Project"],
+                must_not=["Exchange", "Window", "Sort"])
+
     print("ALL OK" if ok else "PLAN REGRESSIONS FOUND")
     return 0 if ok else 1
 
