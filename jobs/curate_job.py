@@ -1,0 +1,119 @@
+"""End-to-end corpus curation job: documents table → quality filter →
+language filter → weighted source mixture → deterministic train/eval
+split → curated corpus + report.
+
+The step after :mod:`jobs.dedup_job` in a training-data run, wired from
+the engine's oracled building blocks — every decision is content-derived
+and deterministic, so re-running the job on a grown corpus never
+reassigns an existing document's fate:
+
+1. **quality**: :func:`jsl_engine.text_ops.quality_score` ≥ ``min_quality``
+   (pure JVM expressions, one scan);
+2. **language**: :func:`jsl_engine.text_ops.language_id` restricted to
+   ``--langs`` (JVM regexp script counting + marker argmax);
+3. **mixture**: :func:`jsl_engine.sampling.mixture_sample` applies
+   per-source keep rates (codegen filter; nested under rate increases);
+4. **split**: :func:`jsl_engine.sampling.hash_split` assigns train/eval
+   (stable under corpus growth), written as partition directories.
+
+Usage::
+
+    python jobs/curate_job.py [--input PARQUET] [--output DIR]
+        [--min-quality 0.5] [--langs en,de,fr] [--rate SRC=R ...]
+        [--default-rate 1.0] [--eval-permille 50] [--cpus 8] [--keep-output]
+
+Prints one JSON line: docs_in, quality_dropped, lang_dropped,
+mixture_dropped, train, eval, seconds, docs_per_sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from jsl_engine.partitioning import get_spark
+from jsl_engine.sampling import hash_split, mixture_sample
+from jsl_engine.text_ops import language_id, quality_score
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="/root/testdata/sf0.01/documents.parquet")
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--langs", default="",
+                    help="comma-separated lang_id allowlist; empty = keep all")
+    ap.add_argument("--rate", action="append", default=[],
+                    help="SRC=RATE per-source mixture keep rate (repeatable)")
+    ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--eval-permille", type=int, default=50)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--keep-output", action="store_true")
+    args = ap.parse_args()
+
+    rates = {}
+    for spec in args.rate:
+        src, _, r = spec.partition("=")
+        rates[src] = float(r)
+    langs = [l for l in args.langs.split(",") if l]
+
+    out_dir = args.output or tempfile.mkdtemp(prefix="jsl_curate_")
+    spark = get_spark(
+        f"local[{args.cpus}]",
+        app_name="jsl-curate-job",
+        shuffle_partitions=max(8, args.cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    docs = spark.read.parquet(args.input)
+    docs_in = docs.count()
+
+    q = quality_score(docs).where(F.col("quality") >= args.min_quality)
+    survivors = docs.join(q.select("doc_id"), "doc_id")
+    n_quality = survivors.count()
+
+    if langs:
+        lid = language_id(survivors).where(F.col("lang_id").isin(langs))
+        survivors = survivors.join(lid.select("doc_id"), "doc_id")
+    n_lang = survivors.count()
+
+    mixed = mixture_sample(survivors, rates, default_rate=args.default_rate)
+    n_mixed = mixed.count()
+
+    final = hash_split(mixed, eval_permille=args.eval_permille)
+    final.write.mode("overwrite").partitionBy("split").parquet(
+        f"{out_dir}/documents"
+    )
+    written = spark.read.parquet(f"{out_dir}/documents")
+    counts = {r["split"]: r["n"] for r in
+              written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    seconds = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "docs_in": docs_in,
+        "quality_dropped": docs_in - n_quality,
+        "lang_dropped": n_quality - n_lang,
+        "mixture_dropped": n_lang - n_mixed,
+        "train": counts.get("train", 0),
+        "eval": counts.get("eval", 0),
+        "seconds": seconds,
+        "docs_per_sec": round(docs_in / seconds, 1),
+    }))
+    if not args.keep_output and args.output is None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -617,3 +617,48 @@ def test_dedup_job_end_to_end(spark, tmp_path):
         assert rep["near_dropped"] == 1           # 102 dies in near dedup
         assert rep["docs_out"] == 41
         assert rep["docs_in"] - rep["exact_dropped"] - rep["near_dropped"] == rep["docs_out"]
+
+
+def test_curate_job_end_to_end(spark, tmp_path):
+    """The composed curation job (quality -> language -> mixture -> split)
+    with a corpus planting each drop reason: report math consistent,
+    output partitioned by split, and every decision stable (re-run equals
+    first run)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    good = ("It is clear that the story begins with his journey to the "
+            "city, and the people were glad. " * 3)
+    rows = [Row(doc_id=i, text=good + f" marker {i}", source=f"s{i % 2}")
+            for i in range(30)]
+    rows += [Row(doc_id=100, text="x", source="s0")]            # quality drop
+    rows += [Row(doc_id=101, text=("der alte mann ging mit dem hund durch die "
+                                   "stadt und das wetter war nicht gut aber er "
+                                   "wollte zu seiner schwester. " * 3),
+                 source="s0")]                                   # lang drop (de)
+    src = str(tmp_path / "cur_in")
+    spark.createDataFrame(rows).repartition(2).write.parquet(src)
+
+    repo = Path(__file__).resolve().parent.parent
+
+    def run():
+        out = subprocess.run(
+            [sys.executable, str(repo / "jobs" / "curate_job.py"),
+             "--input", src, "--min-quality", "0.5", "--langs", "en",
+             "--rate", "s1=0.5", "--default-rate", "1.0", "--cpus", "4"],
+            capture_output=True, text=True, timeout=600,
+        )
+        return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
+
+    rep = run()
+    assert rep["docs_in"] == 32
+    assert rep["quality_dropped"] == 1
+    assert rep["lang_dropped"] == 1
+    assert 0 < rep["mixture_dropped"] < 15     # ~half of the 15 s1 docs
+    assert rep["train"] + rep["eval"] == 30 - rep["mixture_dropped"]
+    rep2 = run()  # fully deterministic end to end (timing fields aside)
+    drop_timing = lambda d: {k: v for k, v in d.items()
+                             if k not in ("seconds", "docs_per_sec")}
+    assert drop_timing(rep2) == drop_timing(rep)
