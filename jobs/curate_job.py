@@ -62,7 +62,9 @@ def main() -> int:
 
     rates = {}
     for spec in args.rate:
-        src, _, r = spec.partition("=")
+        src, sep, r = spec.partition("=")
+        if not sep or not src or not r:
+            ap.error(f"--rate expects SRC=RATE, got {spec!r}")
         rates[src] = float(r)
     langs = [l for l in args.langs.split(",") if l]
 
@@ -79,14 +81,20 @@ def main() -> int:
     docs = spark.read.parquet(args.input)
     docs_in = docs.count()
 
+    # localCheckpoint after each filter stage: the per-stage report
+    # counts and the final write are separate actions — without
+    # materialization the quality-profile regexes and language-ID scans
+    # would re-execute for every downstream action
     q = quality_score(docs).where(F.col("quality") >= args.min_quality)
-    survivors = docs.join(q.select("doc_id"), "doc_id")
+    survivors = docs.join(q.select("doc_id"), "doc_id").localCheckpoint()
     n_quality = survivors.count()
 
     if langs:
         lid = language_id(survivors).where(F.col("lang_id").isin(langs))
-        survivors = survivors.join(lid.select("doc_id"), "doc_id")
-    n_lang = survivors.count()
+        survivors = survivors.join(lid.select("doc_id"), "doc_id").localCheckpoint()
+        n_lang = survivors.count()
+    else:
+        n_lang = n_quality
 
     mixed = mixture_sample(survivors, rates, default_rate=args.default_rate)
     n_mixed = mixed.count()

@@ -71,12 +71,16 @@ def main() -> int:
     docs = spark.read.parquet(args.input)
     docs_in = docs.count()
 
-    survivors = dedup_exact(docs)
+    # localCheckpoint: survivors feeds three actions (count, signature
+    # kernel, final anti-join write) and pairs feeds two (components,
+    # report count) — without materialization the sha256 shuffle and the
+    # banding join would each re-execute per action
+    survivors = dedup_exact(docs).localCheckpoint()
     n_after_exact = survivors.count()
 
     pairs = minhash_near_duplicates_arrow(
         survivors, threshold=args.threshold
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint()
     components_fn = connected_components_star if args.star else connected_components
     comp = components_fn(pairs)
     drop = comp.where(F.col("id") != F.col("component")).select(

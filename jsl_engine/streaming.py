@@ -248,6 +248,7 @@ def near_dup_stream(
     bands: int = 16,
     shingle_n: int = 5,
     max_bucket: int = 64,
+    state_timeout_minutes: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash near-duplicate detection: every arriving document
     is compared against the signatures already seen in its LSH buckets,
@@ -268,6 +269,19 @@ def near_dup_stream(
     semantic difference). A pair colliding in several bands is emitted
     once per band; deduplicate on ``(id_a, id_b)`` at the consumer (kept
     out of this operator so it composes with any output mode).
+
+    Two scale/semantics notes. (1) *State growth*: each (band, bucket)
+    key holds at most ``max_bucket`` signatures, but the number of KEYS
+    grows with distinct content — ~``bands`` new keys per mostly-unique
+    document. For an unbounded stream set ``state_timeout_minutes``: a
+    bucket idle that long is evicted (processing-time timeout), trading
+    cross-epoch recall for bounded state — the streaming analogue of
+    ``dropDuplicatesWithinWatermark``. (2) *Arrival order*: which
+    documents occupy a saturating bucket depends on shuffle arrival
+    order, so the pair set for over-cap groups is not deterministic —
+    inherent to any streaming first-seen semantics; the batch pipeline
+    over the full corpus is the deterministic authority (the two are
+    gated equal while buckets stay under the cap).
     """
     import numpy as np
     import pandas as pd
@@ -304,7 +318,22 @@ def near_dup_stream(
     )
     n_h = num_hashes
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
     def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "band": pd.Series([], dtype="int32"),
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
+            return
         if state.exists:
             ids, flat, n_seen = (
                 list(state.get[0]),
@@ -335,6 +364,8 @@ def near_dup_stream(
                 ids.append(doc_id)
                 flat.extend(int(x) for x in s)
         state.update((ids, flat, n_seen))
+        if state_timeout_minutes is not None:
+            state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             {
                 "id_a": pd.Series(out_a, dtype="int64"),
@@ -345,5 +376,5 @@ def near_dup_stream(
         )
 
     return banded.groupBy("band", "bucket").applyInPandasWithState(
-        update, out_type, state_type, "append", GroupStateTimeout.NoTimeout
+        update, out_type, state_type, "append", timeout_conf
     )

@@ -974,6 +974,15 @@ def connected_components_star(
     tiny action per round. Returns the same ``id, component`` contract as
     :func:`connected_components`.
     """
+    # vertex universe BEFORE dropping self-loops: a vertex whose only
+    # edge is (v, v) must still appear in the output (contract parity
+    # with the propagation variant)
+    all_vertices = (
+        pairs.select(F.col(a_col).alias("id"))
+        .union(pairs.select(F.col(b_col).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
     e = (
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
         .where(F.col("x") != F.col("y"))
@@ -983,7 +992,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    prev_sig = None
+    prev_n = None
     for _ in range(max_rounds):
         # large-star over the symmetrized edges: center u, m = min of the
         # closed neighborhood, attach strictly-larger neighbors to m
@@ -1002,34 +1011,39 @@ def connected_components_star(
         e2 = (
             ss.where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(ss.select("u", F.col("m").alias("v")).distinct())
+            .union(ss.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint()
         )
-        [sig] = (
-            e2.agg(
-                F.count(F.lit(1)).alias("n"),
-                # bit_xor, not sum: summing 64-bit hashes overflows under
-                # ANSI mode; XOR over the distinct edge set is order- and
-                # overflow-free
-                F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-            ).collect()
-        )
+        # EXACT convergence: same cardinality and no edge outside the
+        # previous set (both sets are distinct, so together that is set
+        # equality) — a hash fingerprint could collide and silently stop
+        # mid-contraction, returning wrong components
+        n2 = e2.count()
+        if prev_n == n2:
+            new_edges = e2.join(e, ["u", "v"], "left_anti").limit(1).count()
+            if new_edges == 0:
+                e = e2
+                break
+        prev_n = n2
         e = e2
-        if prev_sig == (sig["n"], sig["h"]):
-            break
-        prev_sig = (sig["n"], sig["h"])
     else:
         raise RuntimeError(
             f"connected_components_star did not converge within {max_rounds} rounds"
         )
-    # converged: edges form stars (u -> root v); roots map to themselves
+    # converged: edges form stars (u -> root v); roots map to themselves;
+    # vertices with no surviving edge (self-loop-only input) are their own
+    # component
     members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
-    return members.union(roots)
+    labeled = members.union(roots)
+    isolated = all_vertices.join(
+        labeled.select("id"), "id", "left_anti"
+    ).withColumn("component", F.col("id"))
+    return labeled.union(isolated)
 
 
 def dedup_near(

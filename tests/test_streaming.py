@@ -444,6 +444,8 @@ def test_near_dup_stream_bucket_saturation(spark, tmp_path):
     )
     q.awaitTermination(120)
     n = spark.sql("SELECT COUNT(DISTINCT id_a, id_b) FROM sat_pairs").first()[0]
-    # unbounded, 40 identical docs would emit 40*39/2 = 780 pairs; the cap
-    # bounds it at <= C(max_bucket, 2) distinct pairs
-    assert n <= 5 * 4 // 2
+    # unbounded, 40 identical docs would emit 40*39/2 = 780 pairs; each of
+    # the 16 band buckets independently emits at most C(max_bucket, 2)
+    # (which 5 docs occupy a saturating bucket is arrival-order dependent,
+    # so the sound bound is per-band, not global)
+    assert 0 < n <= 16 * (5 * 4 // 2)

@@ -662,3 +662,14 @@ def test_curate_job_end_to_end(spark, tmp_path):
     drop_timing = lambda d: {k: v for k, v in d.items()
                              if k not in ("seconds", "docs_per_sec")}
     assert drop_timing(rep2) == drop_timing(rep)
+
+
+def test_components_self_loop_vertex_parity(spark):
+    """A vertex whose only edge is a self-loop appears in BOTH component
+    variants' output as its own component (contract parity)."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=7, id_b=7), Row(id_a=1, id_b=2)]
+    )
+    for fn in (T.connected_components, T.connected_components_star):
+        got = {r.id: r.component for r in fn(pairs).collect()}
+        assert got == {7: 7, 1: 1, 2: 1}, fn.__name__
