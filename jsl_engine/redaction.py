@@ -1,0 +1,83 @@
+"""Secret / PII scanning and redaction over code corpora.
+
+Training-data hygiene for the north rule's source-code table
+(repo, path, commit, lang, content): credentials and personal data
+committed to repositories must be detected (for filtering/reporting) and
+redacted (for safe training text). The reference has no such operators
+(it validates single JSON documents — reference scope src/lib.rs:114-118);
+this is an engine-level addition like the other curation ops.
+
+Execution shape: every detector is a single JVM-side ``regexp_count`` /
+``regexp_replace`` expression — no Python in the data path, whole-stage
+codegen end-to-end, trivially scale-safe (map-only, no shuffle). The
+pattern set is deliberately restricted to syntax shared by Java's regex
+engine (Spark) and RE2 (DuckDB oracle): character classes, bounded
+repetition and ``\\b`` — no lookarounds, no backreferences.
+
+Patterns are heuristics tuned for code corpora (high precision on the
+classic leak shapes), not a full secrets-scanner ruleset; swap
+``PATTERNS`` for an org-specific list in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: (name, regex, replacement) — order matters for redaction: structured
+#: tokens (keys) run before the generic hex rule that could eat them.
+PATTERNS: list[tuple[str, str, str]] = [
+    ("priv_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATE_KEY>"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWS_KEY>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("hex_secret", r"\b[0-9a-f]{32,}\b", "<HEX_SECRET>"),
+]
+
+
+def secret_scan(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document secret/PII counts, one output column per pattern::
+
+        <id_col>, n_priv_key, n_aws_key, n_email, n_ipv4, n_hex_secret,
+        n_secrets, has_secret
+
+    Counts overlap-free left-to-right matches (``regexp_count``
+    semantics, identical to RE2's ``regexp_extract_all`` length).
+    Map-only: safe at any scale, and Catalyst prunes the scan to
+    (id, text)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(rx)).cast("long").alias(f"n_{name}")
+        for name, rx, _ in PATTERNS
+    ]
+    out = df.select(F.col(id_col), *counts)
+    total = sum((F.col(f"n_{name}") for name, _, _ in PATTERNS), F.lit(0))
+    return out.withColumn("n_secrets", total.cast("long")).withColumn(
+        "has_secret", F.col("n_secrets") > 0
+    )
+
+
+def redact_secrets(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace every detected secret with its placeholder token::
+
+        <id_col>, redacted, n_redactions
+
+    Patterns apply in ``PATTERNS`` order (structured tokens before the
+    generic hex rule), each as a global JVM ``regexp_replace``.
+    Invariant (pytest-gated): scanning the redacted text finds zero
+    secrets, and ``n_redactions`` equals the pre-redaction
+    ``n_secrets``."""
+    redacted = F.col(text_col)
+    for _, rx, repl in PATTERNS:
+        redacted = F.regexp_replace(redacted, rx, repl)
+    n = sum(
+        (F.regexp_count(F.col(text_col), F.lit(rx)) for _, rx, _ in PATTERNS),
+        F.lit(0),
+    )
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        n.cast("long").alias("n_redactions"),
+    )

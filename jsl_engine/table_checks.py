@@ -248,30 +248,30 @@ def ks_drift(df: DataFrame, value_col: str, part_col: str) -> DataFrame:
     return out.select(F.col("part"), "n_part", "n_rest", "ks_d")
 
 
-def ks_drift_binned(
+def _binned_part_counts(
     df: DataFrame,
     value_col: str,
     part_col: str,
     *,
-    bins: int = 1024,
-    lo: float | None = None,
-    hi: float | None = None,
-) -> DataFrame:
-    """Approximate one-vs-rest KS over fixed-width bins — the 10^12-row
-    path: no global sort; D error ≤ max bin mass.
+    bins: int,
+    lo: float | None,
+    hi: float | None,
+):
+    """Shared scaffolding for binned drift statistics (KS, PSI): ONE
+    full-data scan into fixed-width-bin counts, densified over the
+    part×bin grid.
 
-    Pass a fixed ``lo``/``hi`` domain to make the plan fully
-    **action-free and single-scan** — production drift monitors have
-    fixed domains, which also keeps bin edges stable across runs (a
-    property the run-over-run comparison wants anyway). Out-of-domain
-    values clamp into the edge bins (bin 0 below ``lo``, bin ``bins-1``
-    above ``hi``), so outliers cannot inflate the dense part×bin grid
-    past ``bins`` cells. A partially specified domain derives only the
-    missing bound from data (the given one is honored — bin edges on
-    that side stay stable). When both are omitted, min/max come from ONE
-    combined driver action (they were two — min/max agg + a full count —
-    before; the total row count now comes from a window over the tiny
-    per-partition aggregate instead of a rescan)."""
+    Returns ``(j, parts)`` where ``j`` has one row per (part, bin)
+    observed in the total histogram with columns
+    ``part, bin, c_part, c_tot`` (``c_part`` zero-filled for bins the
+    partition missed) and ``parts`` has ``part, n_part, n_rest`` — or
+    ``(None, degenerate)`` when the domain is empty/degenerate, where
+    ``degenerate`` is the distinct-parts frame for the caller's
+    zero-statistic fallback.
+
+    Domain handling (documented on :func:`ks_drift_binned`): fixed
+    ``lo``/``hi`` → action-free plan with edge-bin clamping; missing
+    bounds derived from data in one combined driver action."""
     base = df.select(
         F.col(part_col).alias("part"), F.col(value_col).cast("double").alias("v")
     ).where(F.col(value_col).isNotNull())
@@ -280,9 +280,7 @@ def ks_drift_binned(
         lo = lo if lo is not None else dlo
         hi = hi if hi is not None else dhi
     if lo is None or hi is None or lo >= hi:
-        return base.select("part").distinct().select(
-            "part", F.lit(0.0).alias("ks_d")
-        )
+        return None, base.select("part").distinct()
     width = (hi - lo) / bins
     binned = base.withColumn(
         "bin",
@@ -310,6 +308,38 @@ def ks_drift_binned(
         .join(tb, "bin")
         .fillna({"c_part": 0})
     )
+    return j, parts
+
+
+def ks_drift_binned(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    *,
+    bins: int = 1024,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Approximate one-vs-rest KS over fixed-width bins — the 10^12-row
+    path: no global sort; D error ≤ max bin mass.
+
+    Pass a fixed ``lo``/``hi`` domain to make the plan fully
+    **action-free and single-scan** — production drift monitors have
+    fixed domains, which also keeps bin edges stable across runs (a
+    property the run-over-run comparison wants anyway). Out-of-domain
+    values clamp into the edge bins (bin 0 below ``lo``, bin ``bins-1``
+    above ``hi``), so outliers cannot inflate the dense part×bin grid
+    past ``bins`` cells. A partially specified domain derives only the
+    missing bound from data (the given one is honored — bin edges on
+    that side stay stable). When both are omitted, min/max come from ONE
+    combined driver action (they were two — min/max agg + a full count —
+    before; the total row count now comes from a window over the tiny
+    per-partition aggregate instead of a rescan)."""
+    j, parts = _binned_part_counts(
+        df, value_col, part_col, bins=bins, lo=lo, hi=hi
+    )
+    if j is None:
+        return parts.select("part", F.lit(0.0).alias("ks_d"))
     w = Window.partitionBy("part").orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -330,6 +360,57 @@ def ks_drift_binned(
         )
         .groupBy("part")
         .agg(F.round(F.max("d"), ROUND).alias("ks_d"))
+    )
+
+
+def psi_drift_binned(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    *,
+    bins: int = 1024,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """One-vs-rest Population Stability Index over fixed-width bins::
+
+        part, psi
+
+    ``psi = Σ_bins (p_part - p_rest) * ln(p_part / p_rest)`` with both
+    probabilities clamped to at least ``eps`` (the standard smoothing for
+    empty bins — without it a single bin observed in only one side sends
+    the statistic to ±inf). Conventional read: <0.1 stable, 0.1–0.25
+    moderate shift, >0.25 major shift.
+
+    Same scan discipline as :func:`ks_drift_binned` (shared
+    ``_binned_part_counts`` scaffolding): ONE full-data pass with
+    map-side combine into ≤ parts×bins cells, edge-bin clamping for a
+    fixed domain, action-free when ``lo``/``hi`` are given. Unlike KS,
+    PSI needs no cumulative window — it is a straight per-bin sum, so
+    the tail is one tiny aggregation over the dense grid.
+
+    North-rule context: third drift check next to KS (numeric shape) and
+    chi-square (categorical independence); PSI is what production
+    monitors actually alarm on because it is additive per bin and stable
+    under fixed domains. The reference has no drift checks (engine-level
+    addition; reference scope is src/lib.rs:114-118)."""
+    j, parts = _binned_part_counts(
+        df, value_col, part_col, bins=bins, lo=lo, hi=hi
+    )
+    if j is None:
+        return parts.select("part", F.lit(0.0).alias("psi"))
+    p_part = F.greatest(
+        F.col("c_part") / F.col("n_part"), F.lit(float(eps))
+    )
+    p_rest = F.greatest(
+        (F.col("c_tot") - F.col("c_part")) / F.col("n_rest"), F.lit(float(eps))
+    )
+    return (
+        j.join(parts, "part")
+        .withColumn("term", (p_part - p_rest) * F.log(p_part / p_rest))
+        .groupBy("part")
+        .agg(F.round(F.sum("term"), ROUND).alias("psi"))
     )
 
 

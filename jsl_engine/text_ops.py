@@ -513,6 +513,75 @@ def ngram_jaccard(
     )
 
 
+def contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share word
+    ``n``-grams with an evaluation/benchmark set (the standard
+    training-data hygiene check — a doc containing verbatim benchmark
+    text leaks the eval into training). Output, one row per corpus doc::
+
+        doc_id, n_grams, n_hits, hit_rate, contaminated
+
+    ``n_grams`` counts the doc's distinct word n-grams, ``n_hits`` how
+    many of those occur anywhere in the benchmark,
+    ``contaminated = n_hits >= min_hits``.
+
+    Scale shape (100 TB corpus, fixed benchmark): benchmark n-gram
+    vocabularies are tiny relative to the corpus (eval suites are
+    ~10^5–10^6 grams), so the distinct benchmark grams are **broadcast**;
+    the corpus side builds its distinct-gram array map-side, explodes,
+    and the broadcast inner join drops every non-matching gram *before*
+    the per-doc count aggregation — shuffle volume is bounded by actual
+    contamination, not corpus size. The final per-doc left join attaches
+    the (small) hit counts back to the one-row-per-doc frame; AQE picks
+    broadcast for it when it fits. At 10^12 docs, map the gram strings to
+    ``xxhash64`` first to shrink the broadcast and probe sides (same
+    trade documented on the minhash kernels); the string form is kept
+    here for oracle parity.
+
+    North-rule context: engine-level addition (the reference validates
+    single documents; reference scope src/lib.rs:114-118)."""
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
+    )
+    bench = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    hits = (
+        grams.select(F.col(id_col), F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        grams.select(F.col(id_col), F.size("grams").alias("n_grams"))
+        .join(hits, id_col, "left")
+        .fillna({"n_hits": 0})
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits") / F.col("n_grams"), 6
+            ).alias("hit_rate"),
+            (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis: tokens, quality, language ID, fingerprint
 # ---------------------------------------------------------------------------
@@ -863,6 +932,47 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.when((p.avg_token_len >= 2.0) & (p.avg_token_len <= 12.0), 0.25).otherwise(0.0)
     )
     return p.select(id_col, F.round(score, 2).alias("quality"))
+
+
+def vocabulary_topk(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` most frequent tokens per group (corpus vocabulary
+    audit — the quick look at what a training mix is actually made of,
+    and the input to stopword/boilerplate filters). Output::
+
+        <group_col>, token, n_occ, rank   (rank 1..k, deterministic)
+
+    Rank ties break on the token string so the result is total-ordered
+    and hash-comparable across engines.
+
+    Scale shape: tokenize + explode is map-side; the (group, token)
+    count aggregates with map-side partial combine — the shuffle carries
+    one row per *distinct* (group, token), i.e. vocabulary size, not
+    corpus size, and the token in the key spreads classic stopword skew
+    across reducers. The top-k window then runs over that small
+    aggregated frame partitioned by group. No corpus-sized sort
+    anywhere."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("n_occ"))
+    w = Window.partitionBy("grp").orderBy(F.desc("n_occ"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "token",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

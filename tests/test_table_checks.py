@@ -279,3 +279,93 @@ def test_binned_ks_fixed_domain_clamps_and_partial_bounds(spark):
     b = {r.part: r.ks_d
          for r in tc.ks_drift_binned(df, "v", "part", bins=64, lo=0.0, hi=1e6).collect()}
     assert a == b
+
+
+def _psi_numpy(values_by_part, bins, lo, hi, eps=1e-6):
+    """Independent numpy reference of the PSI formula (same binning)."""
+    width = (hi - lo) / bins
+    counts = {
+        p: np.bincount(
+            np.clip(np.floor((np.asarray(v) - lo) / width).astype(int), 0, bins - 1),
+            minlength=bins,
+        )
+        for p, v in values_by_part.items()
+    }
+    total = sum(counts.values())
+    out = {}
+    for p, c in counts.items():
+        n_part = c.sum()
+        n_rest = total.sum() - n_part
+        p_part = np.maximum(c / n_part, eps)
+        p_rest = np.maximum((total - c) / n_rest, eps)
+        # only bins present in the total histogram exist in the dense grid
+        mask = total > 0
+        out[p] = float(
+            ((p_part - p_rest) * np.log(p_part / p_rest))[mask].sum()
+        )
+    return out
+
+
+def test_psi_drift_binned(spark):
+    """PSI matches an independent numpy implementation; identical
+    distributions score ~0, a shifted partition scores past the 0.25
+    'major shift' alarm threshold."""
+    rng = np.random.default_rng(7)
+    vals = {
+        "a": rng.normal(0.0, 1.0, 4000),
+        "b": rng.normal(0.0, 1.0, 4000),
+        "c": rng.normal(2.0, 1.0, 4000),
+    }
+    rows = [
+        Row(part=p, v=float(x)) for p, arr in vals.items() for x in arr
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.part: r.psi
+        for r in tc.psi_drift_binned(
+            df, "v", "part", bins=64, lo=-5.0, hi=5.0
+        ).collect()
+    }
+    want = _psi_numpy(vals, 64, -5.0, 5.0)
+    for p in vals:
+        assert got[p] == pytest.approx(want[p], abs=2e-6)
+    # c is mean-shifted by 2 sigma → major shift vs rest; and its presence
+    # in the "rest" pool drifts a and b past stable too (one-vs-rest)
+    assert got["c"] > 0.25
+
+    # iid-only frame: with the shifted partition removed, one-vs-rest
+    # compares two same-distribution samples → stable (< 0.1)
+    iid = spark.createDataFrame(
+        [Row(part=p, v=float(x)) for p in ("a", "b") for x in vals[p]]
+    )
+    stable = {
+        r.part: r.psi
+        for r in tc.psi_drift_binned(
+            iid, "v", "part", bins=64, lo=-5.0, hi=5.0
+        ).collect()
+    }
+    assert stable["a"] < 0.1 and stable["b"] < 0.1
+
+
+def test_psi_drift_binned_scan_discipline_and_degenerate(spark):
+    """Fixed-domain PSI is action-free at plan-construction time (the
+    ks_drift_binned scale gate, inherited via the shared scaffolding);
+    a degenerate domain yields psi=0 rows instead of a divide-by-zero."""
+    import uuid
+
+    df = spark.createDataFrame(
+        [Row(part="a" if i % 3 else "b", v=float(i % 17)) for i in range(300)]
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    group = f"psi-probe-{uuid.uuid4()}"
+    sc.setJobGroup(group, "psi scan-discipline probe")
+    try:
+        tc.psi_drift_binned(df, "v", "part", lo=0.0, hi=16.0)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(tracker.getJobIdsForGroup(group)) == 0
+
+    const = spark.createDataFrame([Row(part="a", v=3.0), Row(part="b", v=3.0)])
+    out = {r.part: r.psi for r in tc.psi_drift_binned(const, "v", "part").collect()}
+    assert out == {"a": 0.0, "b": 0.0}

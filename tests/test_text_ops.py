@@ -673,3 +673,62 @@ def test_components_self_loop_vertex_parity(spark):
     for fn in (T.connected_components, T.connected_components_star):
         got = {r.id: r.component for r in fn(pairs).collect()}
         assert got == {7: 7, 1: 1, 2: 1}, fn.__name__
+
+
+def test_contamination_planted(spark):
+    """A corpus doc containing a verbatim benchmark sentence is flagged;
+    clean docs are not; hit counts match hand-computed gram overlap."""
+    bench = spark.createDataFrame([
+        Row(doc_id=100, text="the capital of france is paris"),
+        Row(doc_id=101, text="water boils at one hundred degrees"),
+    ])
+    corpus = spark.createDataFrame([
+        # leaks benchmark doc 100 verbatim inside filler
+        Row(doc_id=1, text="trivia dump says the capital of france is paris today"),
+        # clean
+        Row(doc_id=2, text="completely unrelated text about gardening and soil"),
+        # shares only a bigram ("boils at"), not a trigram
+        Row(doc_id=3, text="soup boils at home"),
+    ])
+    out = {r.doc_id: r for r in T.contamination(corpus, bench, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1: "the capital of france is paris" has 4 trigrams, all present
+    assert out[1].contaminated and out[1].n_hits == 4
+    # 10 words -> 8 trigrams
+    assert out[1].n_grams == 8 and out[1].hit_rate == 0.5
+    assert not out[2].contaminated and out[2].n_hits == 0
+    assert not out[3].contaminated and out[3].n_hits == 0
+
+    # min_hits raises the alarm threshold
+    strict = {r.doc_id: r.contaminated
+              for r in T.contamination(corpus, bench, n=3, min_hits=5).collect()}
+    assert strict == {1: False, 2: False, 3: False}
+
+
+def test_contamination_benchmark_broadcast_plan(spark):
+    """Scale gate: the benchmark gram set joins the exploded corpus side
+    as a BroadcastHashJoin (the corpus is never shuffled to meet the
+    benchmark), and no CartesianProduct appears anywhere."""
+    bench = spark.createDataFrame([Row(doc_id=1, text="alpha beta gamma delta")])
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i} alpha beta gamma filler") for i in range(50)]
+    )
+    plan = T.contamination(corpus, bench)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocabulary_topk(spark):
+    """Counts match hand-tallies; ties break alphabetically; k truncates."""
+    df = spark.createDataFrame([
+        Row(lang="en", text="apple banana apple cherry banana apple"),
+        Row(lang="en", text="banana date"),
+        Row(lang="de", text="zug zug bahn"),
+    ])
+    out = T.vocabulary_topk(df, k=2).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.lang, []).append((r.rank, r.token, r.n_occ))
+    assert sorted(by_grp["en"]) == [(1, "apple", 3), (2, "banana", 3)]  # tie: apple < banana
+    assert sorted(by_grp["de"]) == [(1, "zug", 2), (2, "bahn", 1)]
+    assert all(r.rank <= 2 for r in out)

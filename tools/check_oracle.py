@@ -2,7 +2,10 @@
 entry on Spark and its oracle_sql() on DuckDB over the same parquet,
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+
+With query names given, only those entries are checked (iteration aid —
+the driver always runs the full set).
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ def norm(v):
     return v
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     spark = get_spark("local[8]", shuffle_partitions=16,
                       extra_conf={"spark.ui.enabled": "false"})
     con = duckdb.connect()
@@ -44,6 +47,8 @@ def main(sf_dir: str) -> int:
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
         scols = sorted(sdf.columns)
@@ -79,4 +84,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(1 if main(sf) else 0)
+    sys.exit(1 if main(sf, only=sys.argv[2:] or None) else 0)
