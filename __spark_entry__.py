@@ -580,6 +580,37 @@ def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shuffle_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: stable
+    (bucket, pos) addresses from the id hash — no global sort (each of
+    the 8 buckets ranks independently), partition-layout independent,
+    fully oracled via the same Knuth arithmetic in SQL."""
+    from jsl_engine.sampling import shuffle_export
+
+    return shuffle_export(
+        _t(spark, sf_dir, "documents").select("doc_id"), n_buckets=8
+    )
+
+
+def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at a 512-token budget over the
+    whitespace token counts: each doc lands in the training sequence
+    where its first token falls, in deterministic shuffle order within
+    4 hash buckets. One window cumsum per bucket; fully oracled."""
+    from jsl_engine.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+        ).alias("n_tok"),
+    )
+    return pack_sequences(docs, tokens_col="n_tok", budget=512, n_buckets=4)
+
+
 def q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID distribution — oracled: the DuckDB SQL is
     generated from the same script/marker tables with identical
@@ -719,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "hash_split_documents": q_hash_split_documents,
+        "shuffle_export_documents": q_shuffle_export_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
         "language_id_documents": q_language_id_documents,
         "jsl_validate_events": q_jsl_validate_events,
         "jsl_verdicts_docs": q_jsl_verdicts_docs,
@@ -1308,6 +1341,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT id FROM dropped)
             GROUP BY d.lang
+        """,
+        "shuffle_export_documents": """
+            SELECT doc_id,
+                   (h % 8)::INT AS bucket,
+                   (ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT AS pos
+            FROM (
+                SELECT doc_id,
+                       ((doc_id % 2147483648) * 2654435761) % 2147483648 AS h
+                FROM documents
+            )
+        """,
+        "pack_sequences_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tok,
+                       ((doc_id % 2147483648) * 2654435761) % 2147483648 AS h
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, (h % 4)::INT AS bucket, n_tok,
+                       (SUM(n_tok) OVER (
+                            PARTITION BY h % 4 ORDER BY h, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tok)::BIGINT AS start_offset
+                FROM t
+            )
+            SELECT doc_id, bucket, start_offset, n_tok AS n_tokens,
+                   CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS pack_id
+            FROM c
         """,
         "stratified_sample_documents": """
             SELECT doc_id, lang FROM (

@@ -84,6 +84,89 @@ def mixture_sample(
     return df.where(frac < rate_expr)
 
 
+def shuffle_export(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every row gets a
+    ``(bucket, pos)`` address — bucket from the id hash, position from
+    the hash order within the bucket — defining a stable pseudo-random
+    total order ``(bucket, pos)`` over the corpus::
+
+        <input columns>, bucket, pos
+
+    Training loaders want shuffled shards whose order does not depend on
+    cluster layout; seed-based ``df.orderBy(rand())`` changes under
+    repartitioning and retries, this does not.
+
+    Scale shape: NO global sort — each of the ``n_buckets`` hash buckets
+    sorts independently (window partitioned by bucket), so the largest
+    sort is corpus/n_buckets and buckets write in parallel. The physical
+    export is ``repartition(n_buckets, 'bucket') .sortWithinPartitions
+    ('pos')`` over this frame — one shuffle, one local sort, shards land
+    pre-shuffled."""
+    h = order_hash(id_col)
+    w = Window.partitionBy("bucket").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("bucket", F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("__h")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    tokens_col: str,
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in the
+    deterministic shuffle order within hash buckets, token counts
+    accumulate, and each document is assigned to the training sequence
+    (``pack_id``) where its first token lands::
+
+        <id_col>, bucket, start_offset, n_tokens, pack_id
+
+    ``pack_id = floor(start_offset / budget)`` with ``start_offset`` the
+    running token total before the document — exactly the "concatenate
+    the stream, cut every ``budget`` tokens" packing LLM pipelines use
+    (documents may straddle a cut; the assignment records where each
+    begins). Fully deterministic: same corpus → same packs under any
+    partitioning or engine, which makes the layout oracle-checkable and
+    training runs reproducible.
+
+    Scale shape: one window cumsum per hash bucket (no global sort, no
+    driver state); buckets are independent training shards. Pathological
+    token-count skew does not break the math — a doc longer than
+    ``budget`` simply spans multiple cuts, as in the real pipeline."""
+    h = order_hash(id_col)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("__h"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("bucket", F.pmod(F.col("__h"), F.lit(n_buckets)).cast("int"))
+        .withColumn(
+            "start_offset",
+            (F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)).cast("long"),
+        )
+        .select(
+            F.col(id_col),
+            "bucket",
+            "start_offset",
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            F.floor(F.col("start_offset") / F.lit(budget)).cast("long").alias("pack_id"),
+        )
+    )
+
+
 def hash_split(
     df: DataFrame,
     *,

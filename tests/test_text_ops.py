@@ -732,3 +732,54 @@ def test_vocabulary_topk(spark):
     assert sorted(by_grp["en"]) == [(1, "apple", 3), (2, "banana", 3)]  # tie: apple < banana
     assert sorted(by_grp["de"]) == [(1, "zug", 2), (2, "bahn", 1)]
     assert all(r.rank <= 2 for r in out)
+
+
+def test_shuffle_export_deterministic_and_dense(spark):
+    """(bucket, pos) addresses are partition-layout independent, every
+    bucket's positions are dense 0..n-1, and each row appears once."""
+    from jsl_engine import sampling as S
+
+    df = spark.createDataFrame([Row(doc_id=i, lang="x") for i in range(200)])
+    a = sorted((r.doc_id, r.bucket, r.pos)
+               for r in S.shuffle_export(df, n_buckets=8).collect())
+    b = sorted((r.doc_id, r.bucket, r.pos)
+               for r in S.shuffle_export(df.repartition(13), n_buckets=8).collect())
+    assert a == b and len(a) == 200
+    by_bucket = {}
+    for _, bkt, pos in a:
+        by_bucket.setdefault(bkt, []).append(pos)
+    for bkt, positions in by_bucket.items():
+        assert sorted(positions) == list(range(len(positions)))
+    assert set(by_bucket) == set(range(8))
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    """Packing invariants: offsets are the exact running sum in hash
+    order, pack_id = start // budget, packs are contiguous, and a doc
+    longer than the budget spans cuts without breaking neighbors."""
+    from jsl_engine import sampling as S
+
+    rows = [Row(doc_id=i, n_tok=(37 * (i % 7)) + 1) for i in range(100)]
+    rows.append(Row(doc_id=100, n_tok=5000))  # longer than any budget
+    df = spark.createDataFrame(rows)
+    out = S.pack_sequences(
+        df, tokens_col="n_tok", budget=256, n_buckets=4
+    ).collect()
+    assert len(out) == 101
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    tok = {i: (37 * (i % 7)) + 1 for i in range(100)} | {100: 5000}
+    for bkt, rs in by_bucket.items():
+        rs = sorted(rs, key=lambda r: r.start_offset)
+        running = 0
+        for r in rs:
+            assert r.start_offset == running
+            assert r.n_tokens == tok[r.doc_id]
+            assert r.pack_id == running // 256
+            running += r.n_tokens
+    # determinism under repartitioning
+    again = S.pack_sequences(
+        df.repartition(9), tokens_col="n_tok", budget=256, n_buckets=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
