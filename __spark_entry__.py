@@ -113,6 +113,18 @@ def q_ks_events_value_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wasserstein_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest Wasserstein-1 drift of events.value across event_type
+    (1024 fixed-width bins) — reports how far probability mass moved in
+    value units, complementing KS (worst gap) and PSI (log-weighted
+    reallocation). Same single-scan scaffolding as binned KS; occupied
+    bins span-weighted so gaps persisting across empty bins integrate
+    exactly."""
+    return tc.wasserstein_drift_binned(
+        _t(spark, sf_dir, "events"), "value", "event_type", bins=1024
+    )
+
+
 def q_psi_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-vs-rest Population Stability Index of events.value across
     event_type (1024 fixed-width bins, eps=1e-6 smoothing) — the third
@@ -580,6 +592,29 @@ def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change detection for incremental validation: two
+    deterministic snapshots derived from documents (old drops
+    doc_id%11==0, new drops doc_id%13==0 and rewrites doc_id%7==0),
+    diffed by content sha256 over a full-outer key join — added /
+    removed / changed keys only, unchanged rows never leave the join.
+    Fully oracled."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.sha2("text", 256).alias("content_sha256")
+    )
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("content_sha256"),
+    )
+    return tc.snapshot_diff(old, new, ["doc_id"])
+
+
 def q_shuffle_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training export: stable
     (bucket, pos) addresses from the id hash — no global sort (each of
@@ -720,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_events_value": q_ks_events_value,
         "ks_events_value_binned": q_ks_events_value_binned,
         "psi_events_value": q_psi_events_value,
+        "wasserstein_events_value": q_wasserstein_events_value,
         "chi2_events_daily": q_chi2_events_daily,
         "quantiles_lineitem": q_quantiles_lineitem,
         "quantiles_lineitem_approx": q_quantiles_lineitem_approx,
@@ -750,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "hash_split_documents": q_hash_split_documents,
+        "snapshot_diff_documents": q_snapshot_diff_documents,
         "shuffle_export_documents": q_shuffle_export_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "language_id_documents": q_language_id_documents,
@@ -1070,6 +1107,43 @@ def oracle_sql() -> dict[str, str]:
             FROM cum c JOIN parts p ON c.part = p.part CROSS JOIN tot t
             GROUP BY c.part, p.n_part, t.n
         """,
+        # W1: identical binning/CTEs to binned KS; LEAD span-weighting for
+        # gaps persisting across empty bins; sum x width instead of max
+        "wasserstein_events_value": """
+            WITH base AS (
+                SELECT event_type AS part, CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            mm AS (SELECT MIN(v) AS lo, (MAX(v) - MIN(v)) / 1024 AS width FROM base),
+            binned AS (
+                SELECT part,
+                       LEAST(CAST(FLOOR((v - mm.lo) / mm.width) AS BIGINT), 1023) AS bin
+                FROM base CROSS JOIN mm
+            ),
+            pb AS (SELECT part, bin, COUNT(*) AS c_part FROM binned GROUP BY part, bin),
+            tb AS (SELECT bin, COUNT(*) AS c_tot FROM binned GROUP BY bin),
+            parts AS (SELECT part, COUNT(*)::BIGINT AS n_part FROM binned GROUP BY part),
+            tot AS (SELECT COUNT(*)::BIGINT AS n FROM binned),
+            grid AS (SELECT p.part, t.bin, t.c_tot FROM parts p CROSS JOIN tb t),
+            j AS (
+                SELECT g.part, g.bin, COALESCE(pb.c_part, 0) AS c_part, g.c_tot
+                FROM grid g LEFT JOIN pb ON g.part = pb.part AND g.bin = pb.bin
+            ),
+            cum AS (
+                SELECT part, bin,
+                       SUM(c_part) OVER (PARTITION BY part ORDER BY bin) AS cum_part,
+                       SUM(c_tot) OVER (PARTITION BY part ORDER BY bin) AS cum_tot,
+                       COALESCE(LEAD(bin) OVER (PARTITION BY part ORDER BY bin) - bin, 1) AS span
+                FROM j
+            )
+            SELECT c.part AS part,
+                   ROUND(SUM(ABS(c.cum_part / CAST(p.n_part AS DOUBLE)
+                         - (c.cum_tot - c.cum_part) / CAST(t.n - p.n_part AS DOUBLE))
+                         * c.span) * mm.width, 6) AS w1
+            FROM cum c JOIN parts p ON c.part = p.part
+            CROSS JOIN tot t CROSS JOIN mm
+            GROUP BY c.part, p.n_part, t.n, mm.width
+        """,
         # PSI: identical binning to binned KS; p clamped via GREATEST(.,1e-6)
         # on both sides before the difference AND the log ratio, natural log
         # (Spark F.log == DuckDB LN); summation-order differences absorbed
@@ -1341,6 +1415,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT id FROM dropped)
             GROUP BY d.lang
+        """,
+        "snapshot_diff_documents": """
+            WITH o AS (
+                SELECT doc_id, sha256(text) AS h
+                FROM documents WHERE doc_id % 11 <> 0
+            ),
+            n AS (
+                SELECT doc_id,
+                       sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                                   ELSE text END) AS h
+                FROM documents WHERE doc_id % 13 <> 0
+            )
+            SELECT doc_id, change_type FROM (
+                SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                       CASE WHEN o.doc_id IS NULL THEN 'added'
+                            WHEN n.doc_id IS NULL THEN 'removed'
+                            WHEN o.h <> n.h THEN 'changed' END AS change_type
+                FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+            ) WHERE change_type IS NOT NULL
         """,
         "shuffle_export_documents": """
             SELECT doc_id,

@@ -261,13 +261,13 @@ def _binned_part_counts(
     full-data scan into fixed-width-bin counts, densified over the
     part×bin grid.
 
-    Returns ``(j, parts)`` where ``j`` has one row per (part, bin)
-    observed in the total histogram with columns
+    Returns ``(j, parts, width)`` where ``j`` has one row per
+    (part, bin) observed in the total histogram with columns
     ``part, bin, c_part, c_tot`` (``c_part`` zero-filled for bins the
-    partition missed) and ``parts`` has ``part, n_part, n_rest`` — or
-    ``(None, degenerate)`` when the domain is empty/degenerate, where
-    ``degenerate`` is the distinct-parts frame for the caller's
-    zero-statistic fallback.
+    partition missed), ``parts`` has ``part, n_part, n_rest`` and
+    ``width`` is the resolved bin width — or ``(None, degenerate,
+    0.0)`` when the domain is empty/degenerate, where ``degenerate`` is
+    the distinct-parts frame for the caller's zero-statistic fallback.
 
     Domain handling (documented on :func:`ks_drift_binned`): fixed
     ``lo``/``hi`` → action-free plan with edge-bin clamping; missing
@@ -280,7 +280,7 @@ def _binned_part_counts(
         lo = lo if lo is not None else dlo
         hi = hi if hi is not None else dhi
     if lo is None or hi is None or lo >= hi:
-        return None, base.select("part").distinct()
+        return None, base.select("part").distinct(), 0.0
     width = (hi - lo) / bins
     binned = base.withColumn(
         "bin",
@@ -308,7 +308,7 @@ def _binned_part_counts(
         .join(tb, "bin")
         .fillna({"c_part": 0})
     )
-    return j, parts
+    return j, parts, width
 
 
 def ks_drift_binned(
@@ -335,7 +335,7 @@ def ks_drift_binned(
     combined driver action (they were two — min/max agg + a full count —
     before; the total row count now comes from a window over the tiny
     per-partition aggregate instead of a rescan)."""
-    j, parts = _binned_part_counts(
+    j, parts, _ = _binned_part_counts(
         df, value_col, part_col, bins=bins, lo=lo, hi=hi
     )
     if j is None:
@@ -395,7 +395,7 @@ def psi_drift_binned(
     monitors actually alarm on because it is additive per bin and stable
     under fixed domains. The reference has no drift checks (engine-level
     addition; reference scope is src/lib.rs:114-118)."""
-    j, parts = _binned_part_counts(
+    j, parts, _ = _binned_part_counts(
         df, value_col, part_col, bins=bins, lo=lo, hi=hi
     )
     if j is None:
@@ -411,6 +411,76 @@ def psi_drift_binned(
         .withColumn("term", (p_part - p_rest) * F.log(p_part / p_rest))
         .groupBy("part")
         .agg(F.round(F.sum("term"), ROUND).alias("psi"))
+    )
+
+
+def wasserstein_drift_binned(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    *,
+    bins: int = 1024,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """One-vs-rest Wasserstein-1 (earth mover's) distance over
+    fixed-width bins::
+
+        part, w1
+
+    ``W1 = Σ_bins |ECDF_part - ECDF_rest| * bin_width`` — the discrete
+    form of ``∫|F−G|``. Complements the other drift checks: KS reports
+    the worst single gap (location-sensitive, scale-free), PSI the
+    log-weighted mass reallocation, W1 *how far* mass moved in value
+    units — a mean shift of δ gives W1 ≈ δ regardless of variance, which
+    is the number a "did the distribution move materially?" alarm wants.
+
+    Same single-scan scaffolding and cumulative window as
+    :func:`ks_drift_binned` (identical plan shape — only the final
+    aggregate differs: sum×width instead of max); action-free with a
+    fixed ``lo``/``hi`` domain. Discretization error ≤ width per bin of
+    moved mass, same trade as the binned KS.
+
+    The dense grid holds only bins observed in the total histogram, but
+    a CDF gap *persists* across unobserved bins (both CDFs are flat
+    there, at unequal heights) — so each occupied bin's gap is weighted
+    by the span to the next occupied bin (``lead(bin) - bin``; the last
+    occupied bin has gap 0, both CDFs having reached 1). KS needs no
+    such correction (a flat stretch cannot raise a maximum); for PSI
+    empty-total bins contribute eps-vs-eps = 0."""
+    j, parts, width = _binned_part_counts(
+        df, value_col, part_col, bins=bins, lo=lo, hi=hi
+    )
+    if j is None:
+        return parts.select("part", F.lit(0.0).alias("w1"))
+    w = Window.partitionBy("part").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lead_w = Window.partitionBy("part").orderBy("bin")
+    cum = j.select(
+        "part",
+        "bin",
+        F.sum("c_part").over(w).alias("cum_part"),
+        F.sum("c_tot").over(w).alias("cum_tot"),
+    ).withColumn(
+        "span",
+        F.coalesce(F.lead("bin").over(lead_w) - F.col("bin"), F.lit(1)),
+    )
+    return (
+        cum.join(parts, "part")
+        .withColumn(
+            "gap",
+            F.abs(
+                F.col("cum_part") / F.col("n_part")
+                - (F.col("cum_tot") - F.col("cum_part")) / F.col("n_rest")
+            ),
+        )
+        .groupBy("part")
+        .agg(
+            F.round(
+                F.sum(F.col("gap") * F.col("span")) * F.lit(width), ROUND
+            ).alias("w1")
+        )
     )
 
 
@@ -463,6 +533,47 @@ def chi_square_drift(df: DataFrame, cat_col: str, part_col: str) -> DataFrame:
                 (F.first("n_parts") - 1) * (F.first("n_cats") - 1)
             ).cast("long").alias("dof"),
         )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    *,
+    hash_col: str = "content_sha256",
+) -> DataFrame:
+    """Change detection between two snapshots of the same table::
+
+        <keys...>, change_type   -- 'added' | 'removed' | 'changed'
+
+    Unchanged rows are dropped, so downstream incremental validation
+    re-validates only ``added``/``changed`` keys (semi-join the new
+    snapshot against this frame) instead of rescanning the corpus — the
+    incremental companion to the manifest's partition-level resume
+    (:mod:`jsl_engine.manifest`). The caller supplies the content hash
+    column (``F.sha2(content, 256)`` — the same row invariant the
+    validation job carries), so the diff join moves hashes, never
+    document bodies.
+
+    Scale shape: one shuffle — a full-outer join on the key columns over
+    (keys, hash) projections. On bucketed tables
+    (:func:`jsl_engine.partitioning.write_bucketed` on the same keys)
+    the exchange disappears entirely; on Iceberg, prefer the native
+    changelog/incremental scan between adjacent snapshots and keep this
+    operator for arbitrary snapshot pairs."""
+    o = old.select(*keys, F.col(hash_col).alias("__old_h"))
+    n = new.select(*keys, F.col(hash_col).alias("__new_h"))
+    return (
+        o.join(n, keys, "full_outer")
+        .withColumn(
+            "change_type",
+            F.when(F.col("__old_h").isNull(), F.lit("added"))
+            .when(F.col("__new_h").isNull(), F.lit("removed"))
+            .when(F.col("__old_h") != F.col("__new_h"), F.lit("changed")),
+        )
+        .where(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
     )
 
 

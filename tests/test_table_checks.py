@@ -369,3 +369,107 @@ def test_psi_drift_binned_scan_discipline_and_degenerate(spark):
     const = spark.createDataFrame([Row(part="a", v=3.0), Row(part="b", v=3.0)])
     out = {r.part: r.psi for r in tc.psi_drift_binned(const, "v", "part").collect()}
     assert out == {"a": 0.0, "b": 0.0}
+
+
+def _w1_numpy(values_by_part, bins, lo, hi):
+    """Independent numpy reference: full densification over ALL bins
+    (the operator instead span-weights occupied bins — must agree)."""
+    width = (hi - lo) / bins
+    counts = {
+        p: np.bincount(
+            np.clip(np.floor((np.asarray(v) - lo) / width).astype(int), 0, bins - 1),
+            minlength=bins,
+        )
+        for p, v in values_by_part.items()
+    }
+    total = sum(counts.values())
+    out = {}
+    for p, c in counts.items():
+        cdf_p = np.cumsum(c) / c.sum()
+        rest = total - c
+        cdf_r = np.cumsum(rest) / rest.sum()
+        out[p] = float(np.abs(cdf_p - cdf_r).sum() * width)
+    return out
+
+
+def test_wasserstein_drift_binned(spark):
+    """W1 matches a fully-densified numpy reference (exercising the
+    span weighting across empty interior bins), and a pure mean shift
+    of delta reports W1 ~ delta in value units."""
+    rng = np.random.default_rng(11)
+    vals = {
+        "base": rng.normal(0.0, 1.0, 6000),
+        "shift": rng.normal(1.0, 1.0, 6000),
+    }
+    df = spark.createDataFrame(
+        [Row(part=p, v=float(x)) for p, arr in vals.items() for x in arr]
+    )
+    got = {
+        r.part: r.w1
+        for r in tc.wasserstein_drift_binned(
+            df, "v", "part", bins=512, lo=-6.0, hi=7.0
+        ).collect()
+    }
+    want = _w1_numpy(vals, 512, -6.0, 7.0)
+    for p in vals:
+        assert got[p] == pytest.approx(want[p], abs=2e-6)
+    # one-vs-rest with two equal-size parts: each sees the other as rest,
+    # and the mean shift is 1.0 in value units
+    assert got["base"] == pytest.approx(1.0, abs=0.06)
+    assert got["shift"] == pytest.approx(1.0, abs=0.06)
+
+    # sparse extreme: values only at 0 and 100 with 1000 bins — nearly
+    # every interior bin is empty; span weighting must still integrate
+    # the persistent gap exactly
+    sparse_vals = {
+        "a": [0.0] * 80 + [100.0] * 20,
+        "b": [0.0] * 20 + [100.0] * 80,
+    }
+    sparse = spark.createDataFrame(
+        [Row(part=p, v=x) for p, arr in sparse_vals.items() for x in arr]
+    )
+    got_s = {
+        r.part: r.w1
+        for r in tc.wasserstein_drift_binned(
+            sparse, "v", "part", bins=1000, lo=0.0, hi=100.0
+        ).collect()
+    }
+    want_s = _w1_numpy(sparse_vals, 1000, 0.0, 100.0)
+    for p in sparse_vals:
+        assert got_s[p] == pytest.approx(want_s[p], abs=2e-6)
+    # |0.8-0.2| gap persisting over the full [0,100) span -> W1 = 60
+    assert got_s["a"] == pytest.approx(59.94, abs=0.1)
+
+
+def test_snapshot_diff(spark):
+    """Planted add/remove/change are each classified; unchanged rows are
+    dropped; incremental revalidation set = added + changed."""
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame([
+        Row(repo="r1", path="a.py", content="alpha"),
+        Row(repo="r1", path="b.py", content="beta"),
+        Row(repo="r2", path="c.py", content="gamma"),
+    ]).withColumn("content_sha256", F.sha2("content", 256))
+    new = spark.createDataFrame([
+        Row(repo="r1", path="a.py", content="alpha"),        # unchanged
+        Row(repo="r1", path="b.py", content="beta v2"),      # changed
+        Row(repo="r3", path="d.py", content="delta"),        # added
+    ]).withColumn("content_sha256", F.sha2("content", 256))
+
+    out = {(r.repo, r.path): r.change_type
+           for r in tc.snapshot_diff(old, new, ["repo", "path"]).collect()}
+    assert out == {
+        ("r1", "b.py"): "changed",
+        ("r2", "c.py"): "removed",
+        ("r3", "d.py"): "added",
+    }
+
+    # incremental set: semi-join new against added/changed keys
+    todo = new.join(
+        tc.snapshot_diff(old, new, ["repo", "path"])
+          .where(F.col("change_type") != "removed"),
+        ["repo", "path"],
+        "left_semi",
+    )
+    assert sorted(r.path for r in todo.collect()) == ["b.py", "d.py"]
