@@ -1,6 +1,7 @@
 """End-to-end corpus curation job: documents table → quality filter →
-language filter → weighted source mixture → deterministic train/eval
-split → curated corpus + report.
+language filter → benchmark decontamination → weighted source mixture →
+secret redaction → deterministic train/eval split → curated corpus +
+report.
 
 The step after :mod:`jobs.dedup_job` in a training-data run, wired from
 the engine's oracled building blocks — every decision is content-derived
@@ -11,19 +12,28 @@ reassigns an existing document's fate:
    (pure JVM expressions, one scan);
 2. **language**: :func:`jsl_engine.text_ops.language_id` restricted to
    ``--langs`` (JVM regexp script counting + marker argmax);
-3. **mixture**: :func:`jsl_engine.sampling.mixture_sample` applies
+3. **decontamination** (with ``--benchmark``):
+   :func:`jsl_engine.text_ops.contamination` drops documents sharing
+   word n-grams with the held-out benchmark parquet (broadcast gram
+   join — shuffle bounded by actual contamination);
+4. **mixture**: :func:`jsl_engine.sampling.mixture_sample` applies
    per-source keep rates (codegen filter; nested under rate increases);
-4. **split**: :func:`jsl_engine.sampling.hash_split` assigns train/eval
+5. **redaction** (with ``--redact``):
+   :func:`jsl_engine.redaction.redact_secrets` replaces detected
+   secrets/PII with placeholders (map-only JVM regexp);
+6. **split**: :func:`jsl_engine.sampling.hash_split` assigns train/eval
    (stable under corpus growth), written as partition directories.
 
 Usage::
 
     python jobs/curate_job.py [--input PARQUET] [--output DIR]
-        [--min-quality 0.5] [--langs en,de,fr] [--rate SRC=R ...]
-        [--default-rate 1.0] [--eval-permille 50] [--cpus 8] [--keep-output]
+        [--min-quality 0.5] [--langs en,de,fr] [--benchmark PARQUET]
+        [--contamination-ngram 3] [--rate SRC=R ...] [--default-rate 1.0]
+        [--redact] [--eval-permille 50] [--cpus 8] [--keep-output]
 
 Prints one JSON line: docs_in, quality_dropped, lang_dropped,
-mixture_dropped, train, eval, seconds, docs_per_sec.
+contamination_dropped, mixture_dropped, secrets_redacted, train, eval,
+seconds, docs_per_sec.
 """
 
 from __future__ import annotations
@@ -41,8 +51,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from jsl_engine.partitioning import get_spark
+from jsl_engine.redaction import redact_secrets
 from jsl_engine.sampling import hash_split, mixture_sample
-from jsl_engine.text_ops import language_id, quality_score
+from jsl_engine.text_ops import contamination, language_id, quality_score
 
 
 def main() -> int:
@@ -52,6 +63,12 @@ def main() -> int:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--langs", default="",
                     help="comma-separated lang_id allowlist; empty = keep all")
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of benchmark docs (doc_id, text); drops "
+                         "corpus docs sharing n-grams with it")
+    ap.add_argument("--contamination-ngram", type=int, default=3)
+    ap.add_argument("--redact", action="store_true",
+                    help="replace detected secrets/PII with placeholders")
     ap.add_argument("--rate", action="append", default=[],
                     help="SRC=RATE per-source mixture keep rate (repeatable)")
     ap.add_argument("--default-rate", type=float, default=1.0)
@@ -96,8 +113,26 @@ def main() -> int:
     else:
         n_lang = n_quality
 
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        clean = contamination(
+            survivors, bench, n=args.contamination_ngram
+        ).where(~F.col("contaminated")).select("doc_id")
+        survivors = survivors.join(clean, "doc_id").localCheckpoint()
+        n_decon = survivors.count()
+    else:
+        n_decon = n_lang
+
     mixed = mixture_sample(survivors, rates, default_rate=args.default_rate)
     n_mixed = mixed.count()
+
+    n_redactions = 0
+    if args.redact:
+        red = redact_secrets(mixed).localCheckpoint()
+        n_redactions = red.agg(F.sum("n_redactions")).first()[0] or 0
+        mixed = mixed.drop("text").join(
+            red.select("doc_id", F.col("redacted").alias("text")), "doc_id"
+        )
 
     final = hash_split(mixed, eval_permille=args.eval_permille)
     final.write.mode("overwrite").partitionBy("split").parquet(
@@ -112,7 +147,9 @@ def main() -> int:
         "docs_in": docs_in,
         "quality_dropped": docs_in - n_quality,
         "lang_dropped": n_quality - n_lang,
-        "mixture_dropped": n_lang - n_mixed,
+        "contamination_dropped": n_lang - n_decon,
+        "mixture_dropped": n_decon - n_mixed,
+        "secrets_redacted": int(n_redactions),
         "train": counts.get("train", 0),
         "eval": counts.get("eval", 0),
         "seconds": seconds,

@@ -449,3 +449,56 @@ def test_near_dup_stream_bucket_saturation(spark, tmp_path):
     # (which 5 docs occupy a saturating bucket is arrival-order dependent,
     # so the sound bound is per-band, not global)
     assert 0 < n <= 16 * (5 * 4 // 2)
+
+
+def test_redaction_composes_with_streams(spark, tmp_path):
+    """secret_scan/redact_secrets are map-only JVM expressions, so they
+    run unchanged on a file-source stream: streaming results == batch
+    results over the same corpus (no watermark or state needed)."""
+    from pyspark.sql import Row
+
+    from jsl_engine.redaction import redact_secrets, secret_scan
+
+    src = str(tmp_path / "red_src")
+    rows = [
+        Row(doc_id=i,
+            text=f"doc {i} " + ("mail admin@example.com at 10.0.0.1 "
+                                if i % 3 == 0 else "clean text here "))
+        for i in range(60)
+    ]
+    spark.createDataFrame(rows).repartition(4).write.parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+
+    q = (
+        secret_scan(stream_df)
+        .writeStream.format("memory")
+        .queryName("stream_scan")
+        .option("checkpointLocation", str(tmp_path / "red_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM stream_scan").collect()
+    want = secret_scan(batch_df).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert sum(r.has_secret for r in got) == 20
+
+    q2 = (
+        redact_secrets(stream_df)
+        .writeStream.format("memory")
+        .queryName("stream_redact")
+        .option("checkpointLocation", str(tmp_path / "red_ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = spark.sql("SELECT * FROM stream_redact").collect()
+    want2 = redact_secrets(batch_df).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
+    assert all("admin@example.com" not in r.redacted for r in got2)

@@ -620,10 +620,11 @@ def test_dedup_job_end_to_end(spark, tmp_path):
 
 
 def test_curate_job_end_to_end(spark, tmp_path):
-    """The composed curation job (quality -> language -> mixture -> split)
-    with a corpus planting each drop reason: report math consistent,
-    output partitioned by split, and every decision stable (re-run equals
-    first run)."""
+    """The composed curation job (quality -> language -> decontamination
+    -> mixture -> redaction -> split) with a corpus planting each drop
+    reason: report math consistent, output partitioned by split, every
+    decision stable (re-run equals first run), and the
+    benchmark/redaction stages verified against the written output."""
     import json
     import subprocess
     import sys
@@ -631,6 +632,8 @@ def test_curate_job_end_to_end(spark, tmp_path):
 
     good = ("It is clear that the story begins with his journey to the "
             "city, and the people were glad. " * 3)
+    leak = ("the secret benchmark sentence that must never appear in "
+            "training data")
     rows = [Row(doc_id=i, text=good + f" marker {i}", source=f"s{i % 2}")
             for i in range(30)]
     rows += [Row(doc_id=100, text="x", source="s0")]            # quality drop
@@ -638,30 +641,50 @@ def test_curate_job_end_to_end(spark, tmp_path):
                                    "stadt und das wetter war nicht gut aber er "
                                    "wollte zu seiner schwester. " * 3),
                  source="s0")]                                   # lang drop (de)
+    rows += [Row(doc_id=102, text=good + " " + leak, source="s0")]  # contaminated
+    rows += [Row(doc_id=103, text=good + " mail me admin@example.com now",
+                 source="s0")]                                   # secret, kept
     src = str(tmp_path / "cur_in")
     spark.createDataFrame(rows).repartition(2).write.parquet(src)
+    bench_dir = str(tmp_path / "bench")
+    spark.createDataFrame([Row(doc_id=0, text=leak)]).write.parquet(bench_dir)
 
     repo = Path(__file__).resolve().parent.parent
 
-    def run():
+    def run(*extra):
         out = subprocess.run(
             [sys.executable, str(repo / "jobs" / "curate_job.py"),
              "--input", src, "--min-quality", "0.5", "--langs", "en",
-             "--rate", "s1=0.5", "--default-rate", "1.0", "--cpus", "4"],
+             "--rate", "s1=0.5", "--default-rate", "1.0", "--cpus", "4",
+             *extra],
             capture_output=True, text=True, timeout=600,
         )
         return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
 
     rep = run()
-    assert rep["docs_in"] == 32
+    assert rep["docs_in"] == 34
     assert rep["quality_dropped"] == 1
     assert rep["lang_dropped"] == 1
-    assert 0 < rep["mixture_dropped"] < 15     # ~half of the 15 s1 docs
-    assert rep["train"] + rep["eval"] == 30 - rep["mixture_dropped"]
+    assert rep["contamination_dropped"] == 0    # no --benchmark
+    assert rep["secrets_redacted"] == 0         # no --redact
+    assert 0 < rep["mixture_dropped"] < 15      # ~half of the 15 s1 docs
+    assert rep["train"] + rep["eval"] == 32 - rep["mixture_dropped"]
     rep2 = run()  # fully deterministic end to end (timing fields aside)
     drop_timing = lambda d: {k: v for k, v in d.items()
                              if k not in ("seconds", "docs_per_sec")}
     assert drop_timing(rep2) == drop_timing(rep)
+
+    # full pipeline: benchmark decontamination + redaction, output kept
+    out_dir = str(tmp_path / "cur_out")
+    rep3 = run("--benchmark", bench_dir, "--redact", "--output", out_dir,
+               "--keep-output")
+    assert rep3["contamination_dropped"] == 1   # doc 102 leaks the benchmark
+    assert rep3["secrets_redacted"] == 1        # doc 103's email
+    assert rep3["train"] + rep3["eval"] == 31 - rep3["mixture_dropped"]
+    written = spark.read.parquet(f"{out_dir}/documents")
+    [r103] = written.where("doc_id = 103").collect()
+    assert "<EMAIL>" in r103.text and "admin@example.com" not in r103.text
+    assert written.where("doc_id = 102").count() == 0
 
 
 def test_components_self_loop_vertex_parity(spark):
