@@ -143,6 +143,30 @@ def main(sf_dir: str) -> int:
                 must_contain=["Project"],
                 must_not=["Exchange", "Window", "Sort"])
 
+    # 11. contamination: the benchmark gram set must broadcast (the corpus
+    #     is never shuffled to meet the benchmark), no cartesian product
+    from jsl_engine.text_ops import contamination
+    bench = docs.where(F.col("doc_id") % 20 == 7)
+    cont = contamination(docs.where(F.col("doc_id") % 20 != 7), bench)
+    ok &= check("contamination bench broadcast", cont,
+                must_contain=["BroadcastHashJoin"],
+                must_not=["CartesianProduct"])
+
+    # 12. secret scan is map-only: regexp counts are row-local JVM
+    #     expressions — no shuffle, no Python in the plan
+    from jsl_engine.redaction import secret_scan
+    sc_plan = secret_scan(docs)
+    ok &= check("secret_scan map-only", sc_plan,
+                must_contain=["Project"],
+                must_not=["Exchange", "Python", "Window", "Sort"])
+
+    # 13. vocabulary top-k: the (group, token) count must partial-aggregate
+    #     map-side (the exchange carries vocabulary, not corpus rows)
+    from jsl_engine.text_ops import vocabulary_topk
+    vk = vocabulary_topk(docs, k=10)
+    ok &= check("vocab partial agg", vk,
+                must_contain=["HashAggregate", "partial_count"])
+
     print("ALL OK" if ok else "PLAN REGRESSIONS FOUND")
     return 0 if ok else 1
 
