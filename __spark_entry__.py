@@ -343,6 +343,23 @@ def q_ngram_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(docs, pairs, n=3)
 
 
+def q_contamination_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-kernel decontamination (same doc_id%20==7 benchmark split
+    as `contamination_documents`): benchmark gram hashes broadcast as a
+    sorted numpy array, per-doc membership via vectorized searchsorted
+    in mapInArrow — zero joins, zero shuffles. Shares the string-based
+    DuckDB oracle: 64-bit gram hashing makes counts equal to the JVM
+    variant's absent a ~1e-6-probability collision."""
+    from jsl_engine.text_ops_arrow import contamination_arrow
+
+    docs = _t(spark, sf_dir, "documents")
+    return contamination_arrow(
+        docs.where(F.col("doc_id") % 20 != 7),
+        docs.where(F.col("doc_id") % 20 == 7),
+        n=3,
+    )
+
+
 def q_vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 tokens per language over documents — two-phase aggregation
     (shuffle carries vocabulary, not corpus) + per-group rank window with
@@ -592,6 +609,56 @@ def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: License anchor sentences planted in-query (testdata documents carry no
+#: headers); index = doc_id % 9, entries 5..8 stay headerless.
+_LICENSE_INJECTS = [
+    "Licensed under the Apache License, Version 2.0 (the License); "
+    "you may not use this file except in compliance.",
+    "Permission is hereby granted, free of charge, to any person "
+    "obtaining a copy of this software.",
+    "This program is distributed under the terms of the "
+    "GNU General Public License as published.",
+    "Redistribution and use in source and binary forms, with or "
+    "without modification, are permitted.",
+    "This Source Code Form is subject to the terms of the "
+    "Mozilla Public License, v. 2.0.",
+]
+
+
+def q_license_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License classification over documents with one of five SPDX
+    anchor headers planted per doc_id%9 (5..8 stay unlicensed) —
+    map-only JVM regexp with priority order; oracle SQL generated from
+    the same LICENSE_PATTERNS table."""
+    from jsl_engine.code_ops import license_scan
+
+    hdr = F.lit("")
+    for i, txt in enumerate(_LICENSE_INJECTS):
+        hdr = F.when(F.col("doc_id") % 9 == i, F.lit(txt + "\n")).otherwise(hdr)
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(hdr, F.col("text"))
+    )
+    return license_scan(docs)
+
+
+def q_code_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-shape profile (line metrics, alnum fraction, autogenerated/
+    minified flags) over documents restructured in-query into 7-word
+    lines (the flat testdata text has no newlines) — one split, array
+    HOFs, map-only; fully oracled."""
+    from jsl_engine.code_ops import code_profile
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"),
+            r"([^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+) ",
+            "$1\n",
+        ),
+    )
+    return code_profile(docs)
+
+
 def q_snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot change detection for incremental validation: two
     deterministic snapshots derived from documents (old drops
@@ -769,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_arrow": q_simhash_near_dup_arrow,
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "contamination_documents": q_contamination_documents,
+        "contamination_arrow": q_contamination_arrow,
         "vocab_topk_documents": q_vocab_topk_documents,
         "secret_scan_documents": q_secret_scan_documents,
         "redact_documents": q_redact_documents,
@@ -786,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_documents": q_stratified_sample_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "hash_split_documents": q_hash_split_documents,
+        "license_scan_documents": q_license_scan_documents,
+        "code_profile_documents": q_code_profile_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "shuffle_export_documents": q_shuffle_export_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -800,6 +870,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB) — same aliases, same rounding, explicit casts so the
 # result schema matches Spark's (BIGINT counts, DOUBLE stats)
 # ---------------------------------------------------------------------------
+
+def _license_scan_oracle_sql() -> str:
+    """Generated from code_ops.LICENSE_PATTERNS — CASE priority chain
+    over the same anchor regexes, with the same doc_id%9 header CTE."""
+    from jsl_engine.code_ops import LICENSE_PATTERNS
+
+    cases = "\n                   ".join(
+        f"WHEN len(regexp_extract_all(text, '{rx}')) > 0 THEN '{name}'"
+        for name, rx in LICENSE_PATTERNS
+    )
+    whens = "\n                            ".join(
+        f"WHEN doc_id % 9 = {i} THEN '{txt}' || chr(10)"
+        for i, txt in enumerate(_LICENSE_INJECTS)
+    )
+    return f"""
+        WITH docs2 AS (
+            SELECT doc_id,
+                   CASE {whens}
+                        ELSE '' END || text AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE {cases}
+                    ELSE 'unknown' END AS license
+        FROM docs2
+    """
+
+
+def _code_profile_oracle_sql() -> str:
+    """Mirrors code_ops.code_profile over the 7-word-line restructuring
+    (DuckDB regexp_replace with backref \\1 + chr(10), 'g' flag)."""
+    from jsl_engine.code_ops import AUTOGEN_MARKERS
+
+    return f"""
+        WITH docs2 AS (
+            SELECT doc_id,
+                   regexp_replace(text,
+                       '([^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+ [^ ]+) ',
+                       '\\1' || chr(10), 'g') AS text
+            FROM documents
+        ),
+        l AS (
+            SELECT doc_id, text,
+                   list_transform(string_split(text, chr(10)),
+                                  x -> length(x)) AS lens
+            FROM docs2
+        )
+        SELECT doc_id,
+               len(lens)::BIGINT AS n_lines,
+               list_max(lens)::BIGINT AS max_line_len,
+               ROUND(list_sum(lens) / CAST(len(lens) AS DOUBLE), 6) AS avg_line_len,
+               CASE WHEN length(text) > 0
+                    THEN ROUND(len(regexp_extract_all(text, '[A-Za-z0-9]'))
+                               / CAST(length(text) AS DOUBLE), 6)
+                    ELSE 0.0 END AS alnum_frac,
+               len(regexp_extract_all(lower(text), '{AUTOGEN_MARKERS}')) > 0
+                   AS is_autogenerated,
+               list_max(lens) > 1000 AS is_minified
+        FROM l
+    """
+
 
 def _secret_inject_cte() -> str:
     """The docs2 CTE mirroring :func:`_docs_with_secrets` byte-for-byte."""
@@ -1010,7 +1141,7 @@ _DOCS_CONTENT_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "col_stats_lineitem": " UNION ALL ".join(
             _stats_numeric_one(c)
             for c in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -1416,6 +1547,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN (SELECT id FROM dropped)
             GROUP BY d.lang
         """,
+        "license_scan_documents": _license_scan_oracle_sql(),
+        "code_profile_documents": _code_profile_oracle_sql(),
         "snapshot_diff_documents": """
             WITH o AS (
                 SELECT doc_id, sha256(text) AS h
@@ -1612,3 +1745,8 @@ def oracle_sql() -> dict[str, str]:
         # ivf_topk_embeddings: rows-only — xxhash64-based buckets and the
         # trained-quantizer probe set have no DuckDB analogue.
     }
+    # the Arrow contamination kernel produces count-identical output to
+    # the JVM variant (64-bit gram hashes; collision odds ~1e-6 at 10^7
+    # grams), so it shares the string-gram oracle verbatim
+    out["contamination_arrow"] = out["contamination_documents"]
+    return out

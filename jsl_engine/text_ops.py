@@ -535,22 +535,26 @@ def contamination(
 
     Scale shape (100 TB corpus, fixed benchmark): benchmark n-gram
     vocabularies are tiny relative to the corpus (eval suites are
-    ~10^5–10^6 grams), so the distinct benchmark grams are **broadcast**;
-    the corpus side builds its distinct-gram array map-side, explodes,
-    and the broadcast inner join drops every non-matching gram *before*
-    the per-doc count aggregation — shuffle volume is bounded by actual
-    contamination, not corpus size. The final per-doc left join attaches
-    the (small) hit counts back to the one-row-per-doc frame; AQE picks
-    broadcast for it when it fits. At 10^12 docs, map the gram strings to
-    ``xxhash64`` first to shrink the broadcast and probe sides (same
-    trade documented on the minhash kernels); the string form is kept
-    here for oracle parity.
+    ~10^5–10^6 grams), so the distinct benchmark grams are **broadcast**
+    and probed by a LEFT join on the exploded corpus grams; one
+    ``groupBy(doc)`` then counts rows (= distinct grams) and hit markers
+    together. The expensive shingle expression is evaluated exactly once
+    (a two-branch formulation — hits inner-join + n_grams projection +
+    join-back — recomputes it per branch; measured 11.9s → 5.4s at
+    sf0.1), and the aggregate partial-combines map-side, so the shuffle
+    carries ~one row per document, not per gram. The remaining cost is
+    the shingle HOF itself (interpreter-bound, like every JVM text
+    kernel here): :func:`jsl_engine.text_ops_arrow.contamination_arrow`
+    is the 10^12-doc path — zero joins, zero shuffles, hashed grams.
+    The string-gram form here is kept as the oracle-parity reference.
 
     North-rule context: engine-level addition (the reference validates
     single documents; reference scope src/lib.rs:114-118)."""
-    grams = df.select(
+    exploded = df.select(
         F.col(id_col),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("grams"),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), n))
+        ).alias("gram"),
     )
     bench = (
         benchmark.select(
@@ -559,17 +563,15 @@ def contamination(
             ).alias("gram")
         )
         .distinct()
-    )
-    hits = (
-        grams.select(F.col(id_col), F.explode("grams").alias("gram"))
-        .join(F.broadcast(bench), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .withColumn("__hit", F.lit(1))
     )
     return (
-        grams.select(F.col(id_col), F.size("grams").alias("n_grams"))
-        .join(hits, id_col, "left")
-        .fillna({"n_hits": 0})
+        exploded.join(F.broadcast(bench), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
+        )
         .select(
             F.col(id_col),
             F.col("n_grams").cast("long").alias("n_grams"),

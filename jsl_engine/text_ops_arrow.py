@@ -306,3 +306,97 @@ def minhash_near_duplicates_arrow(
         sigs = sigs.cache()
         sigs.count()  # eager: see the JVM variant
     return near_duplicates_from_signatures(sigs, id_col, threshold, bands, num_hashes)
+
+
+def contamination_arrow(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination on the Arrow kernel — the 10^12-doc
+    path for :func:`jsl_engine.text_ops.contamination`: the benchmark's
+    distinct gram hashes become one sorted uint64 numpy array (hashed
+    driver-side — eval suites are small — and broadcast), and each
+    corpus document's hit count is a vectorized ``searchsorted``
+    membership test inside ``mapInArrow``. Output schema matches the JVM
+    variant exactly.
+
+    ZERO joins and ZERO shuffles: the whole operator is one map-only
+    pass (the JVM variant broadcast-joins exploded gram strings and
+    re-aggregates — its shuffle is small, but its shingle HOF runs in
+    Spark's expression interpreter; measured 5.4s → ~1s at sf0.1).
+    Counts equal the JVM variant's absent a 64-bit hash collision
+    (~1e-6 at 10^7 distinct grams), which is why this variant can share
+    the string-based DuckDB oracle. Driver-side benchmark hashing is a
+    plan-construction action, same precedent as IVF centroid training."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    spark = df.sparkSession
+    bench_texts = [
+        r[0] for r in benchmark.select(text_col).collect() if r[0] is not None
+    ]
+    if bench_texts:
+        bench_hashes = np.unique(
+            np.concatenate([_shingle_hashes(t, n) for t in bench_texts])
+        )
+    else:
+        bench_hashes = np.empty(0, dtype=np.uint64)
+    bc = spark.sparkContext.broadcast(bench_hashes)
+
+    pruned = df.select(id_col, text_col)
+    # the kernel emits only the counts; hit_rate/contaminated are Spark
+    # expressions on top so rounding (F.round = HALF_UP, matching the JVM
+    # variant and DuckDB) stays engine-identical — np.round is HALF_EVEN
+    out_schema = StructType(
+        [
+            pruned.schema[id_col],
+            StructField("n_grams", LongType(), False),
+            StructField("n_hits", LongType(), False),
+        ]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        bs = bc.value
+        for batch in batches:
+            rows = batch.num_rows
+            if rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            n_grams = np.empty(rows, dtype=np.int64)
+            n_hits = np.empty(rows, dtype=np.int64)
+            for i, t in enumerate(texts):
+                g = np.unique(_shingle_hashes(t or "", n))
+                n_grams[i] = g.size
+                if bs.size:
+                    idx = np.searchsorted(bs, g)
+                    idx[idx == bs.size] = 0
+                    n_hits[i] = int((bs[idx] == g).sum())
+                else:
+                    n_hits[i] = 0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(n_grams, type=pa.int64()),
+                    pa.array(n_hits, type=pa.int64()),
+                ],
+                schema=pa.schema(
+                    [
+                        batch.schema.field(0),
+                        pa.field("n_grams", pa.int64(), False),
+                        pa.field("n_hits", pa.int64(), False),
+                    ]
+                ),
+            )
+
+    return pruned.mapInArrow(run, out_schema).select(
+        F.col(id_col),
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_rate"),
+        (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
+    )

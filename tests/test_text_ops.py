@@ -806,3 +806,30 @@ def test_pack_sequences_concat_and_chunk(spark):
         df.repartition(9), tokens_col="n_tok", budget=256, n_buckets=4
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_contamination_arrow_matches_jvm(spark):
+    """The Arrow kernel's counts equal the JVM variant's on planted data
+    (64-bit gram hashes: collision-free at fixture scale), including the
+    flag threshold and rate rounding."""
+    from jsl_engine.text_ops_arrow import contamination_arrow
+
+    bench = spark.createDataFrame([
+        Row(doc_id=100, text="the capital of france is paris"),
+        Row(doc_id=101, text="water boils at one hundred degrees"),
+    ])
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="trivia dump says the capital of france is paris today"),
+        Row(doc_id=2, text="completely unrelated text about gardening and soil"),
+        Row(doc_id=3, text="soup boils at home"),
+        Row(doc_id=4, text=""),
+    ])
+    jvm = sorted(map(tuple, T.contamination(corpus, bench, n=3).collect()))
+    arrow = sorted(map(tuple,
+                       contamination_arrow(corpus, bench, n=3).collect()))
+    assert arrow == jvm
+
+    # zero-shuffle gate: the Arrow plan has no Exchange at all
+    plan = (contamination_arrow(corpus, bench, n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
