@@ -1,7 +1,7 @@
 """End-to-end corpus curation job: documents table → quality filter →
-language filter → benchmark decontamination → weighted source mixture →
-secret redaction → deterministic train/eval split → curated corpus +
-report.
+language filter → license allowlist → benchmark decontamination →
+weighted source mixture → secret redaction → deterministic train/eval
+split → curated corpus + report.
 
 The step after :mod:`jobs.dedup_job` in a training-data run, wired from
 the engine's oracled building blocks — every decision is content-derived
@@ -12,28 +12,33 @@ reassigns an existing document's fate:
    (pure JVM expressions, one scan);
 2. **language**: :func:`jsl_engine.text_ops.language_id` restricted to
    ``--langs`` (JVM regexp script counting + marker argmax);
-3. **decontamination** (with ``--benchmark``):
+3. **license** (with ``--licenses``):
+   :func:`jsl_engine.code_ops.license_scan` keeps only documents whose
+   detected license is in the allowlist (anchor-phrase regex CASE,
+   map-only — the permissive-only filter every code-corpus run applies);
+4. **decontamination** (with ``--benchmark``):
    :func:`jsl_engine.text_ops.contamination` drops documents sharing
    word n-grams with the held-out benchmark parquet (broadcast gram
    join — shuffle bounded by actual contamination);
-4. **mixture**: :func:`jsl_engine.sampling.mixture_sample` applies
+5. **mixture**: :func:`jsl_engine.sampling.mixture_sample` applies
    per-source keep rates (codegen filter; nested under rate increases);
-5. **redaction** (with ``--redact``):
+6. **redaction** (with ``--redact``):
    :func:`jsl_engine.redaction.redact_secrets` replaces detected
    secrets/PII with placeholders (map-only JVM regexp);
-6. **split**: :func:`jsl_engine.sampling.hash_split` assigns train/eval
+7. **split**: :func:`jsl_engine.sampling.hash_split` assigns train/eval
    (stable under corpus growth), written as partition directories.
 
 Usage::
 
     python jobs/curate_job.py [--input PARQUET] [--output DIR]
-        [--min-quality 0.5] [--langs en,de,fr] [--benchmark PARQUET]
+        [--min-quality 0.5] [--langs en,de,fr] [--licenses mit,apache-2.0]
+        [--benchmark PARQUET]
         [--contamination-ngram 3] [--rate SRC=R ...] [--default-rate 1.0]
         [--redact] [--eval-permille 50] [--cpus 8] [--keep-output]
 
 Prints one JSON line: docs_in, quality_dropped, lang_dropped,
-contamination_dropped, mixture_dropped, secrets_redacted, train, eval,
-seconds, docs_per_sec.
+license_dropped, contamination_dropped, mixture_dropped,
+secrets_redacted, train, eval, seconds, docs_per_sec.
 """
 
 from __future__ import annotations
@@ -51,6 +56,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from jsl_engine.partitioning import get_spark
+from jsl_engine.code_ops import license_scan
 from jsl_engine.redaction import redact_secrets
 from jsl_engine.sampling import hash_split, mixture_sample
 from jsl_engine.text_ops import contamination, language_id, quality_score
@@ -63,6 +69,9 @@ def main() -> int:
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--langs", default="",
                     help="comma-separated lang_id allowlist; empty = keep all")
+    ap.add_argument("--licenses", default="",
+                    help="comma-separated license allowlist (license_scan "
+                         "ids, e.g. mit,apache-2.0); empty = keep all")
     ap.add_argument("--benchmark", default=None,
                     help="parquet of benchmark docs (doc_id, text); drops "
                          "corpus docs sharing n-grams with it")
@@ -84,6 +93,7 @@ def main() -> int:
             ap.error(f"--rate expects SRC=RATE, got {spec!r}")
         rates[src] = float(r)
     langs = [l for l in args.langs.split(",") if l]
+    licenses = [l for l in args.licenses.split(",") if l]
 
     out_dir = args.output or tempfile.mkdtemp(prefix="jsl_curate_")
     spark = get_spark(
@@ -113,6 +123,13 @@ def main() -> int:
     else:
         n_lang = n_quality
 
+    if licenses:
+        lic = license_scan(survivors).where(F.col("license").isin(licenses))
+        survivors = survivors.join(lic.select("doc_id"), "doc_id").localCheckpoint()
+        n_license = survivors.count()
+    else:
+        n_license = n_lang
+
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
         clean = contamination(
@@ -121,7 +138,7 @@ def main() -> int:
         survivors = survivors.join(clean, "doc_id").localCheckpoint()
         n_decon = survivors.count()
     else:
-        n_decon = n_lang
+        n_decon = n_license
 
     mixed = mixture_sample(survivors, rates, default_rate=args.default_rate)
     n_mixed = mixed.count()
@@ -147,7 +164,8 @@ def main() -> int:
         "docs_in": docs_in,
         "quality_dropped": docs_in - n_quality,
         "lang_dropped": n_quality - n_lang,
-        "contamination_dropped": n_lang - n_decon,
+        "license_dropped": n_lang - n_license,
+        "contamination_dropped": n_license - n_decon,
         "mixture_dropped": n_decon - n_mixed,
         "secrets_redacted": int(n_redactions),
         "train": counts.get("train", 0),

@@ -644,6 +644,9 @@ def test_curate_job_end_to_end(spark, tmp_path):
     rows += [Row(doc_id=102, text=good + " " + leak, source="s0")]  # contaminated
     rows += [Row(doc_id=103, text=good + " mail me admin@example.com now",
                  source="s0")]                                   # secret, kept
+    gpl_text = ("This program is distributed under the terms of the GNU "
+                "General Public License as published. ")
+    rows += [Row(doc_id=104, text=gpl_text + good, source="s0")]  # license drop
     src = str(tmp_path / "cur_in")
     spark.createDataFrame(rows).repartition(2).write.parquet(src)
     bench_dir = str(tmp_path / "bench")
@@ -662,13 +665,14 @@ def test_curate_job_end_to_end(spark, tmp_path):
         return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
 
     rep = run()
-    assert rep["docs_in"] == 34
+    assert rep["docs_in"] == 35
     assert rep["quality_dropped"] == 1
     assert rep["lang_dropped"] == 1
+    assert rep["license_dropped"] == 0          # no --licenses
     assert rep["contamination_dropped"] == 0    # no --benchmark
     assert rep["secrets_redacted"] == 0         # no --redact
     assert 0 < rep["mixture_dropped"] < 15      # ~half of the 15 s1 docs
-    assert rep["train"] + rep["eval"] == 32 - rep["mixture_dropped"]
+    assert rep["train"] + rep["eval"] == 33 - rep["mixture_dropped"]
     rep2 = run()  # fully deterministic end to end (timing fields aside)
     drop_timing = lambda d: {k: v for k, v in d.items()
                              if k not in ("seconds", "docs_per_sec")}
@@ -677,7 +681,8 @@ def test_curate_job_end_to_end(spark, tmp_path):
     # full pipeline: benchmark decontamination + redaction, output kept
     out_dir = str(tmp_path / "cur_out")
     rep3 = run("--benchmark", bench_dir, "--redact", "--output", out_dir,
-               "--keep-output")
+               "--keep-output", "--licenses", "unknown,mit,apache-2.0")
+    assert rep3["license_dropped"] == 1         # doc 104 carries GPL text
     assert rep3["contamination_dropped"] == 1   # doc 102 leaks the benchmark
     assert rep3["secrets_redacted"] == 1        # doc 103's email
     assert rep3["train"] + rep3["eval"] == 31 - rep3["mixture_dropped"]
@@ -685,6 +690,7 @@ def test_curate_job_end_to_end(spark, tmp_path):
     [r103] = written.where("doc_id = 103").collect()
     assert "<EMAIL>" in r103.text and "admin@example.com" not in r103.text
     assert written.where("doc_id = 102").count() == 0
+    assert written.where("doc_id = 104").count() == 0
 
 
 def test_components_self_loop_vertex_parity(spark):
