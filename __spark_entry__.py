@@ -137,6 +137,16 @@ def q_psi_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of events (30-min inactivity gap per
+    user): per-session event counts and exact microsecond durations —
+    one shuffle on user_id feeding stacked lag + running-sum windows.
+    Fully oracled via the same epoch-microsecond arithmetic."""
+    from jsl_engine.sessions import session_stats
+
+    return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def q_chi2_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square drift of event_type across day partitions (the testdata
     spans a single month, so days are the meaningful time slices)."""
@@ -824,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_events_value": q_psi_events_value,
         "wasserstein_events_value": q_wasserstein_events_value,
         "chi2_events_daily": q_chi2_events_daily,
+        "session_stats_events": q_session_stats_events,
         "quantiles_lineitem": q_quantiles_lineitem,
         "quantiles_lineitem_approx": q_quantiles_lineitem_approx,
         "top_orders_per_priority": q_top_orders_per_priority,
@@ -1308,6 +1319,34 @@ def oracle_sql() -> dict[str, str]:
                    ), 6) AS psi
             FROM j CROSS JOIN tot t
             GROUP BY j.part
+        """,
+        "session_stats_events": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            l AS (
+                SELECT user_id, event_id, us,
+                       LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+                FROM e
+            ),
+            f AS (
+                SELECT user_id, event_id, us,
+                       CASE WHEN prev IS NOT NULL AND us - prev > 30*60*1000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM l
+            ),
+            s AS (
+                SELECT user_id, us,
+                       (SUM(new_s) OVER (
+                            PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) + 1)::BIGINT AS session_idx
+                FROM f
+            )
+            SELECT user_id, session_idx,
+                   COUNT(*)::BIGINT AS n_events,
+                   ROUND((MAX(us) - MIN(us)) / 1000000.0, 6) AS duration_secs
+            FROM s GROUP BY user_id, session_idx
         """,
         "chi2_events_daily": """
             WITH base AS (

@@ -39,6 +39,11 @@ ENGINE_CONF = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     # parquet scans: allow splitting large files across tasks
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # deterministic time semantics: TIMESTAMP_NTZ ↔ epoch conversions
+    # (sessionization, date bucketing) must not depend on the host's
+    # timezone; UTC also matches DuckDB's naive-timestamp arithmetic in
+    # the oracle gate
+    "spark.sql.session.timeZone": "UTC",
 }
 
 

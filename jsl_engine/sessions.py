@@ -1,0 +1,100 @@
+"""Gap-based sessionization of event streams.
+
+Assigns every event to a session: a new session starts when the gap to
+the user's previous event exceeds ``gap_minutes``. The reference has no
+event/time operators (it validates single JSON documents — reference
+scope src/lib.rs:114-118); this is an engine-level addition for the
+events table the north rule's monitoring checks (drift, chi-square) run
+over.
+
+Execution shape: ONE shuffle on the user key feeding two stacked window
+functions over the same (user, time) sort — ``lag`` to detect gaps,
+running ``sum`` to number sessions — then ordinary aggregation for
+per-session stats (map-side combine on the already-partitioned data).
+Timestamps are compared in epoch **microseconds** (``unix_micros``; the
+DuckDB oracle uses ``epoch_us``) so the gap predicate is exact integer
+arithmetic in both engines, and ties order deterministically by
+(timestamp, event id).
+
+Skew note: a session is inherently a per-user total order, so one user's
+history must sort on one reducer — salting cannot apply. Power-user skew
+is bounded by composing with time-range partitioning (sessionize each
+day/week separately and stitch only the boundary sessions), the standard
+trade at 10^12 events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Input columns + ``session_idx`` (1-based per user, in time order).
+
+    Rows with NULL user or timestamp are dropped (no session can be
+    assigned)."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    # the cast covers TIMESTAMP_NTZ inputs (parquet writes them by
+    # default): with the engine's pinned UTC session timezone
+    # (partitioning.ENGINE_CONF) wall-clock == epoch, matching the
+    # DuckDB oracle's epoch_us on naive timestamps
+    base = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).withColumn("__us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+    w = Window.partitionBy(user_col).orderBy("__us", id_col)
+    new_s = F.when(
+        F.col("__us") - F.lag("__us").over(w) > F.lit(gap_us), 1
+    ).otherwise(0).cast("long")
+    # the first event per user has lag NULL -> otherwise(0); starting the
+    # running sum at 1 makes indices 1-based
+    return (
+        base.withColumn(
+            "session_idx",
+            (
+                F.sum(new_s).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                + F.lit(1)
+            ).cast("long"),
+        )
+        .drop("__us")
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Per-session rollup::
+
+        <user_col>, session_idx, n_events, duration_secs
+
+    ``duration_secs`` is exact microsecond span / 1e6, rounded to 6 dp
+    for cross-engine hash stability (a single-event session has 0.0)."""
+    s = sessionize(
+        df,
+        user_col=user_col,
+        ts_col=ts_col,
+        id_col=id_col,
+        gap_minutes=gap_minutes,
+    ).withColumn("__us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+    return (
+        s.groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                (F.max("__us") - F.min("__us")) / F.lit(1_000_000.0), 6
+            ).alias("duration_secs"),
+        )
+    )

@@ -1,0 +1,51 @@
+"""Sessionization: hand-built gap patterns must split exactly at the
+threshold, indices must be 1-based in time order, and the assignment
+must be partition-layout independent."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row
+
+from jsl_engine.sessions import session_stats, sessionize
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(i, user, minutes_offset):
+    return Row(event_id=i, user_id=user, ts=T0 + timedelta(minutes=minutes_offset))
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        _ev(1, 1, 0), _ev(2, 1, 10), _ev(3, 1, 40),   # 30-min gap exactly: same session
+        _ev(4, 1, 71),                                  # 31-min gap: NEW session
+        _ev(5, 2, 0),                                   # other user independent
+        Row(event_id=6, user_id=None, ts=T0),           # dropped
+        Row(event_id=7, user_id=2, ts=None),            # dropped
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.event_id: (r.user_id, r.session_idx)
+           for r in sessionize(df, gap_minutes=30).collect()}
+    # gap == threshold does NOT split (strict >)
+    assert out == {1: (1, 1), 2: (1, 1), 3: (1, 1), 4: (1, 2), 5: (2, 1)}
+
+    stats = {(r.user_id, r.session_idx): (r.n_events, r.duration_secs)
+             for r in session_stats(df, gap_minutes=30).collect()}
+    assert stats == {(1, 1): (3, 2400.0), (1, 2): (1, 0.0), (2, 1): (1, 0.0)}
+
+
+def test_sessionize_partition_independent(spark):
+    rows = [_ev(i, i % 5, (i * 7) % 240) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, sessionize(df, gap_minutes=10).collect()))
+    b = sorted(map(tuple, sessionize(df.repartition(13), gap_minutes=10).collect()))
+    assert a == b and len(a) == 300
+    # indices are dense 1..k per user in time order
+    per_user = {}
+    for r in sessionize(df, gap_minutes=10).collect():
+        per_user.setdefault(r.user_id, []).append((r.ts, r.session_idx))
+    for u, evs in per_user.items():
+        evs.sort()
+        idxs = [s for _, s in evs]
+        assert idxs[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(idxs, idxs[1:]))
