@@ -370,6 +370,34 @@ def q_contamination_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation report composing the scoring operators (the
+    rollup a data owner reads before a training run): document counts,
+    mean quality, secret incidence — over the secret-injected corpus so
+    the secret columns are value-bearing. One scan feeds both scorers
+    (map-only projections); the only shuffle is the final tiny groupBy.
+    Fully oracled (quality + PATTERNS SQL generated/shared with the
+    standalone queries)."""
+    from jsl_engine.redaction import secret_scan
+    from jsl_engine.text_ops import quality_score
+
+    docs = _docs_with_secrets(spark, sf_dir)
+    q = quality_score(docs)
+    s = secret_scan(docs).select("doc_id", "n_secrets")
+    return (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(s, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum((F.col("n_secrets") > 0).cast("long")).alias("docs_with_secret"),
+            F.sum("n_secrets").alias("total_secrets"),
+        )
+    )
+
+
 def q_vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 tokens per language over documents — two-phase aggregation
     (shuffle carries vocabulary, not corpus) + per-group rank window with
@@ -849,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_documents": q_contamination_documents,
         "contamination_arrow": q_contamination_arrow,
         "vocab_topk_documents": q_vocab_topk_documents,
+        "curation_report_documents": q_curation_report_documents,
         "secret_scan_documents": q_secret_scan_documents,
         "redact_documents": q_redact_documents,
         "embedding_near_dup_embeddings": q_embedding_near_dup_embeddings,
@@ -940,6 +969,54 @@ def _code_profile_oracle_sql() -> str:
                    AS is_autogenerated,
                list_max(lens) > 1000 AS is_minified
         FROM l
+    """
+
+
+def _curation_report_oracle_sql() -> str:
+    """Per-source rollup sharing the quality-threshold SQL and the
+    PATTERNS-generated secret totals over the secret-injected corpus."""
+    from jsl_engine.redaction import PATTERNS
+
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{rx}'))" for _, rx, _ in PATTERNS
+    )
+    return f"""
+        WITH docs2 AS (
+            SELECT doc_id, source,
+                   text || CASE WHEN doc_id % 10 = 0 THEN '{_SECRET_INJECT_A}'
+                                WHEN doc_id % 10 = 5 THEN '{_SECRET_INJECT_B}'
+                                ELSE '' END AS text
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                         / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS punct_ratio,
+                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                         / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS digit_ratio,
+                   ROUND(LENGTH(regexp_replace(text, '\\s+', '', 'g'))
+                         / CAST(GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END, 1) AS DOUBLE), 6) AS avg_token_len
+            FROM docs2
+        ),
+        q AS (
+            SELECT doc_id,
+                   ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0 END)
+                       + (CASE WHEN punct_ratio > 0.0005 AND punct_ratio < 0.2 THEN 0.25 ELSE 0 END)
+                       + (CASE WHEN digit_ratio < 0.3 THEN 0.25 ELSE 0 END)
+                       + (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 0.25 ELSE 0 END), 2) AS quality
+            FROM p
+        ),
+        s AS (SELECT doc_id, ({total})::BIGINT AS n_secrets FROM docs2)
+        SELECT d.source AS source,
+               COUNT(*)::BIGINT AS n_docs,
+               ROUND(AVG(q.quality), 6) AS avg_quality,
+               SUM(CASE WHEN s.n_secrets > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_secret,
+               SUM(s.n_secrets)::BIGINT AS total_secrets
+        FROM docs2 d JOIN q USING (doc_id) JOIN s USING (doc_id)
+        GROUP BY d.source
     """
 
 
@@ -1475,6 +1552,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh sa ON sa.doc_id = id_a
             JOIN sh sb ON sb.doc_id = id_b
         """,
+        "curation_report_documents": _curation_report_oracle_sql(),
         "secret_scan_documents": _secret_scan_oracle_sql(),
         "redact_documents": _redact_oracle_sql(),
         "vocab_topk_documents": """

@@ -378,3 +378,54 @@ def near_dup_stream(
     return banded.groupBy("band", "bucket").applyInPandasWithState(
         update, out_type, state_type, "append", timeout_conf
     )
+
+
+def session_stats_stream(
+    stream: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native session windows::
+
+        <user_col>, session_start, session_end, n_events, duration_secs
+
+    ``F.session_window`` merges events into per-user windows that extend
+    while successive events arrive within ``gap_minutes`` — the same
+    session partition the batch operator
+    (:func:`jsl_engine.sessions.sessionize`) derives with lag/cumsum
+    windows, so per-session ``(n_events, duration_secs)`` multisets
+    match between the two (pinned in ``tests/test_streaming.py``; note
+    ``session_window``'s end is ``last event + gap``, so
+    ``duration_secs`` subtracts the gap back out). The watermark bounds
+    state: a session closes — and emits exactly once in append mode —
+    when the watermark passes its end."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    agg = (
+        stream.where(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return agg.select(
+        user_col,
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        F.round(
+            (
+                F.unix_micros(F.col("session_window.end").cast("timestamp"))
+                - F.unix_micros(F.col("session_window.start").cast("timestamp"))
+                - F.lit(gap_us)
+            )
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("duration_secs"),
+    )

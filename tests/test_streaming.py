@@ -502,3 +502,53 @@ def test_redaction_composes_with_streams(spark, tmp_path):
     want2 = redact_secrets(batch_df).collect()
     assert sorted(map(tuple, got2)) == sorted(map(tuple, want2))
     assert all("admin@example.com" not in r.redacted for r in got2)
+
+
+def test_session_stats_stream_matches_batch(spark, tmp_path):
+    """Native session_window streaming sessionization produces the same
+    per-session (user, n_events, duration) multiset as the batch
+    lag/cumsum operator, with watermark-bounded state."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from jsl_engine.sessions import session_stats
+    from jsl_engine.streaming import session_stats_stream
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(event_id=i, user_id=i % 7,
+            ts=t0 + timedelta(minutes=(i * 13) % 360, seconds=i % 50))
+        for i in range(400)
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows).repartition(4).write.parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        session_stats_stream(stream_df, gap_minutes=10, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.user_id, r.n_events, r.duration_secs)
+        for r in spark.sql(
+            "SELECT user_id, n_events, duration_secs FROM sess_stream"
+        ).collect()
+    )
+    want = sorted(
+        (r.user_id, r.n_events, r.duration_secs)
+        for r in session_stats(batch_df, gap_minutes=10).collect()
+    )
+    assert got == want and len(got) > 20
