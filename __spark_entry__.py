@@ -398,6 +398,24 @@ def q_curation_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (same doc_id%20==7 benchmark split as the
+    exact variant): cross-corpus MinHash-LSH on the Arrow signature
+    kernel, benchmark side broadcast, corpus-side boilerplate guard —
+    catches paraphrased benchmark leaks exact n-grams miss. Rows-only:
+    the numpy hash family has no SQL analogue; planted-paraphrase recall
+    and the guard are pytest-gated."""
+    from jsl_engine.text_ops_arrow import fuzzy_contamination_arrow
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_contamination_arrow(
+        docs.where(F.col("doc_id") % 20 != 7),
+        docs.where(F.col("doc_id") % 20 == 7),
+        threshold=0.5,
+        bands=32,
+    )
+
+
 def q_vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-15 tokens per language over documents — two-phase aggregation
     (shuffle carries vocabulary, not corpus) + per-group rank window with
@@ -876,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_documents": q_ngram_jaccard_documents,
         "contamination_documents": q_contamination_documents,
         "contamination_arrow": q_contamination_arrow,
+        "fuzzy_contamination_documents": q_fuzzy_contamination_documents,
         "vocab_topk_documents": q_vocab_topk_documents,
         "curation_report_documents": q_curation_report_documents,
         "secret_scan_documents": q_secret_scan_documents,

@@ -311,6 +311,81 @@ def near_duplicates_from_signatures(
     )
 
 
+def cross_corpus_near_dups_from_signatures(
+    corpus_sigs: DataFrame,
+    bench_sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    bands: int = 16,
+    num_hashes: int = 64,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Fuzzy decontamination tail: MinHash-LSH join of a corpus
+    signature table against a (small) benchmark signature table::
+
+        doc_id, bench_id, est_jaccard   (est_jaccard >= threshold)
+
+    Exact n-gram contamination (:func:`contamination`) misses
+    paraphrased or lightly-edited benchmark leaks; banding both sides
+    and verifying the signature estimate catches near-copies the way the
+    self-join near-dup pipeline does, but **across** corpora.
+
+    Scale shape: the benchmark side (banded rows AND signatures) is
+    broadcast — the corpus is never shuffled to meet it. The corpus side
+    keeps the oversized-bucket boilerplate guard (windowed count per
+    (band, bucket), pruned BEFORE the join — a 10^6-doc boilerplate
+    bucket colliding with one benchmark band would otherwise emit 10^6
+    candidate rows); genuine contamination of boilerplate-shaped text
+    still surfaces through its other bands. Candidate volume is bounded
+    by |bench buckets touched| × max_bucket."""
+    cb = band_rows(corpus_sigs, id_col, bands, num_hashes)
+    bb = band_rows(bench_sigs, id_col, bands, num_hashes).drop("sig")
+    w = Window.partitionBy("band", "bucket")
+    pruned = (
+        cb.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__bucket_n") <= max_bucket)
+        .drop("__bucket_n")
+    )
+    cands = (
+        pruned.alias("c")
+        .join(
+            F.broadcast(bb.alias("b")),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("doc_id_c"),
+            F.col("c.sig").alias("sig_c"),
+            F.col(f"b.{id_col}").alias("bench_id"),
+        )
+        .groupBy("doc_id_c", "bench_id")
+        .agg(F.first("sig_c").alias("sig_c"))
+    )
+    bsig = F.broadcast(
+        bench_sigs.select(
+            F.col(id_col).alias("bench_id"), F.col("sig").alias("sig_b")
+        )
+    )
+    return (
+        cands.join(bsig, "bench_id")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig_c", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.size("sig_c"),
+                6,
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select(F.col("doc_id_c").alias(id_col), "bench_id", "est_jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

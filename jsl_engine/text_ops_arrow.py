@@ -400,3 +400,38 @@ def contamination_arrow(
         F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_rate"),
         (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
     )
+
+
+def fuzzy_contamination_arrow(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Fuzzy decontamination on the Arrow signature kernel: corpus and
+    benchmark MinHash signatures from :func:`minhash_signatures_arrow`,
+    then the cross-corpus banding + verify tail
+    (:func:`jsl_engine.text_ops.cross_corpus_near_dups_from_signatures`,
+    benchmark side broadcast). Catches paraphrased benchmark leaks that
+    exact n-gram contamination misses; the exact-overlap operator
+    remains the first, cheaper pass."""
+    from jsl_engine.text_ops import cross_corpus_near_dups_from_signatures
+
+    c = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n)
+    b = minhash_signatures_arrow(
+        benchmark, text_col, id_col, num_hashes, shingle_n
+    )
+    return cross_corpus_near_dups_from_signatures(
+        c, b,
+        id_col=id_col,
+        threshold=threshold,
+        bands=bands,
+        num_hashes=num_hashes,
+        max_bucket=max_bucket,
+    )

@@ -839,3 +839,51 @@ def test_contamination_arrow_matches_jvm(spark):
     plan = (contamination_arrow(corpus, bench, n=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_fuzzy_contamination_finds_paraphrased_leak(spark):
+    """A corpus doc that is a lightly-edited copy of a benchmark doc is
+    caught by the cross-corpus MinHash join (exact n-gram contamination
+    would still see most trigrams, but heavier paraphrase drops below
+    any exact threshold while signatures stay close); unrelated docs
+    stay clean, and the benchmark side never pairs with itself."""
+    from jsl_engine.text_ops_arrow import fuzzy_contamination_arrow
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "sets behind the quiet hills and the river flows east " * 3)
+    edited = base.replace("quick", "swift").replace("river", "stream")
+    bench = spark.createDataFrame([
+        Row(doc_id=900, text=base),
+        Row(doc_id=901, text="completely different benchmark prose about "
+                             "chemistry experiments and lab safety rules " * 3),
+    ])
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text=edited),                       # near-copy of 900
+        Row(doc_id=2, text="unrelated text on gardening soil and compost "
+                           "heaps with worms and rain " * 3),
+    ])
+    out = {(r.doc_id, r.bench_id): r.est_jaccard
+           for r in fuzzy_contamination_arrow(
+               corpus, bench, threshold=0.3, bands=32).collect()}
+    assert (1, 900) in out and out[(1, 900)] >= 0.3
+    assert not any(d == 2 for d, _ in out)
+
+
+def test_fuzzy_contamination_guard_and_broadcast_plan(spark):
+    """Corpus-side boilerplate guard prunes before the join, and both
+    benchmark sides (banded rows + signatures) broadcast."""
+    from jsl_engine.text_ops_arrow import fuzzy_contamination_arrow
+
+    boiler = [(i, "auto generated header do not edit " * 8) for i in range(120)]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in boiler])
+    bench = spark.createDataFrame(
+        [Row(doc_id=999, text="auto generated header do not edit " * 8)]
+    )
+    q = fuzzy_contamination_arrow(df, bench, max_bucket=64)
+    # every corpus doc shares every band-bucket (identical text) -> all
+    # buckets oversized -> pruned -> zero candidates despite true matches
+    # (the guard trades recall on boilerplate for bounded volume)
+    assert q.count() == 0
+    plan = q._jdf.queryExecution().toString()
+    assert plan.count("BroadcastHashJoin") >= 2 or "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
