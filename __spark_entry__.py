@@ -370,6 +370,19 @@ def q_contamination_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_topk_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory top-15 vocabulary (Misra-Gries candidates + exact
+    recount of candidates only) — the web-scale companion to
+    `vocab_topk_documents`. The sketch guarantee holds by orders of
+    magnitude at this scale, so the output — and therefore the oracle
+    SQL — is identical to the exact variant's."""
+    from jsl_engine.text_ops import vocabulary_topk_scalable
+
+    return vocabulary_topk_scalable(
+        _t(spark, sf_dir, "documents"), k=15, sketch_size=8192
+    )
+
+
 def q_curation_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation report composing the scoring operators (the
     rollup a data owner reads before a training run): document counts,
@@ -896,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_arrow": q_contamination_arrow,
         "fuzzy_contamination_documents": q_fuzzy_contamination_documents,
         "vocab_topk_documents": q_vocab_topk_documents,
+        "vocab_topk_scalable": q_vocab_topk_scalable,
         "curation_report_documents": q_curation_report_documents,
         "secret_scan_documents": q_secret_scan_documents,
         "redact_documents": q_redact_documents,
@@ -1885,4 +1899,8 @@ def oracle_sql() -> dict[str, str]:
     # the JVM variant (64-bit gram hashes; collision odds ~1e-6 at 10^7
     # grams), so it shares the string-gram oracle verbatim
     out["contamination_arrow"] = out["contamination_documents"]
+    # the Misra-Gries + exact-recount vocabulary equals the exact
+    # operator whenever the sketch guarantee holds (it does at sf<=0.1 by
+    # orders of magnitude), so it shares the oracle too
+    out["vocab_topk_scalable"] = out["vocab_topk_documents"]
     return out

@@ -1052,6 +1052,98 @@ def vocabulary_topk(
     )
 
 
+def vocabulary_topk_scalable(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    k: int = 20,
+    sketch_size: int = 8192,
+) -> DataFrame:
+    """Top-``k`` tokens per group with **bounded memory per task** — the
+    10^12-doc companion to :func:`vocabulary_topk`, whose exact
+    ``groupBy(group, token)`` shuffles one row per distinct (group,
+    token): fine while vocabulary is bounded, unbounded when tokens are
+    arbitrary strings (URLs, hashes, typos) at web scale. Same output
+    schema and, when the sketch guarantee holds, the same rows::
+
+        <group_col>, token, n_occ, rank
+
+    Two passes:
+
+    1. **Candidates** — per input partition, a Misra–Gries summary of at
+       most ``sketch_size`` counters per group (pandas ``value_counts``
+       per Arrow batch, MG decrement on overflow). Summaries (≤
+       partitions × sketch_size rows — NOT vocabulary-sized) merge by
+       summing; MG undercounts by at most ``n_partition/sketch_size``
+       per partition, so every token with true in-partition frequency
+       above that appears. The merged top ``4k`` per group become the
+       candidate set.
+    2. **Exact recount** — one more corpus scan counting ONLY candidate
+       tokens (broadcast semi-join before the aggregate), then the same
+       deterministic rank window as the exact operator.
+
+    Guarantee: if each true top-``k`` token's count exceeds the summed
+    MG undercount bound (``N/sketch_size``), the result EQUALS
+    :func:`vocabulary_topk` — which is why the driver query shares its
+    oracle SQL. At fixture scale the bound holds by orders of magnitude;
+    size ``sketch_size`` ≥ N_partition/min_expected_count in production."""
+    import pandas as pd
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+
+    def mg_summaries(batches):
+        running: dict[str, "pd.Series"] = {}
+        for pdf in batches:
+            for grp, sub in pdf.groupby("grp", dropna=False):
+                counts = sub["token"].value_counts()
+                cur = running.get(grp)
+                cur = counts if cur is None else cur.add(counts, fill_value=0)
+                if len(cur) > sketch_size:
+                    # Misra–Gries decrement: subtract the (s+1)-th largest
+                    # count, drop non-positives — ≤ sketch_size survive and
+                    # every surviving count undercounts by ≤ that amount
+                    t = cur.nlargest(sketch_size + 1).iloc[-1]
+                    cur = cur.sub(t)
+                    cur = cur[cur > 0]
+                running[grp] = cur
+        for grp, cur in running.items():
+            yield pd.DataFrame(
+                {"grp": grp, "token": cur.index, "c": cur.values.astype("int64")}
+            )
+
+    summaries = toks.mapInPandas(mg_summaries, "grp string, token string, c long")
+    cand_w = Window.partitionBy("grp").orderBy(
+        F.desc("c_sum"), F.asc("token")
+    )
+    candidates = (
+        summaries.groupBy("grp", "token")
+        .agg(F.sum("c").alias("c_sum"))
+        .withColumn("__r", F.row_number().over(cand_w))
+        .where(F.col("__r") <= 4 * k)
+        .select("grp", "token")
+    )
+    counts = (
+        toks.join(F.broadcast(candidates), ["grp", "token"], "left_semi")
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("n_occ"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "token",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # near-dup components + dedup-keep-representative
 # ---------------------------------------------------------------------------

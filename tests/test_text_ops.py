@@ -887,3 +887,33 @@ def test_fuzzy_contamination_guard_and_broadcast_plan(spark):
     plan = q._jdf.queryExecution().toString()
     assert plan.count("BroadcastHashJoin") >= 2 or "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocabulary_topk_scalable_equals_exact(spark):
+    """With the sketch guarantee satisfied, the bounded-memory variant
+    returns exactly the exact operator's rows; with a tiny sketch the MG
+    decrement still surfaces dominant heavy hitters."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        Row(lang=("en" if i % 3 else "de"),
+            text=" ".join(rng.choices(vocab, weights=range(1, 51), k=120)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows).repartition(6)
+    exact = sorted(map(tuple, T.vocabulary_topk(df, k=10).collect()))
+    scal = sorted(map(tuple,
+                      T.vocabulary_topk_scalable(df, k=10, sketch_size=8192).collect()))
+    assert scal == exact
+
+    # stress the decrement path: sketch far smaller than vocabulary —
+    # the single overwhelming heavy hitter must still rank first
+    stress = spark.createDataFrame(
+        [Row(lang="en", text=("dominant " * 50) + " ".join(
+            f"rare{i}_{j}" for j in range(40)))
+         for i in range(50)]
+    ).repartition(4)
+    top = T.vocabulary_topk_scalable(stress, k=1, sketch_size=16).collect()
+    assert [(r.lang, r.token) for r in top] == [("en", "dominant")]
