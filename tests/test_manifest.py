@@ -145,3 +145,44 @@ def test_manifest_commits_only_after_derived_outputs(spark, corpus, tmp_path, mo
     monkeypatch.undo()
     r = run_validation_job(spark, corpus, schema, output_root=root)
     assert r["docs"] == 1200  # resume re-processes everything
+
+
+def test_incremental_validate_equals_full(spark):
+    """Document-level incremental validation: verdicts merged from
+    (prior minus changed/removed) + (fresh over added/changed) must
+    equal a from-scratch validation of the new snapshot — and the
+    kernel must only have run over the churn set."""
+    from pyspark.sql import functions as F
+
+    from jobs.incremental_job import incremental_validate
+    from jsl_engine.corpus import CODE_FILE_SCHEMA, generate_corpus
+    from jsl_engine.schema import compile_schema
+    from jsl_engine.spark_validate import validate_df
+
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    old = generate_corpus(spark, 600, seed=17, defect_rate=0.1,
+                          partitions=4).localCheckpoint()
+    # churn: rewrite ~1/7 of docs (some defective), drop ~1/11, add new
+    rewritten = old.withColumn(
+        "content",
+        F.when(F.xxhash64("repo", "path", "commit") % 7 == 0,
+               F.concat(F.col("content"), F.lit(" "))).otherwise(F.col("content")),
+    )
+    kept = rewritten.where(F.xxhash64("path") % 11 != 0)
+    added = generate_corpus(spark, 80, seed=99, defect_rate=0.3, partitions=2)
+    new = kept.unionByName(added).localCheckpoint()
+
+    base = validate_df(old, schema).localCheckpoint()
+    merged, diff = incremental_validate(base, old, new, schema)
+
+    cols = ["repo", "path", "commit", "ok", "n_errors", "error", "content_sha256"]
+    got = sorted(map(tuple, merged.select(*cols).collect()))
+    want = sorted(map(tuple, validate_df(new, schema).select(*cols).collect()))
+    assert got == want and len(got) == new.count()
+
+    # the diff covers exactly the churn: removed ∪ changed ∪ added
+    kinds = {r.change_type for r in diff.collect()}
+    assert kinds == {"added", "removed", "changed"}
+    n_changed = diff.where("change_type = 'changed'").count()
+    n_added = diff.where("change_type = 'added'").count()
+    assert n_changed > 0 and n_added == 80
