@@ -694,6 +694,15 @@ _LICENSE_INJECTS = [
 ]
 
 
+def _docs_with_licenses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hdr = F.lit("")
+    for i, txt in enumerate(_LICENSE_INJECTS):
+        hdr = F.when(F.col("doc_id") % 9 == i, F.lit(txt + "\n")).otherwise(hdr)
+    return _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(hdr, F.col("text"))
+    )
+
+
 def q_license_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """License classification over documents with one of five SPDX
     anchor headers planted per doc_id%9 (5..8 stay unlicensed) —
@@ -701,13 +710,17 @@ def q_license_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same LICENSE_PATTERNS table."""
     from jsl_engine.code_ops import license_scan
 
-    hdr = F.lit("")
-    for i, txt in enumerate(_LICENSE_INJECTS):
-        hdr = F.when(F.col("doc_id") % 9 == i, F.lit(txt + "\n")).otherwise(hdr)
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "text", F.concat(hdr, F.col("text"))
-    )
-    return license_scan(docs)
+    return license_scan(_docs_with_licenses(spark, sf_dir))
+
+
+def q_license_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level (here: source-level) majority license call over the
+    same planted headers — the call a corpus filter keys on; majority
+    over matching files, deterministic tie-break, 'unknown' only when no
+    file matched. Fully oracled."""
+    from jsl_engine.code_ops import license_rollup
+
+    return license_rollup(_docs_with_licenses(spark, sf_dir), repo_col="source")
 
 
 def q_code_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_documents": q_mixture_sample_documents,
         "hash_split_documents": q_hash_split_documents,
         "license_scan_documents": q_license_scan_documents,
+        "license_rollup_documents": q_license_rollup_documents,
         "code_profile_documents": q_code_profile_documents,
         "snapshot_diff_documents": q_snapshot_diff_documents,
         "shuffle_export_documents": q_shuffle_export_documents,
@@ -968,6 +982,49 @@ def _license_scan_oracle_sql() -> str:
                CASE {cases}
                     ELSE 'unknown' END AS license
         FROM docs2
+    """
+
+
+def _license_rollup_oracle_sql() -> str:
+    """Repo-majority rollup over the same generated license CASE."""
+    from jsl_engine.code_ops import LICENSE_PATTERNS
+
+    cases = "\n                   ".join(
+        f"WHEN len(regexp_extract_all(text, '{rx}')) > 0 THEN '{name}'"
+        for name, rx in LICENSE_PATTERNS
+    )
+    whens = "\n                            ".join(
+        f"WHEN doc_id % 9 = {i} THEN '{txt}' || chr(10)"
+        for i, txt in enumerate(_LICENSE_INJECTS)
+    )
+    return f"""
+        WITH docs2 AS (
+            SELECT doc_id, source,
+                   CASE {whens}
+                        ELSE '' END || text AS text
+            FROM documents
+        ),
+        lic AS (
+            SELECT doc_id, source,
+                   CASE {cases}
+                        ELSE 'unknown' END AS license
+            FROM docs2
+        ),
+        counts AS (SELECT source, license, COUNT(*) AS n FROM lic GROUP BY source, license),
+        totals AS (SELECT source, SUM(n)::BIGINT AS n_files FROM counts GROUP BY source),
+        best AS (
+            SELECT source, license, n FROM (
+                SELECT source, license, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY n DESC, license ASC) AS r
+                FROM counts WHERE license <> 'unknown'
+            ) WHERE r = 1
+        )
+        SELECT t.source AS source,
+               COALESCE(b.license, 'unknown') AS license,
+               t.n_files,
+               COALESCE(b.n, 0)::BIGINT AS n_matching
+        FROM totals t LEFT JOIN best b ON t.source = b.source
     """
 
 
@@ -1698,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.lang
         """,
         "license_scan_documents": _license_scan_oracle_sql(),
+        "license_rollup_documents": _license_rollup_oracle_sql(),
         "code_profile_documents": _code_profile_oracle_sql(),
         "snapshot_diff_documents": """
             WITH o AS (
