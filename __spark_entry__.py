@@ -387,21 +387,19 @@ def q_curation_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation report composing the scoring operators (the
     rollup a data owner reads before a training run): document counts,
     mean quality, secret incidence — over the secret-injected corpus so
-    the secret columns are value-bearing. One scan feeds both scorers
-    (map-only projections); the only shuffle is the final tiny groupBy.
-    Fully oracled (quality + PATTERNS SQL generated/shared with the
-    standalone queries)."""
+    the secret columns are value-bearing. The scorers CHAIN through
+    keep_cols passthrough — one scan, zero joins, the only shuffle is
+    the final tiny groupBy (plan-gated in tests/test_redaction.py).
+    Fully oracled (quality + PATTERNS SQL shared with the standalone
+    queries)."""
     from jsl_engine.redaction import secret_scan
     from jsl_engine.text_ops import quality_score
 
     docs = _docs_with_secrets(spark, sf_dir)
-    q = quality_score(docs)
-    s = secret_scan(docs).select("doc_id", "n_secrets")
+    scanned = secret_scan(docs, keep_cols=("source", "text"))
+    scored = quality_score(scanned, keep_cols=("source", "n_secrets"))
     return (
-        docs.select("doc_id", "source")
-        .join(q, "doc_id")
-        .join(s, "doc_id")
-        .groupBy("source")
+        scored.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("quality"), 6).alias("avg_quality"),
@@ -1062,6 +1060,35 @@ def _code_profile_oracle_sql() -> str:
     """
 
 
+def _quality_cte_sql(src: str) -> str:
+    """The p/q CTE pair computing the per-doc quality score over table
+    ``src`` — the ONE place the threshold formula lives on the oracle
+    side (used by both the standalone quality oracle and the curation
+    report; a threshold tweak updated in only one copy would make the
+    other oracle silently test a stale formula)."""
+    return f"""p AS (
+                SELECT doc_id,
+                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+                       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+                             / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS punct_ratio,
+                       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+                             / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS digit_ratio,
+                       ROUND(LENGTH(regexp_replace(text, '\\s+', '', 'g'))
+                             / CAST(GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                    ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END, 1) AS DOUBLE), 6) AS avg_token_len
+                FROM {src}
+            ),
+            q AS (
+                SELECT doc_id,
+                       ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0 END)
+                           + (CASE WHEN punct_ratio > 0.0005 AND punct_ratio < 0.2 THEN 0.25 ELSE 0 END)
+                           + (CASE WHEN digit_ratio < 0.3 THEN 0.25 ELSE 0 END)
+                           + (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 0.25 ELSE 0 END), 2) AS quality
+                FROM p
+            )"""
+
+
 def _curation_report_oracle_sql() -> str:
     """Per-source rollup sharing the quality-threshold SQL and the
     PATTERNS-generated secret totals over the secret-injected corpus."""
@@ -1078,27 +1105,7 @@ def _curation_report_oracle_sql() -> str:
                                 ELSE '' END AS text
             FROM documents
         ),
-        p AS (
-            SELECT doc_id,
-                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
-                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
-                         / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS punct_ratio,
-                   ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
-                         / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS digit_ratio,
-                   ROUND(LENGTH(regexp_replace(text, '\\s+', '', 'g'))
-                         / CAST(GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                                ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END, 1) AS DOUBLE), 6) AS avg_token_len
-            FROM docs2
-        ),
-        q AS (
-            SELECT doc_id,
-                   ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0 END)
-                       + (CASE WHEN punct_ratio > 0.0005 AND punct_ratio < 0.2 THEN 0.25 ELSE 0 END)
-                       + (CASE WHEN digit_ratio < 0.3 THEN 0.25 ELSE 0 END)
-                       + (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 0.25 ELSE 0 END), 2) AS quality
-            FROM p
-        ),
+        {_quality_cte_sql("docs2")},
         s AS (SELECT doc_id, ({total})::BIGINT AS n_secrets FROM docs2)
         SELECT d.source AS source,
                COUNT(*)::BIGINT AS n_docs,
@@ -1149,15 +1156,17 @@ def _secret_scan_oracle_sql() -> str:
 def _redact_oracle_sql() -> str:
     """Generated from redaction.PATTERNS — regexp_replace chain in the
     same order with the 'g' flag (Spark's regexp_replace is global by
-    default; DuckDB's needs the flag)."""
+    default; DuckDB's needs the flag). n_redactions mirrors the
+    sequential semantics: pattern i is counted on the chain with
+    patterns 0..i-1 already applied."""
     from jsl_engine.redaction import PATTERNS
 
     expr = "text"
+    terms = []
     for _, rx, repl in PATTERNS:
+        terms.append(f"len(regexp_extract_all({expr}, '{rx}'))")
         expr = f"regexp_replace({expr}, '{rx}', '{repl}', 'g')"
-    total = " + ".join(
-        f"len(regexp_extract_all(text, '{rx}'))" for _, rx, _ in PATTERNS
-    )
+    total = " + ".join(terms)
     return f"""
         WITH {_secret_inject_cte()}
         SELECT doc_id,
@@ -1596,26 +1605,9 @@ def oracle_sql() -> dict[str, str]:
                    sha256(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM p
         """,
-        "quality_score_documents": """
-            WITH p AS (
-                SELECT doc_id,
-                       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
-                       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
-                             / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS punct_ratio,
-                       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
-                             / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE), 6) AS digit_ratio,
-                       ROUND(LENGTH(regexp_replace(text, '\\s+', '', 'g'))
-                             / CAST(GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                                    ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END, 1) AS DOUBLE), 6) AS avg_token_len
-                FROM documents
-            )
-            SELECT doc_id,
-                   ROUND((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.25 ELSE 0 END)
-                       + (CASE WHEN punct_ratio > 0.0005 AND punct_ratio < 0.2 THEN 0.25 ELSE 0 END)
-                       + (CASE WHEN digit_ratio < 0.3 THEN 0.25 ELSE 0 END)
-                       + (CASE WHEN avg_token_len >= 2.0 AND avg_token_len <= 12.0 THEN 0.25 ELSE 0 END), 2) AS quality
-            FROM p
+        "quality_score_documents": f"""
+            WITH {_quality_cte_sql("documents")}
+            SELECT doc_id, quality FROM q
         """,
         "ngram_jaccard_documents": """
             WITH sh AS (
@@ -1772,7 +1764,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
                        CASE WHEN o.doc_id IS NULL THEN 'added'
                             WHEN n.doc_id IS NULL THEN 'removed'
-                            WHEN o.h <> n.h THEN 'changed' END AS change_type
+                            WHEN o.h IS DISTINCT FROM n.h THEN 'changed' END AS change_type
                 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
             ) WHERE change_type IS NOT NULL
         """,

@@ -35,7 +35,11 @@ PATTERNS: list[tuple[str, str, str]] = [
 
 
 def secret_scan(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document secret/PII counts, one output column per pattern::
 
@@ -43,14 +47,22 @@ def secret_scan(
         n_secrets, has_secret
 
     Counts overlap-free left-to-right matches (``regexp_count``
-    semantics, identical to RE2's ``regexp_extract_all`` length).
-    Map-only: safe at any scale, and Catalyst prunes the scan to
-    (id, text)."""
+    semantics, identical to RE2's ``regexp_extract_all`` length). Each
+    pattern counts **independently on the original text** — detector
+    semantics: a span matching two patterns (a 32-hex email local part)
+    contributes to both per-pattern counts and twice to ``n_secrets``.
+    ``has_secret`` is unaffected; for the number of *substitutions* a
+    redaction pass performs, use :func:`redact_secrets`'s
+    ``n_redactions`` (sequential semantics). ``keep_cols`` pass through
+    untouched so scorers chain over one scan. Map-only: safe at any
+    scale, and Catalyst prunes the scan to (id, text, *keep_cols)."""
     counts = [
         F.regexp_count(F.col(text_col), F.lit(rx)).cast("long").alias(f"n_{name}")
         for name, rx, _ in PATTERNS
     ]
-    out = df.select(F.col(id_col), *counts)
+    out = df.select(
+        F.col(id_col), *counts, *[F.col(c) for c in keep_cols]
+    )
     total = sum((F.col(f"n_{name}") for name, _, _ in PATTERNS), F.lit(0))
     return out.withColumn("n_secrets", total.cast("long")).withColumn(
         "has_secret", F.col("n_secrets") > 0
@@ -66,16 +78,18 @@ def redact_secrets(
 
     Patterns apply in ``PATTERNS`` order (structured tokens before the
     generic hex rule), each as a global JVM ``regexp_replace``.
+    ``n_redactions`` counts the substitutions **actually performed**:
+    pattern ``i`` is counted on the text with patterns ``0..i-1``
+    already applied, so a span consumed by an earlier pattern (a 32-hex
+    email local part eaten by the email rule) is not double-counted the
+    way :func:`secret_scan`'s independent detector counts are.
     Invariant (pytest-gated): scanning the redacted text finds zero
-    secrets, and ``n_redactions`` equals the pre-redaction
-    ``n_secrets``."""
+    secrets."""
     redacted = F.col(text_col)
+    n = F.lit(0)
     for _, rx, repl in PATTERNS:
+        n = n + F.regexp_count(redacted, F.lit(rx))
         redacted = F.regexp_replace(redacted, rx, repl)
-    n = sum(
-        (F.regexp_count(F.col(text_col), F.lit(rx)) for _, rx, _ in PATTERNS),
-        F.lit(0),
-    )
     return df.select(
         F.col(id_col),
         redacted.alias("redacted"),

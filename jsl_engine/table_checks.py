@@ -562,15 +562,27 @@ def snapshot_diff(
     the exchange disappears entirely; on Iceberg, prefer the native
     changelog/incremental scan between adjacent snapshots and keep this
     operator for arbitrary snapshot pairs."""
-    o = old.select(*keys, F.col(hash_col).alias("__old_h"))
-    n = new.select(*keys, F.col(hash_col).alias("__new_h"))
+    # presence must come from explicit markers, NOT hash nullability: a
+    # key present in both snapshots whose content (hence hash) is NULL on
+    # one side would otherwise be misclassified as added/removed — and an
+    # incremental-validation caller would then silently drop a live
+    # document. Hashes compare null-safely for the same reason.
+    o = old.select(
+        *keys, F.col(hash_col).alias("__old_h"), F.lit(True).alias("__old_p")
+    )
+    n = new.select(
+        *keys, F.col(hash_col).alias("__new_h"), F.lit(True).alias("__new_p")
+    )
     return (
         o.join(n, keys, "full_outer")
         .withColumn(
             "change_type",
-            F.when(F.col("__old_h").isNull(), F.lit("added"))
-            .when(F.col("__new_h").isNull(), F.lit("removed"))
-            .when(F.col("__old_h") != F.col("__new_h"), F.lit("changed")),
+            F.when(F.col("__old_p").isNull(), F.lit("added"))
+            .when(F.col("__new_p").isNull(), F.lit("removed"))
+            .when(
+                ~F.col("__old_h").eqNullSafe(F.col("__new_h")),
+                F.lit("changed"),
+            ),
         )
         .where(F.col("change_type").isNotNull())
         .select(*keys, "change_type")

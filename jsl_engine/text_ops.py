@@ -663,12 +663,15 @@ def contamination(
 # text analysis: tokens, quality, language ID, fingerprint
 # ---------------------------------------------------------------------------
 
-def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 *, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-document text metrics, all JVM expressions::
 
         id, n_chars, n_tokens, n_lines, punct_ratio, digit_ratio,
-        upper_ratio, avg_token_len, fingerprint
-    """
+        upper_ratio, avg_token_len, fingerprint [, *keep_cols]
+
+    ``keep_cols`` pass through untouched so map-only scorers chain over
+    ONE scan instead of join-reassembling corpus-sized frames."""
     t = F.col(text_col)
     n_chars = F.length(t)
     tokens = F.split(F.trim(t), r"\s+")
@@ -688,6 +691,7 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             6,
         ).alias("avg_token_len"),
         F.sha2(normalized(t), 256).alias("fingerprint"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -997,18 +1001,21 @@ def overlap_pairs_from_flat(
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  *, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Composite quality score in [0,1] from the profile metrics —
     length band, punctuation presence, not-mostly-digits, token shape.
-    Deterministic and cheap; thresholds follow common web-corpus filters."""
-    p = text_profile(df, text_col, id_col)
+    Deterministic and cheap; thresholds follow common web-corpus filters.
+    ``keep_cols`` pass through (see :func:`text_profile`)."""
+    p = text_profile(df, text_col, id_col, keep_cols=keep_cols)
     score = (
         F.when((p.n_tokens >= 10) & (p.n_tokens <= 100_000), 0.25).otherwise(0.0)
         + F.when((p.punct_ratio > 0.0005) & (p.punct_ratio < 0.2), 0.25).otherwise(0.0)
         + F.when(p.digit_ratio < 0.3, 0.25).otherwise(0.0)
         + F.when((p.avg_token_len >= 2.0) & (p.avg_token_len <= 12.0), 0.25).otherwise(0.0)
     )
-    return p.select(id_col, F.round(score, 2).alias("quality"))
+    return p.select(id_col, F.round(score, 2).alias("quality"),
+                    *[F.col(c) for c in keep_cols])
 
 
 def vocabulary_topk(
@@ -1089,11 +1096,22 @@ def vocabulary_topk_scalable(
     oracle SQL. At fixture scale the bound holds by orders of magnitude;
     size ``sketch_size`` ≥ N_partition/min_expected_count in production."""
     import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     toks = df.select(
         F.col(group_col).alias("grp"),
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("token"),
     ).where(F.col("token") != "")
+    # the summary schema carries the group column's ACTUAL type — a
+    # hardcoded string grp would break (or silently retype) non-string
+    # group columns and the "same rows as vocabulary_topk" guarantee
+    summary_schema = StructType(
+        [
+            StructField("grp", df.schema[group_col].dataType),
+            StructField("token", StringType()),
+            StructField("c", LongType()),
+        ]
+    )
 
     def mg_summaries(batches):
         running: dict[str, "pd.Series"] = {}
@@ -1115,7 +1133,7 @@ def vocabulary_topk_scalable(
                 {"grp": grp, "token": cur.index, "c": cur.values.astype("int64")}
             )
 
-    summaries = toks.mapInPandas(mg_summaries, "grp string, token string, c long")
+    summaries = toks.mapInPandas(mg_summaries, summary_schema)
     cand_w = Window.partitionBy("grp").orderBy(
         F.desc("c_sum"), F.asc("token")
     )

@@ -2,7 +2,7 @@
 exactly, redaction must be idempotent (re-scan of redacted text finds
 nothing), and clean text must pass untouched."""
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from jsl_engine import redaction as R
 
@@ -34,7 +34,7 @@ def test_redact_then_rescan_is_clean(spark):
     df = spark.createDataFrame(DOCS)
     red = R.redact_secrets(df)
     rows = {r.doc_id: r for r in red.collect()}
-    # n_redactions == pre-scan n_secrets
+    # on non-overlapping fixtures, substitutions == detections
     pre = {r.doc_id: r.n_secrets for r in R.secret_scan(df).collect()}
     assert {k: v.n_redactions for k, v in rows.items()} == pre
     # placeholders landed
@@ -57,3 +57,34 @@ def test_scan_plan_is_map_only(spark):
     plan = R.secret_scan(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_overlapping_span_counts(spark):
+    """A span matching two patterns: the detector counts it twice
+    (independent per-pattern semantics, documented), but redaction
+    performs — and counts — exactly ONE substitution."""
+    df = spark.createDataFrame([Row(
+        doc_id=1,
+        text="deadbeefdeadbeefdeadbeefdeadbeef@example.com",
+    )])
+    [scan] = R.secret_scan(df).collect()
+    assert scan.n_email == 1 and scan.n_hex_secret == 1 and scan.n_secrets == 2
+    [red] = R.redact_secrets(df).collect()
+    assert red.n_redactions == 1
+    assert red.redacted == "<EMAIL>"
+    [rescan] = R.secret_scan(
+        R.redact_secrets(df).select("doc_id", F.col("redacted").alias("text"))
+    ).collect()
+    assert rescan.n_secrets == 0
+
+
+def test_curation_report_single_scan_plan(spark):
+    """The composed per-source report must execute as one scan with no
+    joins: scorers chain through keep_cols, so the only Exchange is the
+    final groupBy (plus AQE bookkeeping)."""
+    import __spark_entry__ as em
+
+    df = em.q_curation_report_documents(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1

@@ -465,6 +465,23 @@ def test_snapshot_diff(spark):
         ("r3", "d.py"): "added",
     }
 
+    # NULL-content hardening: presence comes from markers, not hash
+    # nullability — a key in BOTH snapshots with NULL content on one or
+    # both sides is 'changed' / unchanged, never added/removed
+    oldn = spark.createDataFrame([
+        Row(repo="r9", path="n.py", content=None),      # null -> null: unchanged
+        Row(repo="r9", path="m.py", content="body"),    # value -> null: changed
+        Row(repo="r9", path="k.py", content=None),      # null -> value: changed
+    ]).withColumn("content_sha256", F.sha2("content", 256))
+    newn = spark.createDataFrame([
+        Row(repo="r9", path="n.py", content=None),
+        Row(repo="r9", path="m.py", content=None),
+        Row(repo="r9", path="k.py", content="body"),
+    ]).withColumn("content_sha256", F.sha2("content", 256))
+    outn = {r.path: r.change_type
+            for r in tc.snapshot_diff(oldn, newn, ["repo", "path"]).collect()}
+    assert outn == {"m.py": "changed", "k.py": "changed"}
+
     # incremental set: semi-join new against added/changed keys
     todo = new.join(
         tc.snapshot_diff(old, new, ["repo", "path"])

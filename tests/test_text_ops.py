@@ -885,7 +885,10 @@ def test_fuzzy_contamination_guard_and_broadcast_plan(spark):
     # (the guard trades recall on boilerplate for bounded volume)
     assert q.count() == 0
     plan = q._jdf.queryExecution().toString()
-    assert plan.count("BroadcastHashJoin") >= 2 or "BroadcastNestedLoop" not in plan
+    # both benchmark sides (banded rows, signatures) must broadcast —
+    # a dropped hint regressing either to a sort-merge join fails here
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -917,3 +920,13 @@ def test_vocabulary_topk_scalable_equals_exact(spark):
     ).repartition(4)
     top = T.vocabulary_topk_scalable(stress, k=1, sketch_size=16).collect()
     assert [(r.lang, r.token) for r in top] == [("en", "dominant")]
+
+    # non-string group columns keep their type (schema derived, not
+    # hardcoded) and still equal the exact operator
+    intdf = spark.createDataFrame(
+        [Row(year=2000 + (i % 2), text="aa bb aa cc aa bb") for i in range(20)]
+    ).repartition(3)
+    e = sorted(map(tuple, T.vocabulary_topk(intdf, group_col="year", k=2).collect()))
+    g = sorted(map(tuple,
+                   T.vocabulary_topk_scalable(intdf, group_col="year", k=2).collect()))
+    assert g == e and isinstance(g[0][0], int)
