@@ -147,6 +147,16 @@ def q_session_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def q_drift_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS + PSI + Wasserstein-1 in ONE histogram pass (the shared
+    binned scaffolding's payoff — this is the monitor a production job
+    runs instead of three separate scans). Statistics pinned equal to
+    the standalone operators; fully oracled."""
+    return tc.drift_report(
+        _t(spark, sf_dir, "events"), "value", "event_type", bins=1024
+    )
+
+
 def q_chi2_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square drift of event_type across day partitions (the testdata
     spans a single month, so days are the meaningful time slices)."""
@@ -903,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_events_value_binned": q_ks_events_value_binned,
         "psi_events_value": q_psi_events_value,
         "wasserstein_events_value": q_wasserstein_events_value,
+        "drift_report_events": q_drift_report_events,
         "chi2_events_daily": q_chi2_events_daily,
         "session_stats_events": q_session_stats_events,
         "quantiles_lineitem": q_quantiles_lineitem,
@@ -1455,6 +1466,51 @@ def oracle_sql() -> dict[str, str]:
                 FROM j
             )
             SELECT c.part AS part,
+                   ROUND(SUM(ABS(c.cum_part / CAST(p.n_part AS DOUBLE)
+                         - (c.cum_tot - c.cum_part) / CAST(t.n - p.n_part AS DOUBLE))
+                         * c.span) * mm.width, 6) AS w1
+            FROM cum c JOIN parts p ON c.part = p.part
+            CROSS JOIN tot t CROSS JOIN mm
+            GROUP BY c.part, p.n_part, t.n, mm.width
+        """,
+        # combined drift report: same CTEs as binned KS, all three stats
+        # from one grid (per-bin counts carried through the cum CTE)
+        "drift_report_events": """
+            WITH base AS (
+                SELECT event_type AS part, CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            mm AS (SELECT MIN(v) AS lo, (MAX(v) - MIN(v)) / 1024 AS width FROM base),
+            binned AS (
+                SELECT part,
+                       LEAST(CAST(FLOOR((v - mm.lo) / mm.width) AS BIGINT), 1023) AS bin
+                FROM base CROSS JOIN mm
+            ),
+            pb AS (SELECT part, bin, COUNT(*) AS c_part FROM binned GROUP BY part, bin),
+            tb AS (SELECT bin, COUNT(*) AS c_tot FROM binned GROUP BY bin),
+            parts AS (SELECT part, COUNT(*)::BIGINT AS n_part FROM binned GROUP BY part),
+            tot AS (SELECT COUNT(*)::BIGINT AS n FROM binned),
+            grid AS (SELECT p.part, t.bin, t.c_tot FROM parts p CROSS JOIN tb t),
+            j AS (
+                SELECT g.part, g.bin, COALESCE(pb.c_part, 0) AS c_part, g.c_tot
+                FROM grid g LEFT JOIN pb ON g.part = pb.part AND g.bin = pb.bin
+            ),
+            cum AS (
+                SELECT part, bin, c_part, c_tot,
+                       SUM(c_part) OVER (PARTITION BY part ORDER BY bin) AS cum_part,
+                       SUM(c_tot) OVER (PARTITION BY part ORDER BY bin) AS cum_tot,
+                       COALESCE(LEAD(bin) OVER (PARTITION BY part ORDER BY bin) - bin, 1) AS span
+                FROM j
+            )
+            SELECT c.part AS part,
+                   ROUND(MAX(ABS(c.cum_part / CAST(p.n_part AS DOUBLE)
+                         - (c.cum_tot - c.cum_part) / CAST(t.n - p.n_part AS DOUBLE))), 6) AS ks_d,
+                   ROUND(SUM(
+                       (GREATEST(c.c_part / CAST(p.n_part AS DOUBLE), 1e-6)
+                        - GREATEST((c.c_tot - c.c_part) / CAST(t.n - p.n_part AS DOUBLE), 1e-6))
+                       * LN(GREATEST(c.c_part / CAST(p.n_part AS DOUBLE), 1e-6)
+                            / GREATEST((c.c_tot - c.c_part) / CAST(t.n - p.n_part AS DOUBLE), 1e-6))
+                   ), 6) AS psi,
                    ROUND(SUM(ABS(c.cum_part / CAST(p.n_part AS DOUBLE)
                          - (c.cum_tot - c.cum_part) / CAST(t.n - p.n_part AS DOUBLE))
                          * c.span) * mm.width, 6) AS w1

@@ -484,6 +484,80 @@ def wasserstein_drift_binned(
     )
 
 
+def drift_report(
+    df: DataFrame,
+    value_col: str,
+    part_col: str,
+    *,
+    bins: int = 1024,
+    lo: float | None = None,
+    hi: float | None = None,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """All three numeric drift statistics from ONE histogram pass::
+
+        part, ks_d, psi, w1
+
+    The payoff of the shared ``_binned_part_counts`` scaffolding: the
+    monitor a production job actually runs computes KS (worst gap), PSI
+    (log-weighted reallocation) and W1 (mass moved, value units)
+    together — one full-data scan into the dense part×bin grid, one
+    cumulative window (KS and W1 share it; PSI needs none), one final
+    aggregate. Semantics identical to the standalone operators
+    (pytest-pinned); action-free with a fixed ``lo``/``hi``."""
+    j, parts, width = _binned_part_counts(
+        df, value_col, part_col, bins=bins, lo=lo, hi=hi
+    )
+    if j is None:
+        return parts.select(
+            "part",
+            F.lit(0.0).alias("ks_d"),
+            F.lit(0.0).alias("psi"),
+            F.lit(0.0).alias("w1"),
+        )
+    w = Window.partitionBy("part").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lead_w = Window.partitionBy("part").orderBy("bin")
+    cum = (
+        j.join(parts, "part")
+        .select(
+            "part",
+            "bin",
+            "c_part",
+            "c_tot",
+            "n_part",
+            "n_rest",
+            F.sum("c_part").over(w).alias("cum_part"),
+            F.sum("c_tot").over(w).alias("cum_tot"),
+        )
+        .withColumn(
+            "span",
+            F.coalesce(F.lead("bin").over(lead_w) - F.col("bin"), F.lit(1)),
+        )
+    )
+    gap = F.abs(
+        F.col("cum_part") / F.col("n_part")
+        - (F.col("cum_tot") - F.col("cum_part")) / F.col("n_rest")
+    )
+    p_part = F.greatest(F.col("c_part") / F.col("n_part"), F.lit(float(eps)))
+    p_rest = F.greatest(
+        (F.col("c_tot") - F.col("c_part")) / F.col("n_rest"), F.lit(float(eps))
+    )
+    return (
+        cum.withColumn("gap", gap)
+        .withColumn("term", (p_part - p_rest) * F.log(p_part / p_rest))
+        .groupBy("part")
+        .agg(
+            F.round(F.max("gap"), ROUND).alias("ks_d"),
+            F.round(F.sum("term"), ROUND).alias("psi"),
+            F.round(
+                F.sum(F.col("gap") * F.col("span")) * F.lit(width), ROUND
+            ).alias("w1"),
+        )
+    )
+
+
 def chi_square_drift(df: DataFrame, cat_col: str, part_col: str) -> DataFrame:
     """Pearson chi-square statistic of the partition × category contingency
     table (independence test: does the categorical distribution differ

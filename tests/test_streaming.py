@@ -552,3 +552,42 @@ def test_session_stats_stream_matches_batch(spark, tmp_path):
         for r in session_stats(batch_df, gap_minutes=10).collect()
     )
     assert got == want and len(got) > 20
+
+
+def test_contamination_arrow_composes_with_streams(spark, tmp_path):
+    """The Arrow contamination kernel is a pure map pass (benchmark gram
+    hashes broadcast at plan time), so it runs unchanged over a
+    file-source stream: streaming results == batch results."""
+    from pyspark.sql import Row
+
+    from jsl_engine.text_ops_arrow import contamination_arrow
+
+    src = str(tmp_path / "cont_src")
+    leak = "the secret eval sentence nobody should train on"
+    rows = [
+        Row(doc_id=i,
+            text=(f"doc {i} " + (leak if i % 5 == 0 else "clean words here")))
+        for i in range(60)
+    ]
+    spark.createDataFrame(rows).repartition(4).write.parquet(src)
+    bench = spark.createDataFrame([Row(doc_id=999, text=leak)])
+
+    batch_df = spark.read.parquet(src)
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        contamination_arrow(stream_df, bench, n=3)
+        .writeStream.format("memory")
+        .queryName("cont_stream")
+        .option("checkpointLocation", str(tmp_path / "cont_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM cont_stream").collect()))
+    want = sorted(map(tuple, contamination_arrow(batch_df, bench, n=3).collect()))
+    assert got == want
+    assert sum(1 for r in got if r[-1]) == 12  # every 5th doc leaks

@@ -490,3 +490,33 @@ def test_snapshot_diff(spark):
         "left_semi",
     )
     assert sorted(r.path for r in todo.collect()) == ["b.py", "d.py"]
+
+
+def test_drift_report_equals_standalone_ops(spark):
+    """The one-pass combined report must produce exactly the standalone
+    operators' statistics, and stay action-free with a fixed domain."""
+    import uuid
+
+    rng = np.random.default_rng(23)
+    rows = ([Row(part="a", v=float(x)) for x in rng.normal(0, 1, 2000)]
+            + [Row(part="b", v=float(x)) for x in rng.normal(0.7, 1.3, 2500)])
+    df = spark.createDataFrame(rows)
+    kw = dict(bins=256, lo=-6.0, hi=7.0)
+    rep = {r.part: r for r in tc.drift_report(df, "v", "part", **kw).collect()}
+    ks = {r.part: r.ks_d for r in tc.ks_drift_binned(df, "v", "part", **kw).collect()}
+    psi = {r.part: r.psi for r in tc.psi_drift_binned(df, "v", "part", **kw).collect()}
+    w1 = {r.part: r.w1 for r in tc.wasserstein_drift_binned(df, "v", "part", **kw).collect()}
+    for p in ("a", "b"):
+        assert rep[p].ks_d == ks[p]
+        assert rep[p].psi == psi[p]
+        assert rep[p].w1 == w1[p]
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    group = f"drift-report-{uuid.uuid4()}"
+    sc.setJobGroup(group, "drift-report action probe")
+    try:
+        tc.drift_report(df, "v", "part", **kw)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(tracker.getJobIdsForGroup(group)) == 0
