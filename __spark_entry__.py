@@ -826,6 +826,31 @@ def q_jsl_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verdicts(validated, key_cols=("event_id",))
 
 
+def q_jsl_validate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry validation: events route to per-event_type schemas
+    through ONE broadcast + ONE mapInArrow pass (click→uint8 k: all
+    pass; view→string k: type violation; error→empty: pass;
+    signup→enum k: violation; purchase→unmapped, no default:
+    error='no_schema'). Fully oracled — with k∈[0,99] and all-valid JSON
+    in the testdata, each route's verdict is a constant the oracle
+    states from JSL semantics, and sha256 rides the hash gate."""
+    from jsl_engine.spark_validate import validate_multi
+
+    schemas = {
+        "click": compile_schema({"properties": {"k": {"type": "uint8"}}}),
+        "view": compile_schema({"properties": {"k": {"type": "string"}}}),
+        "error": compile_schema({}),
+        "signup": compile_schema({"properties": {"k": {"enum": ["a", "b"]}}}),
+    }
+    out = validate_multi(
+        _t(spark, sf_dir, "events"), schemas,
+        route_col="event_type", content_col="props", key_cols=("event_id",),
+    )
+    return out.select(
+        "event_id", "schema_key", "ok", "n_errors", "error", "content_sha256"
+    )
+
+
 #: JSL schema for the documents-derived JSON corpus below — touches the
 #: required/optional properties, enum, ref (path rebase), elements and
 #: integer-range forms, so every defect class lands on a distinct
@@ -957,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "language_id_documents": q_language_id_documents,
         "jsl_validate_events": q_jsl_validate_events,
+        "jsl_validate_multi": q_jsl_validate_multi,
         "jsl_verdicts_docs": q_jsl_verdicts_docs,
         "jsl_violations_docs": q_jsl_violations_docs,
     }
@@ -1970,6 +1996,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN is_json THEN NULL ELSE 'json_parse_error' END AS error,
                    sha256(props) AS content_sha256
             FROM v
+        """,
+        # schema-registry verdicts: with k in [0,99] and all-valid JSON
+        # (both properties hold in the generated testdata and are
+        # re-derivable from it), each route's verdict is a constant of
+        # JSL semantics — uint8 accepts 0..99, a string/enum form rejects
+        # a JSON number with exactly one error, the empty form accepts
+        # everything, an unmapped route is no_schema
+        "jsl_validate_multi": """
+            SELECT event_id,
+                   event_type AS schema_key,
+                   CASE event_type WHEN 'click' THEN TRUE WHEN 'error' THEN TRUE
+                        ELSE FALSE END AS ok,
+                   CASE event_type WHEN 'view' THEN 1 WHEN 'signup' THEN 1
+                        ELSE 0 END::INT AS n_errors,
+                   CASE event_type WHEN 'purchase' THEN 'no_schema' END AS error,
+                   sha256(props) AS content_sha256
+            FROM events
         """,
         # documents-derived defect corpus: the oracle rebuilds the exact
         # content bytes (sha256 must match) and states the expected

@@ -281,6 +281,120 @@ def validate_df(
     return pruned.mapInArrow(run, out_schema)
 
 
+def validate_multi(
+    df: DataFrame,
+    schemas: "dict[str, Schema]",
+    *,
+    route_col: str = "lang",
+    default: "Schema | None" = None,
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    strict_instance_semantics: bool = False,
+    max_errors: int = 0,
+    max_depth: int = 32,
+    with_sha256: bool = True,
+    max_nesting: int | None = None,
+) -> DataFrame:
+    """Schema-registry validation: each row validates against the schema
+    selected by its ``route_col`` value (per-language/per-dataset
+    schemas — the multi-tenant shape a real validation service runs).
+    Output adds ``schema_key`` (the route value) to
+    :func:`validate_df`'s columns; rows whose route has no schema and no
+    ``default`` get ``ok=false, error='no_schema'``.
+
+    Execution shape: ONE broadcast carries every compiled plan, ONE
+    mapInArrow pass dispatches per batch — rows are grouped by route
+    value inside the batch and each group runs through the same
+    vectorized `_validate_batch` as the single-schema path, hitting the
+    per-executor checker cache keyed by schema fingerprint. No
+    per-schema scans, no join against a registry table, and adding a
+    schema is a broadcast refresh, not a plan change."""
+    spark = df.sparkSession
+    payloads = {k: plan_payload(s) for k, s in schemas.items()}
+    default_payload = plan_payload(default) if default is not None else None
+    bc = spark.sparkContext.broadcast((payloads, default_payload))
+    from jsl_engine import jsonio as _jsonio
+
+    driver_parser = _jsonio.PARSER
+
+    cols = [F.col(c) for c in key_cols]
+    sha = (
+        F.sha2(F.col(content_col), 256)
+        if with_sha256
+        else F.lit(None).cast("string")
+    )
+    pruned = df.select(
+        *cols,
+        F.col(route_col).cast("string").alias("schema_key"),
+        sha.alias("content_sha256"),
+        F.col(content_col).alias("__content"),
+    )
+    out_schema = StructType(
+        [pruned.schema[c] for c in key_cols]
+        + [StructField("schema_key", StringType(), True)]
+        + [
+            StructField("ok", BooleanType(), False),
+            StructField("n_errors", IntegerType(), False),
+            StructField("error", StringType(), True),
+            StructField("content_sha256", StringType(), True),
+            RESULT_FIELDS[-1],
+        ]
+    )
+    key_list = list(key_cols)
+    n_keys = len(key_list)
+    vio_type = pa.list_(
+        pa.struct(
+            [pa.field("instance_path", pa.string(), nullable=False),
+             pa.field("schema_path", pa.string(), nullable=False)]
+        )
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        from jsl_engine.jsonio import require_parser
+
+        require_parser(driver_parser)
+        payloads_local, default_local = bc.value
+        for batch in batches:
+            routes = batch.column(n_keys).to_pylist()
+            contents = batch.column(n_keys + 2).to_pylist()
+            n = len(contents)
+            ok = [False] * n
+            nerr = [0] * n
+            err: list = [None] * n
+            vio: list = [None] * n
+            idx_by_route: dict = {}
+            for i, r in enumerate(routes):
+                idx_by_route.setdefault(r, []).append(i)
+            for r, idxs in idx_by_route.items():
+                payload = payloads_local.get(r, default_local)
+                if payload is None:
+                    for i in idxs:
+                        err[i] = "no_schema"
+                    continue
+                o2, n2, e2, v2 = _validate_batch(
+                    [contents[i] for i in idxs], payload,
+                    strict_instance_semantics, max_errors, max_depth,
+                    max_nesting,
+                )
+                for j, i in enumerate(idxs):
+                    ok[i], nerr[i], err[i], vio[i] = o2[j], n2[j], e2[j], v2[j]
+            arrays = [batch.column(i) for i in range(n_keys)]
+            arrays.append(batch.column(n_keys))  # schema_key
+            arrays.append(pa.array(ok, pa.bool_()))
+            arrays.append(pa.array(nerr, pa.int32()))
+            arrays.append(pa.array(err, pa.string()))
+            arrays.append(batch.column(n_keys + 1))  # content_sha256
+            arrays.append(pa.array(vio, vio_type))
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                key_list
+                + ["schema_key", "ok", "n_errors", "error",
+                   "content_sha256", "violations"],
+            )
+
+    return pruned.mapInArrow(run, out_schema)
+
+
 def verdicts(validated: DataFrame, key_cols: tuple[str, ...] = ("repo", "path", "commit")) -> DataFrame:
     """Per-document verdict view — a pure projection (no shuffle)."""
     return validated.select(*key_cols, "ok", "n_errors", "error", "content_sha256")

@@ -376,3 +376,58 @@ def test_malformed_numbers_and_duplicate_keys_raw(spark):
     schema = compile_schema('{"properties": {"tag": {"enum": ["new"]}}}')
     [r] = validate_df(df, schema, content_col="content", key_cols=("k",)).collect()
     assert r.ok is True
+
+
+def test_validate_multi_routes_per_schema(spark):
+    """Schema-registry dispatch: each route's verdicts equal the
+    single-schema path run on that slice; unmapped routes hit the
+    default or get error='no_schema'."""
+    from pyspark.sql import Row, functions as F
+
+    from jsl_engine.schema import compile_schema
+    from jsl_engine.spark_validate import validate_df, validate_multi
+
+    rows = []
+    for i in range(120):
+        lang = ["py", "js", "go", "rs"][i % 4]
+        rows.append(Row(repo="r", path=f"f{i}", commit="c", lang=lang,
+                        content=f'{{"k": {i * 3}}}'))
+    rows.append(Row(repo="r", path="bad", commit="c", lang="py",
+                    content="{not json"))
+    df = spark.createDataFrame(rows)
+
+    schemas = {
+        "py": compile_schema({"properties": {"k": {"type": "uint8"}}}),
+        "js": compile_schema({"properties": {"k": {"type": "string"}}}),
+        "go": compile_schema({}),
+    }
+    default = compile_schema({"properties": {"k": {"type": "uint32"}}})
+
+    out = validate_multi(df, schemas, route_col="lang", default=default)
+    got = {(r.path): (r.schema_key, r.ok, r.n_errors, r.error)
+           for r in out.collect()}
+    assert len(got) == 121
+
+    # each route slice equals the single-schema path on that slice
+    for lang, schema in {**schemas, "rs": default}.items():
+        single = {r.path: (r.ok, r.n_errors, r.error)
+                  for r in validate_df(
+                      df.where(F.col("lang") == lang), schema
+                  ).collect()}
+        for path, (key, ok, n, err) in got.items():
+            if key == lang:
+                assert (ok, n, err) == single[path], (lang, path)
+
+    # sanity on the semantics: js schema rejects integer k everywhere;
+    # go accepts everything; py rejects k > 255; parse errors classified
+    assert all(not got[f"f{i}"][1] for i in range(120) if i % 4 == 1)
+    assert all(got[f"f{i}"][1] for i in range(120) if i % 4 == 2)
+    assert got["f88"][1] is False and got["f88"][0] == "py"  # 264 > uint8
+    assert got["bad"] == ("py", False, 0, "json_parse_error")
+
+    # without a default, unmapped routes get no_schema
+    nod = validate_multi(df, schemas, route_col="lang")
+    rs = [r for r in nod.collect() if r.schema_key == "rs"]
+    assert rs and all(
+        (not r.ok) and r.error == "no_schema" and r.n_errors == 0 for r in rs
+    )

@@ -63,13 +63,18 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         if len(srows) != len(ddf):
             status.append(f"ROWS {len(srows)} != {len(ddf)}")
         if not status:
+            # key=repr: rows may legitimately mix None and strings in a
+            # column (e.g. error NULL vs 'no_schema'), which plain tuple
+            # ordering cannot compare; the driver's comparator handles
+            # this, so the replica must too
             sset = sorted(
-                tuple(norm(r[c]) for c in scols) for r in srows
+                (tuple(norm(r[c]) for c in scols) for r in srows), key=repr
             )
             drecs = ddf.to_dict("records")
             dset = sorted(
-                tuple(norm(None if (isinstance(r[c], float) and math.isnan(r[c])) else r[c]) for c in dcols)
-                for r in drecs
+                (tuple(norm(None if (isinstance(r[c], float) and math.isnan(r[c])) else r[c]) for c in dcols)
+                 for r in drecs),
+                key=repr,
             )
             if sset != dset:
                 diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
