@@ -1092,7 +1092,8 @@ def _code_profile_oracle_sql() -> str:
                     ELSE 0.0 END AS alnum_frac,
                len(regexp_extract_all(lower(text), '{AUTOGEN_MARKERS}')) > 0
                    AS is_autogenerated,
-               list_max(lens) > 1000 AS is_minified
+               (list_max(lens) > 1000 AND len(lens) * 80 < length(text))
+                   AS is_minified
         FROM l
     """
 

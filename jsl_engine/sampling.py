@@ -75,11 +75,15 @@ def mixture_sample(
     source's rate keeps every previously selected row (incremental recipe
     changes re-use earlier outputs). Pure filter — no shuffle, rates
     become a literal CASE, whole-stage codegen."""
+    # integer permille thresholds: float(rate)*1000 carries binary-float
+    # rounding (0.29*1000 = 290.000...6 would keep one extra bucket;
+    # 0.57*1000 = 569.999...9 would drop one), so the keep-probability
+    # contract and any integer-literal oracle SQL use int(round(...))
     frac = F.pmod(order_hash(id_col), F.lit(1000))
-    rate_expr = F.lit(float(default_rate) * 1000)
+    rate_expr = F.lit(int(round(float(default_rate) * 1000)))
     for src, rate in sorted(rates.items()):
         rate_expr = F.when(
-            F.col(source_col) == F.lit(src), F.lit(float(rate) * 1000)
+            F.col(source_col) == F.lit(src), F.lit(int(round(float(rate) * 1000)))
         ).otherwise(rate_expr)
     return df.where(frac < rate_expr)
 

@@ -342,16 +342,22 @@ def near_dup_stream(
             )
         else:
             ids, flat, n_seen = [], [], 0
+        seen_ids = set(ids)
         band = int(key[0])  # key = (band, bucket) in groupBy order
         out_a: list[int] = []
         out_b: list[int] = []
         out_j: list[float] = []
         for pdf in pdf_iter:
             for doc_id, sig in zip(pdf[id_col], pdf["sig"]):
+                doc_id = int(doc_id)
+                if doc_id in seen_ids:
+                    # at-least-once replay: an id already stored must not
+                    # re-emit pairs, duplicate its signature, or consume
+                    # bucket capacity — replays are idempotent
+                    continue
                 n_seen += 1
                 if n_seen > max_bucket:
                     continue  # saturated: guard semantics, state bounded
-                doc_id = int(doc_id)
                 s = np.asarray(list(sig), dtype=np.int64)
                 if ids:
                     stored = np.asarray(flat, dtype=np.int64).reshape(-1, n_h)
@@ -362,6 +368,7 @@ def near_dup_stream(
                             out_b.append(max(other, doc_id))
                             out_j.append(round(float(e), 6))
                 ids.append(doc_id)
+                seen_ids.add(doc_id)
                 flat.extend(int(x) for x in s)
         state.update((ids, flat, n_seen))
         if state_timeout_minutes is not None:

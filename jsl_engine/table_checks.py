@@ -275,6 +275,13 @@ def _binned_part_counts(
     base = df.select(
         F.col(part_col).alias("part"), F.col(value_col).cast("double").alias("v")
     ).where(F.col(value_col).isNotNull())
+    if lo is not None and hi is not None and lo >= hi:
+        # an explicitly inverted/empty caller domain is a configuration
+        # error, not a degenerate data domain — silently reporting 0.0
+        # drift forever would mask a misconfigured monitor
+        raise ValueError(
+            f"inverted drift domain: lo={lo!r} >= hi={hi!r} (swapped arguments?)"
+        )
     if lo is None or hi is None:
         dlo, dhi = base.agg(F.min("v"), F.max("v")).first()
         lo = lo if lo is not None else dlo

@@ -59,6 +59,11 @@ def exact_duplicates(
 ) -> DataFrame:
     """Groups of byte-identical documents: ``content_hash, n_docs, doc_ids``.
 
+    EAGER by default: ``cache=True`` runs a Spark job at *construction*
+    (eager ``.cache()+count()`` of the ``(id, hash)`` projection, so
+    sha256 is computed once across the plan branches); pass
+    ``cache=False`` for action-free plan composition.
+
     Scale shape — partial aggregation for the common case, bounded
     buffers for the pathological one:
 
@@ -255,7 +260,9 @@ def minhash_near_duplicates(
     shingle_n: int = 5,
     cache: bool = True,
 ) -> DataFrame:
-    """End-to-end MinHash near-dup: signatures → LSH candidates → verify
+    """End-to-end MinHash near-dup (EAGER by default: ``cache=True`` runs
+    a signature-materialization job at construction; ``cache=False``
+    keeps composition action-free): signatures → LSH candidates → verify
     with estimated Jaccard (fraction of equal signature components) ≥
     threshold. Returns ``id_a, id_b, est_jaccard``.
 
@@ -523,7 +530,9 @@ def simhash_near_duplicates(
     max_bucket: int = 4096,
     cache: bool = True,
 ) -> DataFrame:
-    """SimHash near-dups with **exact recall**: pigeonhole block banding
+    """SimHash near-dups with **exact recall** (EAGER by default:
+    ``cache=True`` runs a signature-materialization job at construction;
+    ``cache=False`` keeps composition action-free): pigeonhole block banding
     (split the 64 bits into ``max_hamming + 1`` blocks — any pair within
     the Hamming budget shares at least one exact block value) followed by
     an exact ``bit_count`` verify. Returns ``id_a, id_b, hamming``.

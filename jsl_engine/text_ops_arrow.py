@@ -267,7 +267,9 @@ def simhash_near_duplicates_arrow(
     max_bucket: int = 4096,
     cache: bool = True,
 ) -> DataFrame:
-    """SimHash near-dups on the Arrow signature kernel — the 10^12-doc
+    """SimHash near-dups on the Arrow signature kernel (EAGER by default:
+    ``cache=True`` materializes signatures at construction; ``cache=False``
+    keeps composition action-free) — the 10^12-doc
     path: signatures from :func:`simhash_arrow` (numpy sign-matrix, no
     interpreted HOF lambdas), then the shared pigeonhole-banding + exact
     Hamming verify tail (:func:`jsl_engine.text_ops.simhash_pairs_from_hashes`,
@@ -293,7 +295,9 @@ def minhash_near_duplicates_arrow(
     shingle_n: int = 5,
     cache: bool = True,
 ) -> DataFrame:
-    """End-to-end near-dup on the Arrow signature kernel: the shared LSH
+    """End-to-end near-dup on the Arrow signature kernel (EAGER by
+    default: ``cache=True`` materializes signatures at construction;
+    ``cache=False`` keeps composition action-free): the shared LSH
     banding + estimated-Jaccard tail
     (:func:`jsl_engine.text_ops.near_duplicates_from_signatures`) — the
     signature table is the interface. Cache note as on the JVM variant:

@@ -591,3 +591,57 @@ def test_contamination_arrow_composes_with_streams(spark, tmp_path):
     want = sorted(map(tuple, contamination_arrow(batch_df, bench, n=3).collect()))
     assert got == want
     assert sum(1 for r in got if r[-1]) == 12  # every 5th doc leaks
+
+
+def test_near_dup_stream_replay_idempotent(spark, tmp_path):
+    """At-least-once re-delivery of already-stored doc_ids must be a
+    no-op: no duplicate signature copies, no re-emitted pairs, and —
+    critically — no max_bucket budget burn (a replay that counted toward
+    saturation would lock genuinely new documents out of the bucket)."""
+    from pyspark.sql import Row
+
+    from jsl_engine.streaming import near_dup_stream
+
+    text = "replay idempotence fixture token " * 20
+    landing = str(tmp_path / "rp_landing")
+    out_dir = str(tmp_path / "rp_out")
+    ckpt = str(tmp_path / "rp_ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .parquet(landing)
+        )
+        q = (
+            near_dup_stream(stream, threshold=0.5, max_bucket=5)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def land(rows):
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(landing)
+
+    land([Row(doc_id=i, text=text) for i in range(3)])
+    run_once()
+    # upstream re-delivery: the SAME three docs arrive again as new files
+    land([Row(doc_id=i, text=text) for i in range(3)])
+    run_once()
+    # two genuinely new members of the same bucket — they fit under
+    # max_bucket=5 only if the replay did not burn saturation budget
+    land([Row(doc_id=i, text=text) for i in (3, 4)])
+    run_once()
+
+    pairs = [(r.id_a, r.id_b)
+             for r in spark.read.parquet(out_dir).select("id_a", "id_b").collect()]
+    import itertools
+    want = set(itertools.combinations(range(5), 2))
+    assert set(pairs) == want
+    # identical docs share all 16 band buckets -> each unordered pair is
+    # emitted once per band, and exactly once per (band, pair) despite the
+    # replay
+    assert len(pairs) == len(want) * 16

@@ -520,3 +520,23 @@ def test_drift_report_equals_standalone_ops(spark):
     finally:
         sc.setJobGroup(None, None)
     assert len(tracker.getJobIdsForGroup(group)) == 0
+
+
+def test_drift_inverted_explicit_domain_raises(spark):
+    """An explicitly inverted lo/hi domain (swapped arguments) must raise,
+    not silently report 0.0 drift forever; a data-derived degenerate
+    domain keeps the zero-statistic fallback."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [Row(part="a", v=float(i)) for i in range(10)]
+        + [Row(part="b", v=float(i)) for i in range(10)]
+    )
+    for fn in (tc.ks_drift_binned, tc.psi_drift_binned,
+               tc.wasserstein_drift_binned, tc.drift_report):
+        with pytest.raises(ValueError, match="inverted drift domain"):
+            fn(df, "v", "part", lo=7.0, hi=1.0)
+    # constant column (data-derived degenerate domain): still the 0.0 fallback
+    const = spark.createDataFrame([Row(part="a", v=1.0), Row(part="b", v=1.0)])
+    out = {r.part: r.ks_d for r in tc.ks_drift_binned(const, "v", "part").collect()}
+    assert out == {"a": 0.0, "b": 0.0}

@@ -543,6 +543,25 @@ def test_mixture_sample_nested_and_deterministic(spark):
     assert again == low  # partition-stable
 
 
+def test_mixture_sample_non_dyadic_rate_exact_permille(spark):
+    """Non-dyadic rates keep EXACTLY round(rate*1000) permille buckets:
+    0.29 must select buckets 0..289 (binary-float 0.29*1000 =
+    290.000...06 would keep 291) and 0.57 buckets 0..569 (569.999...9
+    would keep 569) — the integer-threshold contract that integer-literal
+    oracle SQL relies on."""
+    from pyspark.sql import functions as F
+
+    from jsl_engine import sampling as S
+    from jsl_engine.sampling import order_hash
+
+    df = spark.createDataFrame([Row(doc_id=i, source="s0") for i in range(20000)])
+    frac = F.pmod(order_hash("doc_id"), F.lit(1000))
+    for rate in (0.29, 0.57):
+        want = df.where(frac < int(round(rate * 1000))).count()
+        got = S.mixture_sample(df, {"s0": rate}).count()
+        assert got == want, f"rate={rate}: {got} != {want}"
+
+
 def test_star_contraction_long_chain(spark):
     """A 2000-vertex path — the adversarial-diameter shape where
     min-label propagation would need 2000 rounds — converges via star
