@@ -597,6 +597,41 @@ def ngram_jaccard(
     )
 
 
+def verified_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification tail for candidate-pair generators:
+    ``id_a, id_b, jaccard`` with exact word-``n``-gram Jaccard ≥
+    ``threshold``.
+
+    This is what turns a hash-family accelerator (MinHash-LSH banding,
+    winnowing fingerprints) into an operator with an engine-independent
+    contract: *all pairs with exact Jaccard ≥ threshold*, provided the
+    candidate generator's recall holds at the threshold (which banding
+    parameters are chosen for, and which the DuckDB full-pair oracle
+    checks end-to-end — a recall miss is a hash mismatch, not a silent
+    quality loss).
+
+    Scale shape: the corpus is first semi-joined down to the ids that
+    occur in ``pairs`` (at real near-dup rates a small fraction of the
+    corpus), so shingling runs only over candidate documents; the exact
+    Jaccard itself is JVM array set ops, no Python."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sub = df.join(ids, id_col, "left_semi")
+    return ngram_jaccard(sub, pairs.select("id_a", "id_b"), text_col, id_col, n).where(
+        F.col("jaccard") >= threshold
+    )
+
+
 def contamination(
     df: DataFrame,
     benchmark: DataFrame,

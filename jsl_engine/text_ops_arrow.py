@@ -39,6 +39,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 #: ASCII flag: Java regex \s (the JVM kernels' normalizer) matches only
@@ -310,6 +311,105 @@ def minhash_near_duplicates_arrow(
         sigs = sigs.cache()
         sigs.count()  # eager: see the JVM variant
     return near_duplicates_from_signatures(sigs, id_col, threshold, bands, num_hashes)
+
+
+def minhash_near_duplicates_exact_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    cache: bool = True,
+) -> DataFrame:
+    """Headline near-dup (EAGER by default — ``cache=True`` materializes
+    signatures at construction): Arrow MinHash signatures propose
+    candidates via LSH banding, then every candidate is verified with the
+    **exact** word-``shingle_n``-gram Jaccard
+    (:func:`jsl_engine.text_ops.verified_jaccard_pairs`) — the output
+    contract is *all pairs with exact Jaccard ≥ threshold*, LSH being a
+    pure accelerator. With 16 bands × 4 rows the per-pair miss odds at
+    Jaccard 0.8 are (1-0.8⁴)¹⁶ ≈ 2·10⁻⁴ and fall super-exponentially
+    above it; the DuckDB full-pair oracle checks recall end-to-end.
+    Returns ``id_a, id_b, jaccard``."""
+    from jsl_engine.text_ops import lsh_candidate_pairs, verified_jaccard_pairs
+
+    sigs = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n)
+    if cache:
+        sigs = sigs.cache()
+        sigs.count()  # eager: see minhash_near_duplicates_arrow
+    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
+    return verified_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
+
+
+def winnow_overlap_exact_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 1,
+    max_bucket: int = 64,
+    verify_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Headline winnowing overlap: Arrow winnowing fingerprints propose
+    candidate pairs (``min_shared`` defaults to 1 here — the exact verify
+    makes a loose candidate net free of precision cost), then the exact
+    word-``verify_n``-gram Jaccard filter
+    (:func:`jsl_engine.text_ops.verified_jaccard_pairs`) gives the
+    engine-independent contract *all pairs with exact Jaccard ≥
+    threshold*. Winnowing's guarantee (any contiguous match of length ≥
+    window+k-1 shares a selected fingerprint) makes high-overlap pairs
+    candidates with certainty; the DuckDB full-pair oracle checks recall
+    end-to-end. Returns ``id_a, id_b, jaccard``."""
+    from jsl_engine.text_ops import verified_jaccard_pairs
+
+    cands = fingerprint_overlap_pairs_arrow(
+        df, text_col, id_col, k, window, min_shared, max_bucket
+    )
+    return verified_jaccard_pairs(df, cands, text_col, id_col, verify_n, threshold)
+
+
+def fuzzy_contamination_exact_arrow(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    candidate_est: float = 0.2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Fuzzy decontamination with an exact-verified contract: cross-corpus
+    MinHash banding (benchmark side broadcast) proposes candidates at a
+    deliberately loose estimated-Jaccard floor (``candidate_est``), then
+    each candidate is verified with the exact word-``shingle_n``-gram
+    Jaccard against the benchmark document — output contract *all
+    (corpus, benchmark) pairs with exact Jaccard ≥ threshold*. Returns
+    ``doc_id, bench_id, jaccard``."""
+    from jsl_engine.text_ops import (
+        cross_corpus_near_dups_from_signatures,
+        verified_jaccard_pairs,
+    )
+
+    c = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n)
+    b = minhash_signatures_arrow(benchmark, text_col, id_col, num_hashes, shingle_n)
+    cands = cross_corpus_near_dups_from_signatures(
+        c, b, id_col=id_col, threshold=candidate_est, bands=bands,
+        num_hashes=num_hashes, max_bucket=max_bucket,
+    ).select(F.col(id_col).alias("id_a"), F.col("bench_id").alias("id_b"))
+    both = df.select(id_col, text_col).unionByName(
+        benchmark.select(id_col, text_col)
+    )
+    out = verified_jaccard_pairs(both, cands, text_col, id_col, shingle_n, threshold)
+    return out.select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("bench_id"), "jaccard"
+    )
 
 
 def contamination_arrow(

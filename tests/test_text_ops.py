@@ -949,3 +949,73 @@ def test_vocabulary_topk_scalable_equals_exact(spark):
     g = sorted(map(tuple,
                    T.vocabulary_topk_scalable(intdf, group_col="year", k=2).collect()))
     assert g == e and isinstance(g[0][0], int)
+
+
+def _exact_jaccard_truth(rows, n=5, threshold=0.5):
+    """Pure-Python ground truth: all pairs with exact word-n-gram Jaccard
+    >= threshold (round 6 dp like the engine)."""
+    import itertools
+    import re
+
+    def sh(text):
+        w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        k = max(len(w) - (n - 1), 1)
+        return {" ".join(w[i:i + n]) for i in range(k)}
+
+    s = {r.doc_id: sh(r.text) for r in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(s), 2):
+        j = round(len(s[a] & s[b]) / len(s[a] | s[b]), 6)
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+def test_minhash_exact_arrow_matches_bruteforce_truth(spark):
+    """The headline exact-verified MinHash op must emit EXACTLY the
+    brute-force pair set {exact Jaccard >= threshold} on the planted
+    corpus — banding is an accelerator, recall is part of the contract."""
+    from jsl_engine.text_ops_arrow import minhash_near_duplicates_exact_arrow
+
+    df = _planted_corpus(spark)
+    truth = _exact_jaccard_truth(df.collect(), n=5, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_near_duplicates_exact_arrow(df, threshold=0.5).collect()}
+    assert got == truth
+    assert len(truth) >= 30  # the fixture plants real near-dups
+
+
+def test_winnow_exact_arrow_matches_bruteforce_truth(spark):
+    """Same contract through the winnowing candidate net (min_shared=1)."""
+    from jsl_engine.text_ops_arrow import winnow_overlap_exact_arrow
+
+    df = _planted_corpus(spark)
+    truth = _exact_jaccard_truth(df.collect(), n=5, threshold=0.5)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in winnow_overlap_exact_arrow(df, threshold=0.5).collect()}
+    assert got == truth
+
+
+def test_fuzzy_contamination_exact_arrow_matches_truth(spark):
+    """Cross-corpus exact-verified decontamination: even-id docs form the
+    corpus, odd-id near-dup variants the benchmark — every (corpus,
+    benchmark) pair at exact Jaccard >= 0.5 must surface with its exact
+    score, nothing else."""
+    from pyspark.sql import functions as F
+
+    from jsl_engine.text_ops_arrow import fuzzy_contamination_exact_arrow
+
+    df = _planted_corpus(spark)
+    corpus = df.where(F.col("doc_id") % 2 == 0)
+    bench = df.where(F.col("doc_id") % 2 == 1)
+    truth_all = _exact_jaccard_truth(df.collect(), n=5, threshold=0.5)
+    # normalize to (corpus_id, bench_id) regardless of numeric order —
+    # combinations() emits sorted pairs, but a corpus id may exceed a
+    # benchmark id
+    truth = {(a, b) if a % 2 == 0 else (b, a): j
+             for (a, b), j in truth_all.items() if (a + b) % 2 == 1}
+    got = {(r.doc_id, r.bench_id): r.jaccard
+           for r in fuzzy_contamination_exact_arrow(corpus, bench,
+                                                    threshold=0.5).collect()}
+    assert got == truth
+    assert len(truth) >= 30
