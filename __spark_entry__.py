@@ -696,6 +696,33 @@ def q_code_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_profile(docs)
 
 
+def q_curate_fused_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused single-scan curation pass
+    (:func:`jsl_engine.spark_validate.validate_and_curate`): JSL verdicts
+    + quality + language id + secret counts + license classification in
+    ONE stage — one scan, zero joins, zero shuffles (plan-gated in
+    pytest). Documents carry the planted license headers (doc_id%9),
+    secret suffixes (doc_id%10) and the JSON defect corpus (doc_id%7)
+    so every fused column is value-bearing. Fully oracled: the DuckDB
+    side composes the same generated quality/language/secret/license SQL
+    fragments with the defect-class verdict CTE; `violations` is dropped
+    (nested array — its exact paths are hash-gated by
+    `jsl_violations_docs`)."""
+    from jsl_engine.spark_validate import validate_and_curate
+
+    docs = _docs_with_licenses(spark, sf_dir).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit(_SECRET_INJECT_A))
+            .when(F.col("doc_id") % 10 == 5, F.lit(_SECRET_INJECT_B))
+            .otherwise(F.lit("")),
+        ),
+    ).withColumn("content", _docs_json_content())
+    out = validate_and_curate(docs, compile_schema(DOCS_JSON_SCHEMA))
+    return out.drop("violations")
+
+
 def q_snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot change detection for incremental validation: two
     deterministic snapshots derived from documents (old drops
@@ -920,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "license_scan_documents": q_license_scan_documents,
         "license_rollup_documents": q_license_rollup_documents,
         "code_profile_documents": q_code_profile_documents,
+        "curate_fused_documents": q_curate_fused_documents,
         # dedup / decontamination
         "exact_dup_documents": q_exact_dup_documents,
         "minhash_near_dup_documents": q_minhash_near_dup_documents,
@@ -1049,6 +1077,81 @@ def _code_profile_oracle_sql() -> str:
                (list_max(lens) > 1000 AND len(lens) * 80 < length(text))
                    AS is_minified
         FROM l
+    """
+
+
+def _secret_total_sql() -> str:
+    """The PATTERNS-generated total-secret-count expression (shared by
+    the standalone secret oracle, the curation report and the fused
+    curation oracle)."""
+    from jsl_engine.redaction import PATTERNS
+
+    return " + ".join(
+        f"len(regexp_extract_all(text, '{rx}'))" for _, rx, _ in PATTERNS
+    )
+
+
+def _license_case_sql() -> str:
+    """The LICENSE_PATTERNS-generated priority CASE arms (shared by the
+    standalone license oracles and the fused curation oracle)."""
+    from jsl_engine.code_ops import LICENSE_PATTERNS
+
+    return "\n                   ".join(
+        f"WHEN len(regexp_extract_all(text, '{rx}')) > 0 THEN '{name}'"
+        for name, rx in LICENSE_PATTERNS
+    )
+
+
+def _license_header_whens_sql() -> str:
+    """The doc_id%9 planted-header CASE arms (shared by the license
+    oracles and the fused curation oracle)."""
+    return "\n                            ".join(
+        f"WHEN doc_id % 9 = {i} THEN '{txt}' || chr(10)"
+        for i, txt in enumerate(_LICENSE_INJECTS)
+    )
+
+
+def _curate_fused_oracle_sql() -> str:
+    """Fused-pass oracle: one docs2 CTE rebuilds the exact modified text
+    (license header + raw text + secret suffix), then the generated
+    quality / language-id / secret / license SQL fragments and the
+    defect-class verdict CTE join per doc_id — the DuckDB side is free
+    to join; the ONE-PASS property of the Spark side is what the plan
+    gate asserts."""
+    return f"""
+        WITH docs2 AS (
+            SELECT doc_id, lang,
+                   (CASE {_license_header_whens_sql()}
+                         ELSE '' END)
+                   || text
+                   || (CASE WHEN doc_id % 10 = 0 THEN '{_SECRET_INJECT_A}'
+                            WHEN doc_id % 10 = 5 THEN '{_SECRET_INJECT_B}'
+                            ELSE '' END) AS text
+            FROM documents
+        ),
+        c AS ({_DOCS_CONTENT_SQL}),
+        {_quality_cte_sql("docs2")},
+        {_language_id_cte_sql("docs2")},
+        sec AS (SELECT doc_id, ({_secret_total_sql()})::BIGINT AS n_secrets
+                FROM docs2),
+        lic AS (SELECT doc_id,
+                       CASE {_license_case_sql()}
+                            ELSE 'unknown' END AS license
+                FROM docs2)
+        SELECT c.doc_id AS doc_id,
+               q.quality AS quality,
+               lv.lang_id AS lang_id,
+               sec.n_secrets AS n_secrets,
+               lic.license AS license,
+               (c.cls = 0) AS ok,
+               CASE WHEN c.cls IN (1,2,3,4,5) THEN 1 ELSE 0 END::INT AS n_errors,
+               CASE WHEN c.cls = 6 THEN 'json_parse_error' ELSE NULL END AS error,
+               sha256(c.content) AS content_sha256
+        FROM c
+        JOIN q USING (doc_id)
+        JOIN lang_verdict lv ON lv.doc_id = c.doc_id
+        JOIN sec ON sec.doc_id = c.doc_id
+        JOIN lic ON lic.doc_id = c.doc_id
     """
 
 
@@ -1241,13 +1344,16 @@ def _stats_string_one(col: str, table: str) -> str:
     FROM {table}"""
 
 
-def _language_id_oracle_sql() -> str:
-    """DuckDB re-derivation of :func:`jsl_engine.text_ops.language_id`,
-    generated from the SAME marker/script tables so the two can only
-    diverge on logic, not data. Java regex script classes map to RE2 by
-    dropping the ``Is`` prefix; the argmax tie-break (max hits, then
-    lexicographically larger lang code — Spark's struct ordering) is
-    ``ORDER BY hits DESC, lang DESC``."""
+def _language_id_cte_sql(src: str = "documents") -> str:
+    """DuckDB re-derivation of :func:`jsl_engine.text_ops.language_id`
+    as a reusable CTE chain ending in ``lang_verdict(doc_id, lang_id)``
+    over source ``src`` — generated from the SAME marker/script tables
+    so the two can only diverge on logic, not data. Java regex script
+    classes map to RE2 by dropping the ``Is`` prefix; the argmax
+    tie-break (max hits, then lexicographically larger lang code —
+    Spark's struct ordering) is ``ORDER BY hits DESC, lang DESC``.
+    Shared by the standalone language-id oracle and the fused curation
+    oracle (which runs it over a modified-text CTE)."""
     from jsl_engine.text_ops import _CYRILLIC_MARKERS, _LATIN_MARKERS, _SCRIPT_CLASSES
 
     script_cols = ",\n        ".join(
@@ -1286,8 +1392,7 @@ def _language_id_oracle_sql() -> str:
         dominance_arms.append(arm)
     dominance = "\n                   ".join(dominance_arms)
 
-    return f"""
-        WITH base AS (
+    return f"""base AS (
             SELECT doc_id,
                    regexp_split_to_array(
                        trim(regexp_replace(regexp_replace(lower(text),
@@ -1295,11 +1400,11 @@ def _language_id_oracle_sql() -> str:
                        ' ') AS toks,
                    length(regexp_replace(text, '\\s', '', 'g')) AS nchars,
                    {script_cols}
-            FROM documents
+            FROM {src}
         ),
         {marker_union(_LATIN_MARKERS, "lbest")},
         {marker_union(_CYRILLIC_MARKERS, "cbest")},
-        verdict AS (
+        lang_verdict AS (
             SELECT b.doc_id,
                    CASE {dominance}
                    ELSE (CASE WHEN lb.hits > 0 THEN lb.lang ELSE 'und' END)
@@ -1307,8 +1412,15 @@ def _language_id_oracle_sql() -> str:
             FROM base b
             JOIN lbest lb USING (doc_id)
             JOIN cbest cb USING (doc_id)
-        )
-        SELECT lang_id, COUNT(*)::BIGINT AS n_docs FROM verdict GROUP BY lang_id
+        )"""
+
+
+def _language_id_oracle_sql() -> str:
+    """Grouped language-id distribution over the unmodified corpus."""
+    return f"""
+        WITH {_language_id_cte_sql("documents")}
+        SELECT lang_id, COUNT(*)::BIGINT AS n_docs
+        FROM lang_verdict GROUP BY lang_id
     """
 
 
@@ -1725,6 +1837,7 @@ def oracle_sql() -> dict[str, str]:
         "license_scan_documents": _license_scan_oracle_sql(),
         "license_rollup_documents": _license_rollup_oracle_sql(),
         "code_profile_documents": _code_profile_oracle_sql(),
+        "curate_fused_documents": _curate_fused_oracle_sql(),
         "snapshot_diff_documents": """
             WITH o AS (
                 SELECT doc_id, sha256(text) AS h

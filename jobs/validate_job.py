@@ -54,6 +54,9 @@ def main() -> int:
     ap.add_argument("--output", default=None)
     ap.add_argument("--defect-rate", type=float, default=0.02)
     ap.add_argument("--strict", action="store_true")
+    ap.add_argument("--curate", action="store_true",
+                    help="fused pass: quality/lang_id/n_secrets/license "
+                         "ride the validation scan (zero extra scans)")
     ap.add_argument("--keep-output", action="store_true")
     args = ap.parse_args()
 
@@ -93,12 +96,14 @@ def main() -> int:
         schema,
         output_root=output_root,
         strict_instance_semantics=args.strict,
+        curate=args.curate,
     )
     elapsed = time.time() - t0
 
     result = {
         "rows": args.rows,
         "cpus": args.cpus,
+        "curate": bool(args.curate),
         "seconds": round(elapsed, 3),
         "files_per_sec": round(args.rows / elapsed, 1),
         **summary,

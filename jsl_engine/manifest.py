@@ -120,9 +120,18 @@ def run_validation_job(
     part_prefix_len: int = 4,
     strict_instance_semantics: bool = False,
     repartition: int | None = None,
+    curate: bool = False,
 ) -> dict:
     """One resumable pass: validate pending partitions, write verdicts +
     violations partitioned by ``part_key``, commit manifest rows.
+
+    ``curate=True`` swaps the validation stage for the fused
+    validation+curation pass (:func:`jsl_engine.spark_validate
+    .validate_and_curate`, ``text_col = content_col``): the validated
+    sink then also carries ``quality, lang_id, n_secrets, license`` per
+    document at zero extra scans — the map-only curation columns ride
+    the one content pass the job already pays for. Resume/manifest
+    semantics are unchanged.
 
     Layout under ``output_root``::
 
@@ -172,13 +181,25 @@ def run_validation_job(
 
         todo = repartition_salted(todo, repartition, cols=key_cols)
 
-    validated = validate_df(
-        todo,
-        schema,
-        content_col=content_col,
-        key_cols=("part_key",) + key_cols,
-        strict_instance_semantics=strict_instance_semantics,
-    )
+    if curate:
+        from jsl_engine.spark_validate import validate_and_curate
+
+        validated = validate_and_curate(
+            todo,
+            schema,
+            content_col=content_col,
+            text_col=content_col,
+            key_cols=("part_key",) + key_cols,
+            strict_instance_semantics=strict_instance_semantics,
+        )
+    else:
+        validated = validate_df(
+            todo,
+            schema,
+            content_col=content_col,
+            key_cols=("part_key",) + key_cols,
+            strict_instance_semantics=strict_instance_semantics,
+        )
     # Single Python pass: write the combined result (verdicts + nested
     # violations) once, then derive everything else from the SINK — a
     # columnar re-scan that reads only the narrow columns it needs. No

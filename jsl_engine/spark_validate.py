@@ -281,6 +281,79 @@ def validate_df(
     return pruned.mapInArrow(run, out_schema)
 
 
+def validate_and_curate(
+    df: DataFrame,
+    schema: Schema,
+    *,
+    content_col: str = "content",
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("doc_id",),
+    strict_instance_semantics: bool = False,
+    max_errors: int = 0,
+    max_depth: int = 32,
+    max_nesting: "int | None" = None,
+) -> DataFrame:
+    """Fused validation + curation: ONE content scan produces JSL
+    verdicts **and** every map-only curation column::
+
+        *key_cols, quality, lang_id, n_secrets, license,
+        ok, n_errors, error, content_sha256, violations
+
+    ``text_col`` may equal ``content_col`` (source-code corpora: the
+    code IS the validated content).
+
+    At 10^12 files the corpus scan dominates every map-only operator, so
+    quality scoring, language ID, secret counting and license
+    classification ride along with the validation pass instead of each
+    re-reading 100 TB: the curation columns are computed in the JVM
+    projection *before* the mapInArrow validation stage and pass through
+    the Arrow exchange as zero-copy key columns. The whole job is a
+    single stage — one scan, zero joins, zero shuffles (plan-gated in
+    ``tests/test_spark_validate.py``).
+
+    Each rider column is the exact output of its standalone operator
+    (:func:`jsl_engine.text_ops.quality_score` /
+    :func:`~jsl_engine.text_ops.language_id`,
+    :func:`jsl_engine.redaction.secret_scan`,
+    :func:`jsl_engine.code_ops.license_scan`) — the fusion chains them
+    through their ``keep_cols`` passthroughs, so there is one
+    implementation of every scorer, not a fused copy."""
+    from jsl_engine.code_ops import license_scan
+    from jsl_engine.redaction import secret_scan
+    from jsl_engine.text_ops import language_id, quality_score
+
+    k0, rest = key_cols[0], tuple(key_cols[1:])
+
+    def dedup(cols: tuple[str, ...]) -> tuple[str, ...]:
+        seen: list[str] = []
+        for c in cols:
+            if c not in seen and c != k0:
+                seen.append(c)
+        return tuple(seen)
+
+    carry = dedup(rest + (text_col, content_col))
+    cur = secret_scan(df, text_col=text_col, id_col=k0, keep_cols=carry).select(
+        k0, "n_secrets", *carry
+    )
+    cur = quality_score(
+        cur, text_col, k0, keep_cols=dedup(("n_secrets",) + carry)
+    )
+    cur = language_id(
+        cur, text_col, k0, keep_cols=dedup(("quality", "n_secrets") + carry)
+    )
+    cur = license_scan(
+        cur, text_col=text_col, id_col=k0,
+        keep_cols=dedup(("lang_id", "quality", "n_secrets") + rest + (content_col,)),
+    )
+    return validate_df(
+        cur, schema,
+        content_col=content_col,
+        key_cols=key_cols + ("quality", "lang_id", "n_secrets", "license"),
+        strict_instance_semantics=strict_instance_semantics,
+        max_errors=max_errors, max_depth=max_depth, max_nesting=max_nesting,
+    )
+
+
 def validate_multi(
     df: DataFrame,
     schemas: "dict[str, Schema]",

@@ -821,7 +821,8 @@ def _marker_scores(tokens, markers: dict[str, tuple[str, ...]]):
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                *, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Heuristic language ID over ~27 languages, all JVM expressions.
 
     Two signals, script first:
@@ -842,8 +843,10 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     see :func:`minhash_signatures`).
 
     Heuristic by design (a ~100-language production model would be a
-    broadcast fastText scorer behind the same column contract); rows-only
-    in the driver oracle, gated by the per-language fixture pytest.
+    broadcast fastText scorer behind the same column contract); fully
+    oracled in the driver gate (SQL generated from the same
+    marker/script tables) and gated by the per-language fixture pytest.
+    ``keep_cols`` pass through untouched (see :func:`text_profile`).
     """
     t = F.col(text_col)
     cleaned = F.trim(
@@ -859,6 +862,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             F.regexp_count(t, F.lit(cls)).alias(f"__s_{lang.strip('_')}")
             for lang, cls in _SCRIPT_CLASSES
         ],
+        *[F.col(c) for c in keep_cols],
     )
     tokens = F.col("__tokens")
     latin_best = F.array_max(_marker_scores(tokens, _LATIN_MARKERS))
@@ -892,6 +896,7 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         lang_expr.alias("lang_id"),
         hits_expr.cast("int").alias("marker_hits"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

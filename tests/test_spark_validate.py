@@ -431,3 +431,81 @@ def test_validate_multi_routes_per_schema(spark):
     assert rs and all(
         (not r.ok) and r.error == "no_schema" and r.n_errors == 0 for r in rs
     )
+
+
+def test_validate_and_curate_single_pass_and_matches_standalone(spark, tmp_path):
+    """The fused pass must (a) execute as ONE stage — one parquet scan,
+    zero joins, zero Exchanges — and (b) produce per-column output
+    identical to each standalone operator (the fusion chains the real
+    scorers through keep_cols; there is no fused copy to drift)."""
+    from pyspark.sql import Row
+
+    from jsl_engine.code_ops import license_scan
+    from jsl_engine.redaction import secret_scan
+    from jsl_engine.spark_validate import validate_and_curate
+    from jsl_engine.text_ops import language_id, quality_score
+
+    rows = []
+    for i in range(200):
+        text = ("the quick brown fox " * 10 + f"doc{i}. "
+                + ("contact admin@example.com " if i % 7 == 0 else "")
+                + ("Licensed under the Apache License, Version 2.0 "
+                   "(the License); you may not use this file except "
+                   "in compliance. " if i % 5 == 0 else ""))
+        content = '{"k": %d}' % i if i % 3 else '{"k": "bad"}'
+        rows.append(Row(doc_id=i, text=text, content=content))
+    src = str(tmp_path / "fuse_src")
+    spark.createDataFrame(rows).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    schema = compile_schema({"properties": {"k": {"type": "uint32"}}})
+    fused = validate_and_curate(df, schema).drop("violations")
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+    got = {r.doc_id: r for r in fused.collect()}
+    assert len(got) == 200
+    q = {r.doc_id: r.quality for r in quality_score(df).collect()}
+    l = {r.doc_id: r.lang_id for r in language_id(df).collect()}
+    s = {r.doc_id: r.n_secrets for r in secret_scan(df).collect()}
+    lic = {r.doc_id: r.license for r in license_scan(df).collect()}
+    v = {r.doc_id: (r.ok, r.n_errors, r.error, r.content_sha256)
+         for r in validate_df(df, schema, key_cols=("doc_id",)).collect()}
+    for i, r in got.items():
+        assert r.quality == q[i]
+        assert r.lang_id == l[i]
+        assert r.n_secrets == s[i]
+        assert r.license == lic[i]
+        assert (r.ok, r.n_errors, r.error, r.content_sha256) == v[i]
+    assert any(r.n_secrets > 0 for r in got.values())
+    assert any(r.license == "apache-2.0" for r in got.values())
+    assert any(not r.ok for r in got.values())
+
+
+def test_validation_job_curate_flag(spark, tmp_path):
+    """run_validation_job(curate=True) writes the curation columns into
+    the validated sink with identical verdict totals to the plain job —
+    the fused pass changes what one scan computes, not what it means."""
+    from jsl_engine.corpus import CODE_FILE_SCHEMA, generate_corpus
+    from jsl_engine.manifest import run_validation_job
+
+    source = generate_corpus(spark, 800, seed=13, defect_rate=0.1, partitions=4)
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    out_plain = str(tmp_path / "plain")
+    out_cur = str(tmp_path / "curated")
+    s1 = run_validation_job(spark, source, schema, output_root=out_plain)
+    s2 = run_validation_job(spark, source, schema, output_root=out_cur,
+                            curate=True)
+    assert s1["docs"] == s2["docs"] == 800
+
+    plain = spark.read.parquet(f"{out_plain}/validated")
+    cur = spark.read.parquet(f"{out_cur}/validated")
+    for c in ("quality", "lang_id", "n_secrets", "license"):
+        assert c in cur.columns and c not in plain.columns
+    a = {tuple(r) for r in plain.select("repo", "path", "commit", "ok",
+                                        "n_errors", "content_sha256").collect()}
+    b = {tuple(r) for r in cur.select("repo", "path", "commit", "ok",
+                                      "n_errors", "content_sha256").collect()}
+    assert a == b
