@@ -235,6 +235,101 @@ def train_ivf_centroids(
     return [[float(v) for v in row] for row in c]
 
 
+def train_ivf_centroids_distributed(
+    vectors: DataFrame,
+    *,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 10,
+    seed: int = 42,
+    init_sample_rows: int = 10_000,
+    train_permille: int = 1000,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means → IVF coarse centroids — the 10^12-vector
+    trainer: each iteration is ONE Spark pass (the Arrow matmul
+    assignment kernel :func:`assign_cells_arrow` over normalized vectors,
+    then a map-side-combining ``groupBy(cell)`` of per-dimension sums —
+    the shuffle carries ≤ tasks × n_cells × dim partial floats, never
+    rows) and a ≤ n_cells-row driver reduce. Training therefore sees the
+    whole corpus (or a deterministic ``train_permille`` id-hash sample of
+    it), fixing the cell-balance degradation of a fixed driver-side
+    sample at large scale; :func:`train_ivf_centroids` remains the
+    bounded-sample fallback.
+
+    Deterministic contract preserved: initialization = counter-hash pick
+    from the ``init_sample_rows`` smallest ids (identical to the driver
+    trainer), fixed iteration count, and per-cell means that are
+    permutation-stable up to float summation order (assert closeness, not
+    bit equality, against the driver trainer). Empty cells keep their
+    previous centroid. Vectors are L2-normalized in-plan once; centroids
+    are re-normalized means, so assignment argmax is cosine."""
+    import hashlib
+
+    import numpy as np
+
+    dim_probe = vectors.select(vec_col).first()
+    dim = len(dim_probe[0])
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    base = vectors.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: x / F.greatest(norm, F.lit(1e-12)),
+        ).alias(vec_col),
+    )
+    if train_permille < 1000:
+        from jsl_engine.sampling import order_hash
+
+        base = base.where(
+            F.pmod(order_hash(id_col), F.lit(1000)) < F.lit(int(train_permille))
+        )
+    base = base.cache()
+    base.count()  # eager: every iteration re-reads the normalized sample
+
+    init_rows = (
+        base.orderBy(id_col).limit(init_sample_rows).select(vec_col).collect()
+    )
+    x0 = np.array([r[0] for r in init_rows], dtype=np.float64)
+    idx = sorted(
+        range(len(x0)),
+        key=lambda i: hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=8).digest(),
+    )[:n_cells]
+    c = x0[idx].copy()
+
+    sum_cols = [
+        F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}")
+        for i in range(dim)
+    ]
+    try:
+        for _ in range(iterations):
+            assigned = assign_cells_arrow(
+                base, [[float(v) for v in row] for row in c], vec_col=vec_col
+            )
+            stats = (
+                assigned.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"), *sum_cols)
+                .collect()
+            )
+            new_c = c.copy()
+            for r in stats:
+                j = int(r["cell"])
+                n = int(r["n"])
+                if n:
+                    m = np.array([r[f"s{i}"] for i in range(dim)]) / n
+                    new_c[j] = m / max(np.linalg.norm(m), 1e-12)
+            c = new_c
+    finally:
+        base.unpersist()
+    return [[float(v) for v in row] for row in c]
+
+
 #: Cell count at/above which ivf_topk switches from literal-array JVM
 #: scoring to the Arrow matmul assignment — beyond a few hundred cells the
 #: generated expression tree (n_cells × dim literals) blows up codegen,
@@ -327,6 +422,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     arrow_threshold: int = ARROW_ASSIGN_THRESHOLD,
+    train: str = "driver",
 ) -> DataFrame:
     """IVF approximate top-k: assign every vector to its best coarse cell
     (the corpus is scanned once), probe each query's best ``n_probe``
@@ -344,11 +440,23 @@ def ivf_topk(
 
     Same output shape as :func:`brute_force_topk`. Recall follows
     ``n_probe``/``n_cells`` as in an IVF-Flat index.
+
+    ``train="distributed"`` trains the quantizer with the executor-side
+    Lloyd iterations (:func:`train_ivf_centroids_distributed` — training
+    scales with the corpus instead of a fixed driver sample); the default
+    keeps the bounded driver-sample trainer.
     """
     if centroids is None:
-        centroids = train_ivf_centroids(
-            vectors, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed
-        )
+        if train == "distributed":
+            centroids = train_ivf_centroids_distributed(
+                vectors, n_cells=n_cells, vec_col=vec_col, id_col=id_col,
+                seed=seed,
+            )
+        else:
+            centroids = train_ivf_centroids(
+                vectors, n_cells=n_cells, vec_col=vec_col, id_col=id_col,
+                seed=seed,
+            )
     if len(centroids) >= arrow_threshold:
         v = assign_cells_arrow(
             vectors.select(F.col(id_col), F.col(vec_col)), centroids,

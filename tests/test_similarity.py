@@ -232,3 +232,50 @@ def test_ivf_topk_at_scale_cell_count(spark):
         assert recall >= 0.5, recall
     finally:
         df.unpersist()
+
+
+def test_distributed_trainer_matches_driver_on_full_sample(spark):
+    """When the corpus fits the driver trainer's sample, both trainers see
+    the same data, the same init and the same Lloyd math — centroids must
+    agree to float-summation tolerance, proving the distributed reduce is
+    the same algorithm, not a variant."""
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(600, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    a = np.array(S.train_ivf_centroids(df, n_cells=5, id_col="vec_id",
+                                       sample_rows=10_000))
+    b = np.array(S.train_ivf_centroids_distributed(df, n_cells=5))
+    assert np.allclose(a, b, atol=1e-6), np.abs(a - b).max()
+    # partition-layout independent (same tolerance)
+    c = np.array(S.train_ivf_centroids_distributed(df.repartition(7), n_cells=5))
+    assert np.allclose(b, c, atol=1e-6)
+
+
+def test_distributed_trainer_recall_on_clustered_corpus(spark):
+    """Distributed-trained quantizer on planted clusters: ivf_topk with a
+    fraction of the cells probed must keep high recall (the cell balance
+    a corpus-wide trainer is for), and the permille-sampled training path
+    must work."""
+    df = _clustered_embeddings(spark, 20_000, 16, clusters=8).cache()
+    try:
+        queries = df.where("vec_id in (1, 2, 3)").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        bf = {(r.query_id, r.vec_id)
+              for r in S.brute_force_topk(df, queries, k=10).collect()}
+        ivf = {(r.query_id, r.vec_id)
+               for r in S.ivf_topk(df, queries, k=10, n_cells=8, n_probe=2,
+                                   train="distributed").collect()}
+        assert len(bf & ivf) / len(bf) >= 0.9
+        # deterministic hash-sampled training (10% of the corpus)
+        cents = S.train_ivf_centroids_distributed(
+            df, n_cells=8, train_permille=100, iterations=5
+        )
+        again = S.train_ivf_centroids_distributed(
+            df.repartition(5), n_cells=8, train_permille=100, iterations=5
+        )
+        assert np.allclose(np.array(cents), np.array(again), atol=1e-6)
+    finally:
+        df.unpersist()
