@@ -57,6 +57,11 @@ def main() -> int:
     ap.add_argument("--curate", action="store_true",
                     help="fused pass: quality/lang_id/n_secrets/license "
                          "ride the validation scan (zero extra scans)")
+    ap.add_argument("--schemas", action="store_true",
+                    help="schema-registry mode: per-lang schema map "
+                         "(python/rust/go strict, java/c lax, js via the "
+                         "default fallback), one broadcast + one pass; "
+                         "manifest gains per-route detail rows")
     ap.add_argument("--keep-output", action="store_true")
     args = ap.parse_args()
 
@@ -90,14 +95,29 @@ def main() -> int:
     # size-balanced by maxPartitionBytes, so an extra full shuffle of the
     # content column buys nothing (salting matters for skewed-key aggs,
     # not for the embarrassingly parallel validation map)
-    summary = run_validation_job(
-        spark,
-        source,
-        schema,
-        output_root=output_root,
-        strict_instance_semantics=args.strict,
-        curate=args.curate,
-    )
+    if args.schemas:
+        lax = compile_schema({})
+        registry = {"python": schema, "rust": schema, "go": schema,
+                    "java": lax, "c": lax}
+        summary = run_validation_job(
+            spark,
+            source,
+            None,
+            output_root=output_root,
+            strict_instance_semantics=args.strict,
+            schemas=registry,
+            route_col="lang",
+            default_schema=schema,
+        )
+    else:
+        summary = run_validation_job(
+            spark,
+            source,
+            schema,
+            output_root=output_root,
+            strict_instance_semantics=args.strict,
+            curate=args.curate,
+        )
     elapsed = time.time() - t0
 
     result = {

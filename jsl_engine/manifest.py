@@ -57,8 +57,34 @@ MANIFEST_SCHEMA = StructType(
         # cardinality across all committed partitions (and across resumed
         # runs) comes from unioning manifest sketches — no data rescan
         StructField("content_hll", BinaryType(), True),
+        # multi-schema (registry) runs: NULL on per-partition summary rows
+        # (whose schema_fingerprint is the REGISTRY fingerprint — the
+        # resume key) and the route value on per-schema detail rows
+        # (whose schema_fingerprint is that route's schema fingerprint).
+        # Single-schema runs leave it NULL everywhere; manifests written
+        # before this column existed read back as NULL (nullable parquet
+        # column absent from old files).
+        StructField("schema_key", StringType(), True),
     ]
 )
+
+
+def registry_fingerprint(
+    schemas: "dict[str, Schema]", default: "Schema | None" = None
+) -> str:
+    """Deterministic fingerprint of a whole schema registry — the resume
+    key for multi-schema runs: any change to any route's schema (or the
+    default) invalidates prior progress, exactly like a single schema
+    change does."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for key in sorted(schemas):
+        h.update(key.encode())
+        h.update(schemas[key].fingerprint().encode())
+    h.update(b"<default>")
+    h.update(default.fingerprint().encode() if default is not None else b"-")
+    return "multi:" + h.hexdigest()
 
 
 def global_distinct_docs(
@@ -100,10 +126,16 @@ def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
 def committed_partitions(
     spark: SparkSession, manifest_path: str, fingerprint: str
 ) -> DataFrame:
-    """Partition keys already committed for this exact schema."""
+    """Partition keys already committed for this exact schema (or, for
+    registry runs, this exact registry fingerprint). Only summary rows
+    (``schema_key`` NULL) participate: a registry run's per-route detail
+    rows carry the route schemas' own fingerprints, and a later
+    single-schema run over the same output_root with one of those
+    schemas must NOT see the registry run's partitions as committed."""
     m = read_manifest(spark, manifest_path)
     return (
         m.where(F.col("schema_fingerprint") == fingerprint)
+        .where(F.col("schema_key").isNull())
         .select("part_key")
         .distinct()
     )
@@ -112,7 +144,7 @@ def committed_partitions(
 def run_validation_job(
     spark: SparkSession,
     source: DataFrame,
-    schema: Schema,
+    schema: "Schema | None",
     *,
     output_root: str,
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
@@ -121,9 +153,24 @@ def run_validation_job(
     strict_instance_semantics: bool = False,
     repartition: int | None = None,
     curate: bool = False,
+    schemas: "dict[str, Schema] | None" = None,
+    route_col: str = "lang",
+    default_schema: "Schema | None" = None,
 ) -> dict:
     """One resumable pass: validate pending partitions, write verdicts +
     violations partitioned by ``part_key``, commit manifest rows.
+
+    ``schemas`` switches the job to **schema-registry mode**: each row
+    validates against ``schemas[route_col value]`` (``default_schema``
+    for unmapped routes, else ``error='no_schema'``) through ONE
+    broadcast + ONE mapInArrow pass
+    (:func:`jsl_engine.spark_validate.validate_multi`; ``schema`` may be
+    ``None``). The resume key becomes the registry fingerprint (any
+    route's schema change invalidates prior progress), and the manifest
+    gains per-route detail rows: for every partition one summary row
+    (``schema_key`` NULL, registry fingerprint — what resume reads) plus
+    one row per ``schema_key`` carrying that route's own schema
+    fingerprint and verdict metrics.
 
     ``curate=True`` swaps the validation stage for the fused
     validation+curation pass (:func:`jsl_engine.spark_validate
@@ -141,7 +188,13 @@ def run_validation_job(
 
     Returns a summary dict with partition and document counts.
     """
-    fingerprint = schema.fingerprint()
+    if schemas is not None and curate:
+        raise ValueError("registry mode and the fused curate pass are exclusive")
+    fingerprint = (
+        registry_fingerprint(schemas, default_schema)
+        if schemas is not None
+        else schema.fingerprint()
+    )
     manifest_path = f"{output_root}/manifest"
     job_id = uuid.uuid4().hex[:12]
 
@@ -181,7 +234,19 @@ def run_validation_job(
 
         todo = repartition_salted(todo, repartition, cols=key_cols)
 
-    if curate:
+    if schemas is not None:
+        from jsl_engine.spark_validate import validate_multi
+
+        validated = validate_multi(
+            todo,
+            schemas,
+            route_col=route_col,
+            default=default_schema,
+            content_col=content_col,
+            key_cols=("part_key",) + key_cols,
+            strict_instance_semantics=strict_instance_semantics,
+        )
+    elif curate:
         from jsl_engine.spark_validate import validate_and_curate
 
         validated = validate_and_curate(
@@ -237,33 +302,71 @@ def run_validation_job(
             "overwrite"
         ).partitionBy("part_key").parquet(f"{output_root}/violations")
 
+    def _verdict_aggs(with_hll: bool):
+        aggs = [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            F.sum((~F.col("ok")).cast("long")).alias("n_bad"),
+            F.sum("n_errors").cast("long").alias("n_violations"),
+            # sum(NULL == x) over all-ok groups is NULL, not 0
+            F.coalesce(
+                F.sum((F.col("error") == "json_parse_error").cast("long")),
+                F.lit(0),
+            ).alias("n_parse_errors"),
+            F.coalesce(
+                F.sum((F.col("error") == "max_depth_exceeded").cast("long")),
+                F.lit(0),
+            ).alias("n_depth_errors"),
+        ]
+        if with_hll:
+            aggs.append(
+                F.hll_sketch_agg(F.col("content_sha256"), F.lit(12)).alias(
+                    "content_hll"
+                )
+            )
+        return aggs
+
     def compute_metrics() -> None:
         metrics = (
             done_data.groupBy("part_key")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(F.col("ok").cast("long")).alias("n_ok"),
-                F.sum((~F.col("ok")).cast("long")).alias("n_bad"),
-                F.sum("n_errors").cast("long").alias("n_violations"),
-                # sum(NULL == x) over all-ok groups is NULL, not 0
-                F.coalesce(
-                    F.sum((F.col("error") == "json_parse_error").cast("long")),
-                    F.lit(0),
-                ).alias("n_parse_errors"),
-                F.coalesce(
-                    F.sum((F.col("error") == "max_depth_exceeded").cast("long")),
-                    F.lit(0),
-                ).alias("n_depth_errors"),
-                F.hll_sketch_agg(F.col("content_sha256"), F.lit(12)).alias(
-                    "content_hll"
-                ),
-            )
+            .agg(*_verdict_aggs(with_hll=True))
             .withColumn("schema_fingerprint", F.lit(fingerprint))
             .withColumn("job_id", F.lit(job_id))
             .withColumn("committed_at", F.lit(committed_at))
+            .withColumn("schema_key", F.lit(None).cast("string"))
             .select([f.name for f in MANIFEST_SCHEMA.fields])
         )
         metric_rows.extend(metrics.collect())
+        if schemas is not None:
+            # per-route detail rows: each carries the ROUTE's own schema
+            # fingerprint; content_hll stays NULL so the summary row is
+            # the unique sketch holder per partition (global_distinct_docs
+            # picks one latest row per part_key)
+            fp_map = F.create_map(
+                *[
+                    x
+                    for key, s in sorted(schemas.items())
+                    for x in (F.lit(key), F.lit(s.fingerprint()))
+                ]
+            )
+            default_fp = (
+                default_schema.fingerprint()
+                if default_schema is not None
+                else "no_schema"
+            )
+            detail = (
+                done_data.groupBy("part_key", "schema_key")
+                .agg(*_verdict_aggs(with_hll=False))
+                .withColumn(
+                    "schema_fingerprint",
+                    F.coalesce(fp_map[F.col("schema_key")], F.lit(default_fp)),
+                )
+                .withColumn("job_id", F.lit(job_id))
+                .withColumn("committed_at", F.lit(committed_at))
+                .withColumn("content_hll", F.lit(None).cast("binary"))
+                .select([f.name for f in MANIFEST_SCHEMA.fields])
+            )
+            metric_rows.extend(detail.collect())
 
     import threading
 
@@ -290,13 +393,14 @@ def run_validation_job(
         "append"
     ).parquet(manifest_path)
 
+    summary_rows = [r for r in metric_rows if r.schema_key is None]
     return {
         "job_id": job_id,
         "partitions_pending": (
-            len(metric_rows) if pending_keys is None else len(pending_keys)
+            len(summary_rows) if pending_keys is None else len(pending_keys)
         ),
         "partitions_committed": n_done,
-        "docs": sum(r.n_docs for r in metric_rows),
-        "docs_ok": sum(r.n_ok for r in metric_rows),
+        "docs": sum(r.n_docs for r in summary_rows),
+        "docs_ok": sum(r.n_ok for r in summary_rows),
         "fingerprint": fingerprint,
     }

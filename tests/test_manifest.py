@@ -186,3 +186,64 @@ def test_incremental_validate_equals_full(spark):
     n_changed = diff.where("change_type = 'changed'").count()
     n_added = diff.where("change_type = 'added'").count()
     assert n_changed > 0 and n_added == 80
+
+
+def test_registry_job_manifest_and_resume(spark, tmp_path):
+    """Schema-registry job: the validated sink carries schema_key, the
+    manifest holds one summary row per partition (registry fingerprint —
+    the resume key) plus per-route detail rows carrying each route
+    schema's own fingerprint; a rerun resumes to zero pending; and a
+    later single-schema run over the same manifest must NOT mistake the
+    registry run's partitions for its own commits."""
+    from jsl_engine.manifest import registry_fingerprint
+
+    source = generate_corpus(spark, 900, seed=17, defect_rate=0.1, partitions=4)
+    full = compile_schema(CODE_FILE_SCHEMA)
+    lax = compile_schema({})
+    registry = {"python": full, "rust": full, "go": full, "java": lax, "c": lax}
+    out = str(tmp_path / "reg")
+
+    s1 = run_validation_job(
+        spark, source, None, output_root=out,
+        schemas=registry, route_col="lang", default_schema=full,
+    )
+    assert s1["docs"] == 900
+    assert s1["fingerprint"] == registry_fingerprint(registry, full)
+
+    validated = spark.read.parquet(f"{out}/validated")
+    assert "schema_key" in validated.columns
+    langs = {r.schema_key for r in validated.select("schema_key").distinct().collect()}
+    assert langs == {"python", "rust", "go", "java", "c", "js"}
+    # lax routes accept everything except parse errors
+    bad_java = validated.where("schema_key = 'java' AND NOT ok AND error IS NULL")
+    assert bad_java.count() == 0
+
+    manifest = spark.read.parquet(f"{out}/manifest")
+    summary = manifest.where("schema_key IS NULL")
+    detail = manifest.where("schema_key IS NOT NULL")
+    n_parts = summary.count()
+    assert n_parts > 0
+    assert {r.schema_fingerprint for r in summary.collect()} == {s1["fingerprint"]}
+    fps = {r.schema_key: r.schema_fingerprint for r in detail.collect()}
+    assert fps["python"] == full.fingerprint()
+    assert fps["java"] == lax.fingerprint()
+    assert fps["js"] == full.fingerprint()  # default fallback route
+    # detail totals must reconcile with summary totals per partition
+    import collections
+    det_tot = collections.Counter()
+    for r in detail.collect():
+        det_tot[r.part_key] += r.n_docs
+    for r in summary.collect():
+        assert det_tot[r.part_key] == r.n_docs
+
+    s2 = run_validation_job(
+        spark, source, None, output_root=out,
+        schemas=registry, route_col="lang", default_schema=full,
+    )
+    assert s2["partitions_pending"] == 0
+    assert s2["partitions_committed"] == n_parts
+
+    # single-schema run with a ROUTE's schema: no cross-mode resume
+    s3 = run_validation_job(spark, source, full, output_root=out)
+    assert s3["partitions_committed"] == 0
+    assert s3["docs"] == 900
