@@ -57,6 +57,14 @@ MANIFEST_SCHEMA = StructType(
         # cardinality across all committed partitions (and across resumed
         # runs) comes from unioning manifest sketches — no data rescan
         StructField("content_hll", BinaryType(), True),
+        # order-independent exact content signature of the partition:
+        # bit_xor over xxhash64(*key_cols, content_sha256) — hashing the
+        # (key, content) PAIR, not content alone, so reassigning existing
+        # contents between documents still changes the signature. NULL on
+        # detail rows and on manifests written before the column existed
+        # (reads back NULL -> treated as changed, the safe direction).
+        # This is what partition-level incremental pruning compares.
+        StructField("content_sig", LongType(), True),
         # multi-schema (registry) runs: NULL on per-partition summary rows
         # (whose schema_fingerprint is the REGISTRY fingerprint — the
         # resume key) and the route value on per-schema detail rows
@@ -113,6 +121,70 @@ def global_distinct_docs(
         F.hll_sketch_estimate(F.hll_union_agg("content_hll")).alias("d")
     ).first()
     return int(row["d"]) if row and row["d"] is not None else None
+
+
+def partition_signatures(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    *,
+    part_col: str = "part_key",
+    hash_col: str = "content_sha256",
+) -> DataFrame:
+    """Per-partition exact content signature over a snapshot that carries
+    a precomputed ``hash_col`` (ingestion writes content_sha256 alongside
+    content — the engine's row invariant)::
+
+        <part_col>, n_docs, content_sig
+
+    Reads ONLY the key + hash columns (column-pruned; document bodies
+    never move), aggregates map-side. The signature hashes the
+    (keys, content-hash) pair per row and XORs — order-independent,
+    exact, and sensitive to content reassignment between documents."""
+    sig = F.expr(
+        "bit_xor(xxhash64(" + ", ".join([*key_cols, hash_col]) + "))"
+    )
+    return df.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), sig.alias("content_sig")
+    )
+
+
+def unchanged_partitions(
+    spark: SparkSession,
+    manifest_path: str,
+    fingerprint: str,
+    new_sigs: DataFrame,
+) -> "set[str]":
+    """Partition keys whose NEW snapshot signature equals the latest
+    committed manifest summary row — safe to prune from an incremental
+    re-validation (their verdict outputs are already on disk and provably
+    current). Anything absent, NULL-signed (pre-signature manifests) or
+    differing stays pending — the safe direction."""
+    from pyspark.sql import Window
+
+    m = (
+        read_manifest(spark, manifest_path)
+        .where(F.col("schema_fingerprint") == fingerprint)
+        .where(F.col("schema_key").isNull())
+        .where(F.col("content_sig").isNotNull())
+    )
+    w = Window.partitionBy("part_key").orderBy(F.desc("committed_at"))
+    latest = (
+        m.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("part_key", "n_docs", "content_sig")
+    )
+    match = latest.join(
+        new_sigs.select(
+            "part_key",
+            F.col("n_docs").alias("__new_n"),
+            F.col("content_sig").alias("__new_sig"),
+        ),
+        "part_key",
+    ).where(
+        (F.col("n_docs") == F.col("__new_n"))
+        & (F.col("content_sig") == F.col("__new_sig"))
+    )
+    return {r.part_key for r in match.select("part_key").collect()}
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
@@ -324,6 +396,15 @@ def run_validation_job(
                     "content_hll"
                 )
             )
+            # exact per-partition signature for incremental pruning —
+            # computed in the same metrics aggregation (no extra scan)
+            aggs.append(
+                F.expr(
+                    "bit_xor(xxhash64("
+                    + ", ".join([*key_cols, "content_sha256"])
+                    + "))"
+                ).alias("content_sig")
+            )
         return aggs
 
     def compute_metrics() -> None:
@@ -364,6 +445,7 @@ def run_validation_job(
                 .withColumn("job_id", F.lit(job_id))
                 .withColumn("committed_at", F.lit(committed_at))
                 .withColumn("content_hll", F.lit(None).cast("binary"))
+                .withColumn("content_sig", F.lit(None).cast("long"))
                 .select([f.name for f in MANIFEST_SCHEMA.fields])
             )
             metric_rows.extend(detail.collect())

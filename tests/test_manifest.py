@@ -247,3 +247,87 @@ def test_registry_job_manifest_and_resume(spark, tmp_path):
     s3 = run_validation_job(spark, source, full, output_root=out)
     assert s3["partitions_committed"] == 0
     assert s3["docs"] == 900
+
+
+def test_partition_prune_skips_unchanged_partitions(spark, tmp_path):
+    """Partition-level incremental fast path: after a full validated run,
+    a new snapshot with churn confined to ONE repo-prefix partition must
+    (a) skip every other partition via the manifest signature match,
+    (b) never OPEN the unchanged partitions' data files (inputFiles gate
+    on the partition-pruned read), and (c) produce verdicts that merge
+    with the prior sink into exactly a from-scratch validation."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+    from incremental_job import incremental_validate_pruned
+
+    from jsl_engine.spark_validate import validate_df
+
+    source = generate_corpus(spark, 1000, seed=19, defect_rate=0.1, partitions=4)
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    out = str(tmp_path / "base")
+    s1 = run_validation_job(spark, source, schema, output_root=out)
+    assert s1["docs"] == 1000
+
+    # new snapshot: churn only docs whose repo prefix is org3
+    churned = source.withColumn(
+        "content",
+        F.when(F.col("repo").startswith("org3"),
+               F.concat(F.col("content"), F.lit(" "))).otherwise(F.col("content")),
+    )
+    new_root = str(tmp_path / "new_snapshot")
+    churned.withColumn("part_key", F.substring("repo", 1, 4)).withColumn(
+        "content_sha256", F.sha2("content", 256)
+    ).write.partitionBy("part_key").parquet(new_root)
+
+    fresh, changed, skipped = incremental_validate_pruned(
+        spark, f"{out}/manifest", schema.fingerprint(), new_root, schema
+    )
+    assert changed == ["org3"]
+    assert set(skipped) == {f"org{i}" for i in range(7)} - {"org3"}
+
+    # merged = prior sink for skipped partitions + fresh for changed
+    prior = spark.read.parquet(f"{out}/validated").where(
+        F.col("part_key").isin(skipped)
+    ).select("part_key", "repo", "path", "commit", "ok", "n_errors",
+             "content_sha256")
+    merged = prior.unionByName(
+        fresh.select("part_key", "repo", "path", "commit", "ok", "n_errors",
+                     "content_sha256")
+    )
+    full = validate_df(churned, schema).select(
+        "repo", "path", "commit", "ok", "n_errors", "content_sha256"
+    )
+    a = {tuple(r) for r in merged.drop("part_key").collect()}
+    b = {tuple(r) for r in full.collect()}
+    assert a == b
+
+    # physical never-scanned gate: the executed content pass's
+    # FileSourceScan metrics must show exactly ONE partition directory
+    # and only its files read — unchanged partitions' data files are
+    # never opened (collect() first: the metrics live on the executed
+    # plan of this exact Dataset)
+    pruned = spark.read.parquet(new_root).where(F.col("part_key").isin(changed))
+    again = validate_df(
+        pruned, schema, key_cols=("part_key", "repo", "path", "commit")
+    )
+    gate_df = again.select(
+        "repo", "path", "commit", "ok", "n_errors", "content_sha256"
+    )
+    got_changed = {tuple(r) for r in gate_df.collect()}
+    want_changed = {tuple(r) for r in fresh.select(
+        "repo", "path", "commit", "ok", "n_errors", "content_sha256").collect()}
+    assert got_changed == want_changed
+    # metrics live on the executed plan of the EXACT Dataset collected
+    scan = (
+        gate_df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    )
+    metrics = scan.metrics()
+    assert metrics.apply("numPartitions").value() == 1
+    import os
+    org3_files = [
+        f for f in os.listdir(f"{new_root}/part_key=org3")
+        if f.endswith(".parquet")
+    ]
+    assert metrics.apply("numFiles").value() == len(org3_files)
