@@ -253,3 +253,62 @@ def test_discriminator_mapping_must_be_properties_form():
             compile_schema(json.dumps(
                 {"discriminator": {"tag": "t", "mapping": {"m": bad}}}
             ))
+
+
+@pytest.mark.parametrize(
+    "serde",
+    [
+        {"type": "boolean"},
+        {"enum": ["A", "B"]},
+        {"elements": {"type": "string"}},
+        {"properties": {"a": {"type": "int8"}}},
+        {"optionalProperties": {"a": {}}},
+        {"values": {"type": "number"}},
+        {"definitions": {"d": {"type": "boolean"}}, "ref": "d"},
+        {
+            "discriminator": {
+                "tag": "t",
+                "mapping": {"v": {"properties": {"p": {"type": "float32"}}}},
+            }
+        },
+    ],
+)
+def test_extra_rides_every_form(serde):
+    """Non-keyword members ("extra") must survive compilation and
+    round-trip on EVERY form, not just the empty one — the reference's
+    all-keywords Serde round-trip (src/schema.rs:527-600) pins this at
+    the parse layer; with parse+compile fused here, the observable
+    contract is compile → into_serde losslessness per form. The Serde
+    struct itself (a schema carrying every keyword at once) is
+    unreachable by design: that document is InvalidForm at compile time,
+    which test_invalid_keyword_combinations pins."""
+    import copy
+
+    with_extra = copy.deepcopy(serde)
+    with_extra["x-vendor"] = {"nested": [1, "two", None]}
+    s = compile_schema(with_extra)
+    assert s.extra == {"x-vendor": {"nested": [1, "two", None]}}
+    out = s.into_serde()
+    assert out["x-vendor"] == {"nested": [1, "two", None]}
+    assert compile_schema(out) == s
+    # extra participates in identity: same form, different extra -> a
+    # different fingerprint (manifest resume must re-validate)
+    assert s.fingerprint() != compile_schema(serde).fingerprint()
+
+
+def test_extra_on_nested_schemas_roundtrips():
+    """Extras attached to NESTED schemas (an element type, a mapped
+    variant, a definition) survive into_serde at their own node — the
+    per-node extra emission of src/schema.rs:278-296."""
+    serde = {
+        "definitions": {"d": {"type": "boolean", "x-def": 1}},
+        "properties": {
+            "p": {"elements": {"type": "string", "x-elem": "e"}, "x-prop": True}
+        },
+    }
+    s = compile_schema(serde)
+    out = s.into_serde()
+    assert out["definitions"]["d"]["x-def"] == 1
+    assert out["properties"]["p"]["x-prop"] is True
+    assert out["properties"]["p"]["elements"]["x-elem"] == "e"
+    assert compile_schema(out) == s
