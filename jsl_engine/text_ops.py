@@ -620,15 +620,49 @@ def verified_jaccard_pairs(
     Scale shape: the corpus is first semi-joined down to the ids that
     occur in ``pairs`` (at real near-dup rates a small fraction of the
     corpus), so shingling runs only over candidate documents; the exact
-    Jaccard itself is JVM array set ops, no Python."""
+    Jaccard itself is JVM array set ops, no Python.
+
+    EAGER: the candidate pairs are materialized with an eager
+    ``localCheckpoint`` — they are small by the near-dup-rate assumption
+    and feed THREE plan branches (the id-set derivation, the broadcast,
+    and the verify join), each of which would otherwise re-run the
+    upstream candidate generator; checkpointing also truncates the
+    lineage so the verify plan stays flat. The shingle table is NOT
+    cached: measured at sf0.1, re-evaluating the shingling per join
+    branch costs ~0.5s warm across 32 cores, while caching the
+    array<string> column costs ~3s of columnar serialization alone."""
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
+        p.select(F.col("id_a").alias(id_col))
+        .union(p.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sub = df.join(ids, id_col, "left_semi")
-    return ngram_jaccard(sub, pairs.select("id_a", "id_b"), text_col, id_col, n).where(
-        F.col("jaccard") >= threshold
+    # broadcast the (small) id set so the semi-join prunes map-side (no
+    # full-corpus shuffle), then explicitly spread the surviving rows
+    # across the cluster before the shingling HOF: the candidate subset
+    # is a few MB, so both the scan splits and AQE's coalescing would
+    # otherwise park it on one or two cores and serialize the
+    # interpreter-bound shingling (measured 6.8s -> 0.9s at sf0.1)
+    spread = df.sparkSession.sparkContext.defaultParallelism
+    sub = df.join(F.broadcast(ids), id_col, "left_semi").repartition(spread)
+    sh = sub.select(
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        p.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
     )
 
 
