@@ -741,6 +741,102 @@ def contamination(
 # text analysis: tokens, quality, language ID, fingerprint
 # ---------------------------------------------------------------------------
 
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bigram_path: str = "agg",
+) -> DataFrame:
+    """Gopher-style repetition signals per document — the quality filters
+    that catch boilerplate/spam which length- and punctuation-based
+    scores miss::
+
+        <id_col>, n_lines, dup_line_frac, dup_line_char_frac,
+        top_bigram_share
+
+    * ``dup_line_frac`` — fraction of line *instances* that are repeats
+      of an earlier identical line (``(n - n_distinct) / n``);
+    * ``dup_line_char_frac`` — fraction of line characters sitting in
+      lines that occur more than once (a per-line membership filter —
+      O(lines²) inside one document, fine at realistic line counts);
+    * ``top_bigram_share`` — occurrences of the most frequent word
+      bigram over total bigrams. ``bigram_path='agg'`` (default)
+      computes it with an explode → two-level aggregation (the shuffle
+      carries (doc, bigram) counts — the 10^12-doc shape);
+      ``'hof'`` keeps it map-only with an O(distinct×n) per-doc HOF
+      (only sane for short documents; kept for plan-free composition).
+
+    Thresholds are the caller's (common web-corpus filters reject
+    dup_line_frac > 0.3 or top_bigram_share > 0.18); this operator only
+    measures. All line metrics are map-only JVM expressions.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    dup_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    words = F.split(normalized(F.col(text_col)), " ")
+    k = F.greatest(F.size(words) - 1, F.lit(1))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+    )
+    line_metrics = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            (n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)).cast("double"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            dup_chars / F.greatest(total_chars, F.lit(1)).cast("double"), 6
+        ).alias("dup_line_char_frac"),
+    )
+    if bigram_path == "hof":
+        bg = bigrams
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
+        )
+        share = F.round(
+            top / F.greatest(F.size(bg), F.lit(1)).cast("double"), 6
+        ).alias("top_bigram_share")
+        return df.select(
+            F.col(id_col), share
+        ).join(line_metrics, id_col).select(
+            id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "top_bigram_share",
+        )
+    # agg path: the two plan branches each evaluate only their own
+    # expressions (line HOFs in one, the bigram explode in the other) —
+    # no shared expensive expression crosses branches
+    counts = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("__top"), F.sum("c").alias("__n_bg"))
+    )
+    return line_metrics.join(counts, id_col).select(
+        id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
+        F.round(
+            F.col("__top") / F.greatest(F.col("__n_bg"), F.lit(1)).cast("double"),
+            6,
+        ).alias("top_bigram_share"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  *, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-document text metrics, all JVM expressions::

@@ -1019,3 +1019,33 @@ def test_fuzzy_contamination_exact_arrow_matches_truth(spark):
                                                     threshold=0.5).collect()}
     assert got == truth
     assert len(truth) >= 30
+
+
+def test_repetition_profile_hand_computed(spark):
+    """Gopher-style repetition signals against hand-derived values, and
+    the map-only HOF bigram path must equal the scalable agg path."""
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b\na b\nc d e\n"),
+        Row(doc_id=2, text="x y z"),
+        Row(doc_id=3, text="w w w w w w"),
+    ])
+    for path in ("agg", "hof"):
+        out = {r.doc_id: r for r in
+               T.repetition_profile(docs, bigram_path=path).collect()}
+        r1 = out[1]
+        # lines: ['a b', 'a b', 'c d e', ''] -> 4 lines, 3 distinct
+        assert r1.n_lines == 4
+        assert r1.dup_line_frac == 0.25
+        # duplicated-line chars 3+3 of 11 total
+        assert r1.dup_line_char_frac == round(6 / 11, 6)
+        # normalized words [a b a b c d e] -> bigrams
+        # [a b, b a, a b, b c, c d, d e]: top 'a b' = 2/6
+        assert r1.top_bigram_share == round(2 / 6, 6)
+        r2 = out[2]
+        assert (r2.n_lines, r2.dup_line_frac, r2.dup_line_char_frac) == (1, 0.0, 0.0)
+        assert r2.top_bigram_share == 0.5  # [x y, y z]: max 1 of 2
+        r3 = out[3]
+        assert r3.top_bigram_share == 1.0  # all bigrams 'w w'
+    a = sorted(map(tuple, T.repetition_profile(docs, bigram_path="agg").collect()))
+    b = sorted(map(tuple, T.repetition_profile(docs, bigram_path="hof").collect()))
+    assert a == b
