@@ -645,3 +645,50 @@ def test_near_dup_stream_replay_idempotent(spark, tmp_path):
     # emitted once per band, and exactly once per (band, pair) despite the
     # replay
     assert len(pairs) == len(want) * 16
+
+
+def test_fused_curation_composes_with_streams(spark, tmp_path):
+    """The fused validation+curation pass is action-free map-only plan
+    construction (scorer projections + one mapInArrow), so it runs
+    unchanged over a file-source stream: incremental validation of a
+    landing zone gets quality/lang_id/n_secrets/license on the same
+    single pass. Stream results == batch results (violations dropped:
+    memory-sink flattening of the nested array is not the contract
+    under test — jsl_violations covers it)."""
+    from pyspark.sql import Row
+
+    from jsl_engine.schema import compile_schema
+    from jsl_engine.spark_validate import validate_and_curate
+
+    src = str(tmp_path / "fc_src")
+    rows = [
+        Row(doc_id=i,
+            text=("good text with words here " * 6
+                  + ("password hint admin@example.com " if i % 4 == 0 else "")),
+            content='{"k": %d}' % i if i % 3 else '{"k": -1}')
+        for i in range(48)
+    ]
+    spark.createDataFrame(rows).repartition(4).write.parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    schema = compile_schema({"properties": {"k": {"type": "uint32"}}})
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        validate_and_curate(stream_df, schema)
+        .drop("violations")
+        .writeStream.format("memory")
+        .queryName("fused_stream")
+        .option("checkpointLocation", str(tmp_path / "fc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM fused_stream").collect()
+    want = validate_and_curate(batch_df, schema).drop("violations").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert sum(1 for r in got if r.n_secrets > 0) == 12
+    assert sum(1 for r in got if not r.ok) == 16
