@@ -10,6 +10,11 @@ reassigns an existing document's fate:
 
 1. **quality**: :func:`jsl_engine.text_ops.quality_score` ≥ ``min_quality``
    (pure JVM expressions, one scan);
+1b. **repetition** (with ``--max-dup-line-frac`` /
+   ``--max-top-bigram-share``): :func:`jsl_engine.text_ops
+   .repetition_profile` drops boilerplate/spam documents whose
+   duplicate-line fraction or top-bigram share exceeds the bound —
+   the Gopher-style filters that length/punctuation scores miss;
 2. **language**: :func:`jsl_engine.text_ops.language_id` restricted to
    ``--langs`` (JVM regexp script counting + marker argmax);
 3. **license** (with ``--licenses``):
@@ -59,7 +64,12 @@ from jsl_engine.partitioning import get_spark
 from jsl_engine.code_ops import license_scan
 from jsl_engine.redaction import redact_secrets
 from jsl_engine.sampling import hash_split, mixture_sample
-from jsl_engine.text_ops import contamination, language_id, quality_score
+from jsl_engine.text_ops import (
+    contamination,
+    language_id,
+    quality_score,
+    repetition_profile,
+)
 
 
 def main() -> int:
@@ -67,6 +77,12 @@ def main() -> int:
     ap.add_argument("--input", default="/root/testdata/sf0.01/documents.parquet")
     ap.add_argument("--output", default=None)
     ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="drop docs whose duplicate-line instance "
+                         "fraction exceeds this (Gopher-style; e.g. 0.3)")
+    ap.add_argument("--max-top-bigram-share", type=float, default=None,
+                    help="drop docs whose most frequent word bigram "
+                         "covers more than this share (e.g. 0.18)")
     ap.add_argument("--langs", default="",
                     help="comma-separated lang_id allowlist; empty = keep all")
     ap.add_argument("--licenses", default="",
@@ -116,12 +132,23 @@ def main() -> int:
     survivors = docs.join(q.select("doc_id"), "doc_id").localCheckpoint()
     n_quality = survivors.count()
 
+    if args.max_dup_line_frac is not None or args.max_top_bigram_share is not None:
+        rep = repetition_profile(survivors)
+        if args.max_dup_line_frac is not None:
+            rep = rep.where(F.col("dup_line_frac") <= args.max_dup_line_frac)
+        if args.max_top_bigram_share is not None:
+            rep = rep.where(F.col("top_bigram_share") <= args.max_top_bigram_share)
+        survivors = survivors.join(rep.select("doc_id"), "doc_id").localCheckpoint()
+        n_repetition = survivors.count()
+    else:
+        n_repetition = n_quality
+
     if langs:
         lid = language_id(survivors).where(F.col("lang_id").isin(langs))
         survivors = survivors.join(lid.select("doc_id"), "doc_id").localCheckpoint()
         n_lang = survivors.count()
     else:
-        n_lang = n_quality
+        n_lang = n_repetition
 
     if licenses:
         lic = license_scan(survivors).where(F.col("license").isin(licenses))
@@ -163,7 +190,8 @@ def main() -> int:
     print(json.dumps({
         "docs_in": docs_in,
         "quality_dropped": docs_in - n_quality,
-        "lang_dropped": n_quality - n_lang,
+        "repetition_dropped": n_quality - n_repetition,
+        "lang_dropped": n_repetition - n_lang,
         "license_dropped": n_lang - n_license,
         "contamination_dropped": n_license - n_decon,
         "mixture_dropped": n_decon - n_mixed,

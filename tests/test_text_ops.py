@@ -666,6 +666,9 @@ def test_curate_job_end_to_end(spark, tmp_path):
     gpl_text = ("This program is distributed under the terms of the GNU "
                 "General Public License as published. ")
     rows += [Row(doc_id=104, text=gpl_text + good, source="s0")]  # license drop
+    # passes every quality threshold but is pure 2-word boilerplate:
+    # top bigram ('buy now.') covers ~51% of bigrams -> repetition drop
+    rows += [Row(doc_id=105, text="buy now. " * 30, source="s0")]
     src = str(tmp_path / "cur_in")
     spark.createDataFrame(rows).repartition(2).write.parquet(src)
     bench_dir = str(tmp_path / "bench")
@@ -677,6 +680,7 @@ def test_curate_job_end_to_end(spark, tmp_path):
         out = subprocess.run(
             [sys.executable, str(repo / "jobs" / "curate_job.py"),
              "--input", src, "--min-quality", "0.5", "--langs", "en",
+             "--max-top-bigram-share", "0.3",
              "--rate", "s1=0.5", "--default-rate", "1.0", "--cpus", "4",
              *extra],
             capture_output=True, text=True, timeout=600,
@@ -684,8 +688,9 @@ def test_curate_job_end_to_end(spark, tmp_path):
         return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
 
     rep = run()
-    assert rep["docs_in"] == 35
+    assert rep["docs_in"] == 36
     assert rep["quality_dropped"] == 1
+    assert rep["repetition_dropped"] == 1       # doc 105, the bigram spam
     assert rep["lang_dropped"] == 1
     assert rep["license_dropped"] == 0          # no --licenses
     assert rep["contamination_dropped"] == 0    # no --benchmark
