@@ -37,3 +37,31 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+
+
+def test_verified_jaccard_tail_plan_shape(spark):
+    """The exact-verify tail's scale-critical physical properties: the
+    corpus semi-join against the candidate id set must be a BROADCAST
+    join (no full-corpus shuffle to meet a few thousand ids), and an
+    explicit round-robin exchange must sit before the shingling HOF (the
+    candidate subset is small — without it, scan splits or AQE
+    coalescing serialize the interpreter-bound shingling on one core;
+    measured 6.8s -> ~0.5s at sf0.1)."""
+    from pyspark.sql import Row, functions as F
+
+    from jsl_engine.text_ops import verified_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta epsilon {i} " * 12)
+         for i in range(300)]
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=2 * i, id_b=2 * i + 1) for i in range(50)]
+    )
+    out = verified_jaccard_pairs(docs, pairs, threshold=0.0)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:3000]
+    assert "RoundRobinPartitioning" in plan, plan[:3000]
+    assert out.count() == 50
