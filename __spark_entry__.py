@@ -553,13 +553,17 @@ def q_near_dup_components_documents(spark: SparkSession, sf_dir: str) -> DataFra
     span 2 hops and the propagation loop must actually iterate. Fully
     oracled: a DuckDB recursive CTE computes the same min-reachable-id
     fixpoint over the identical edge construction."""
-    from jsl_engine.text_ops import connected_components, ngram_jaccard
+    from jsl_engine.text_ops import connected_components, verified_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
     )
-    sim = ngram_jaccard(docs, base, n=3).where(F.col("jaccard") >= 0.0).select(
+    # threshold 0.0 keeps every base pair (the fixture wants the full
+    # edge set); the verify tail is used for its scale shape — broadcast
+    # semi-join + spread shingling instead of a full-corpus single-split
+    # HOF evaluated once per join branch
+    sim = verified_jaccard_pairs(docs, base, n=3, threshold=0.0).select(
         "id_a", "id_b"
     )
     chain = docs.where(F.col("doc_id") % 20 == 2).select(
@@ -575,13 +579,13 @@ def q_dedup_near_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`q_near_dup_components_documents`. Output: per-lang survivor
     counts (small, hash-stable). Fully oracled via the recursive-CTE
     component fixpoint + the same anti-join in SQL."""
-    from jsl_engine.text_ops import dedup_near, ngram_jaccard
+    from jsl_engine.text_ops import dedup_near, verified_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
     )
-    sim = ngram_jaccard(docs, base, n=3).where(F.col("jaccard") >= 0.0).select(
+    sim = verified_jaccard_pairs(docs, base, n=3, threshold=0.0).select(
         "id_a", "id_b"
     )
     chain = docs.where(F.col("doc_id") % 20 == 2).select(
