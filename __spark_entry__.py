@@ -375,10 +375,12 @@ def q_fuzzy_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFra
     from jsl_engine.text_ops_arrow import fuzzy_contamination_exact_arrow
 
     docs = _t(spark, sf_dir, "documents")
+    # max_bucket lifted for the unqualified oracle contract (see minhash)
     return fuzzy_contamination_exact_arrow(
         docs.where(F.col("doc_id") % 20 != 7),
         docs.where(F.col("doc_id") % 20 == 7),
         threshold=0.5,
+        max_bucket=1 << 30,
     )
 
 
@@ -495,7 +497,10 @@ def q_winnow_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned for the winnowing guarantee itself."""
     from jsl_engine.text_ops_arrow import winnow_overlap_exact_arrow
 
-    return winnow_overlap_exact_arrow(_t(spark, sf_dir, "documents"))
+    # max_bucket lifted for the unqualified oracle contract (see minhash)
+    return winnow_overlap_exact_arrow(
+        _t(spark, sf_dir, "documents"), max_bucket=1 << 30
+    )
 
 
 def q_topk_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,8 +546,11 @@ def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest-pinned equivalent for oracle diversity."""
     from jsl_engine.text_ops_arrow import minhash_near_duplicates_exact_arrow
 
+    # max_bucket lifted: the oracle states the UNQUALIFIED contract (all
+    # pairs at the threshold), so the boilerplate guard must not prune at
+    # gate scale — guard behavior itself is pytest-gated
     return minhash_near_duplicates_exact_arrow(
-        _t(spark, sf_dir, "documents"), threshold=0.5
+        _t(spark, sf_dir, "documents"), threshold=0.5, max_bucket=1 << 30
     )
 
 

@@ -83,6 +83,11 @@ def main() -> int:
     ap.add_argument("--max-top-bigram-share", type=float, default=None,
                     help="drop docs whose most frequent word bigram "
                          "covers more than this share (e.g. 0.18)")
+    ap.add_argument("--repetition-min-words", type=int, default=20,
+                    help="repetition thresholds apply only to docs with "
+                         "at least this many words (a W-word doc's top "
+                         "bigram share is >= 1/(W-1), so an unfloored "
+                         "share bound rejects ALL short docs)")
     ap.add_argument("--langs", default="",
                     help="comma-separated lang_id allowlist; empty = keep all")
     ap.add_argument("--licenses", default="",
@@ -133,11 +138,25 @@ def main() -> int:
     n_quality = survivors.count()
 
     if args.max_dup_line_frac is not None or args.max_top_bigram_share is not None:
-        rep = repetition_profile(survivors)
+        # compute only the requested metric family — each is the dominant
+        # cost of its branch (line HOFs vs the bigram explode+shuffle)
+        rep = repetition_profile(
+            survivors,
+            with_lines=args.max_dup_line_frac is not None,
+            with_bigrams=args.max_top_bigram_share is not None,
+        )
+        # thresholds gate only docs above the word floor: short docs are
+        # never repetition-dropped (their bigram share is high by pigeonhole,
+        # not by spam)
+        short = F.col("n_words") < args.repetition_min_words
+        keep = F.lit(True)
         if args.max_dup_line_frac is not None:
-            rep = rep.where(F.col("dup_line_frac") <= args.max_dup_line_frac)
+            keep = keep & (short | (F.col("dup_line_frac") <= args.max_dup_line_frac))
         if args.max_top_bigram_share is not None:
-            rep = rep.where(F.col("top_bigram_share") <= args.max_top_bigram_share)
+            keep = keep & (
+                short | (F.col("top_bigram_share") <= args.max_top_bigram_share)
+            )
+        rep = rep.where(keep)
         survivors = survivors.join(rep.select("doc_id"), "doc_id").localCheckpoint()
         n_repetition = survivors.count()
     else:

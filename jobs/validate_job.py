@@ -64,6 +64,11 @@ def main() -> int:
                          "manifest gains per-route detail rows")
     ap.add_argument("--keep-output", action="store_true")
     args = ap.parse_args()
+    if args.schemas and args.curate:
+        # mirror the engine-level exclusivity: silently running registry
+        # mode without curation while reporting curate:true would lie
+        ap.error("--schemas and --curate are mutually exclusive "
+                 "(the fused curation pass is single-schema)")
 
     spark = get_spark(
         master=f"local[{args.cpus}]",

@@ -123,6 +123,17 @@ def global_distinct_docs(
     return int(row["d"]) if row and row["d"] is not None else None
 
 
+def content_sig_expr(key_cols: tuple[str, ...], hash_col: str = "content_sha256"):
+    """THE per-partition exact-signature aggregate —
+    ``bit_xor(xxhash64(*key_cols, hash_col))`` — defined once: the
+    incremental prune compares the job-side value
+    (:func:`run_validation_job`'s metrics) against the snapshot-side
+    value (:func:`partition_signatures`), and any formula drift between
+    the two sites would silently disable pruning forever (signatures
+    never match → everything always "changed")."""
+    return F.expr("bit_xor(xxhash64(" + ", ".join([*key_cols, hash_col]) + "))")
+
+
 def partition_signatures(
     df: DataFrame,
     key_cols: tuple[str, ...],
@@ -140,11 +151,9 @@ def partition_signatures(
     never move), aggregates map-side. The signature hashes the
     (keys, content-hash) pair per row and XORs — order-independent,
     exact, and sensitive to content reassignment between documents."""
-    sig = F.expr(
-        "bit_xor(xxhash64(" + ", ".join([*key_cols, hash_col]) + "))"
-    )
     return df.groupBy(part_col).agg(
-        F.count(F.lit(1)).alias("n_docs"), sig.alias("content_sig")
+        F.count(F.lit(1)).alias("n_docs"),
+        content_sig_expr(key_cols, hash_col).alias("content_sig"),
     )
 
 
@@ -397,14 +406,9 @@ def run_validation_job(
                 )
             )
             # exact per-partition signature for incremental pruning —
-            # computed in the same metrics aggregation (no extra scan)
-            aggs.append(
-                F.expr(
-                    "bit_xor(xxhash64("
-                    + ", ".join([*key_cols, "content_sha256"])
-                    + "))"
-                ).alias("content_sig")
-            )
+            # computed in the same metrics aggregation (no extra scan);
+            # MUST stay the shared content_sig_expr (see its docstring)
+            aggs.append(content_sig_expr(key_cols).alias("content_sig"))
         return aggs
 
     def compute_metrics() -> None:
@@ -436,7 +440,19 @@ def run_validation_job(
                 else "no_schema"
             )
             detail = (
-                done_data.groupBy("part_key", "schema_key")
+                done_data
+                # a NULL route value must not produce a detail row with
+                # schema_key NULL — that is the summary row's signature,
+                # so it would be double-counted in the job totals AND
+                # falsely satisfy a later single-schema run's
+                # committed_partitions (schema_key IS NULL + matching
+                # route fingerprint) — the exact resume contamination the
+                # summary/detail split exists to prevent
+                .withColumn(
+                    "schema_key",
+                    F.coalesce(F.col("schema_key"), F.lit("<null_route>")),
+                )
+                .groupBy("part_key", "schema_key")
                 .agg(*_verdict_aggs(with_hll=False))
                 .withColumn(
                     "schema_fingerprint",

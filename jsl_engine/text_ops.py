@@ -747,13 +747,15 @@ def repetition_profile(
     id_col: str = "doc_id",
     *,
     bigram_path: str = "agg",
+    with_lines: bool = True,
+    with_bigrams: bool = True,
 ) -> DataFrame:
     """Gopher-style repetition signals per document — the quality filters
     that catch boilerplate/spam which length- and punctuation-based
     scores miss::
 
-        <id_col>, n_lines, dup_line_frac, dup_line_char_frac,
-        top_bigram_share
+        <id_col>, n_words [, n_lines, dup_line_frac, dup_line_char_frac]
+        [, top_bigram_share]
 
     * ``dup_line_frac`` — fraction of line *instances* that are repeats
       of an earlier identical line (``(n - n_distinct) / n``);
@@ -767,40 +769,67 @@ def repetition_profile(
       ``'hof'`` keeps it map-only with an O(distinct×n) per-doc HOF
       (only sane for short documents; kept for plan-free composition).
 
+    ``n_words`` is always emitted: a W-word document's top bigram share
+    is at least 1/(W-1), so any share threshold MUST be applied only
+    above a word-count floor (Gopher gates these filters on document
+    length) — callers filter ``n_words >= floor AND share > bound``.
+    ``with_lines`` / ``with_bigrams`` skip the respective metric's work
+    entirely (each family is the dominant cost of its branch; computing
+    an unused one wastes the job's largest stage). Rows with NULL text
+    keep NULL metrics on every path (the agg path left-joins its
+    aggregate so cardinality matches the map-only path).
+
     Thresholds are the caller's (common web-corpus filters reject
-    dup_line_frac > 0.3 or top_bigram_share > 0.18); this operator only
-    measures. All line metrics are map-only JVM expressions.
+    dup_line_frac > 0.3 or top_bigram_share > 0.18 at ≥ some word
+    floor); this operator only measures.
     """
-    lines = F.split(F.col(text_col), "\n")
-    n_lines = F.size(lines)
-    n_distinct = F.size(F.array_distinct(lines))
-    dup_chars = F.aggregate(
-        F.filter(
-            lines,
-            lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1,
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.length(x),
-    )
-    total_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
     words = F.split(normalized(F.col(text_col)), " ")
+    base_cols = [F.col(id_col), F.size(words).cast("long").alias("n_words")]
+    if with_lines:
+        lines = F.split(F.col(text_col), "\n")
+        n_lines = F.size(lines)
+        n_distinct = F.size(F.array_distinct(lines))
+        dup_chars = F.aggregate(
+            F.filter(
+                lines,
+                lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        )
+        total_chars = F.aggregate(
+            lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        base_cols += [
+            n_lines.cast("long").alias("n_lines"),
+            F.round(
+                (n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_line_frac"),
+            F.round(
+                dup_chars / F.greatest(total_chars, F.lit(1)).cast("double"), 6
+            ).alias("dup_line_char_frac"),
+        ]
+    line_metrics = df.select(*base_cols)
+    if not with_bigrams:
+        return line_metrics
     k = F.greatest(F.size(words) - 1, F.lit(1))
     bigrams = F.transform(
         F.sequence(F.lit(0), k - 1),
         lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
     )
-    line_metrics = df.select(
-        F.col(id_col),
-        n_lines.cast("long").alias("n_lines"),
-        F.round(
-            (n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)).cast("double"), 6
-        ).alias("dup_line_frac"),
-        F.round(
-            dup_chars / F.greatest(total_chars, F.lit(1)).cast("double"), 6
-        ).alias("dup_line_char_frac"),
-    )
+    out_cols = [c for c in
+                (id_col, "n_words", "n_lines", "dup_line_frac",
+                 "dup_line_char_frac")
+                if with_lines or c in (id_col, "n_words")]
+    # NULL-text guard: concat_ws never returns NULL, so a NULL text would
+    # otherwise yield bigrams=[''] and a spurious share of 1.0 — gate the
+    # share on n_words (NULL for NULL text) on both paths
+    def null_guarded(share):
+        return F.when(F.col("n_words").isNull(), F.lit(None).cast("double")).otherwise(
+            share
+        ).alias("top_bigram_share")
+
     if bigram_path == "hof":
         bg = bigrams
         top = F.array_max(
@@ -811,16 +840,15 @@ def repetition_profile(
         )
         share = F.round(
             top / F.greatest(F.size(bg), F.lit(1)).cast("double"), 6
-        ).alias("top_bigram_share")
-        return df.select(
-            F.col(id_col), share
-        ).join(line_metrics, id_col).select(
-            id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
-            "top_bigram_share",
         )
+        return df.select(F.col(id_col), share.alias("__share")).join(
+            line_metrics, id_col
+        ).select(*out_cols, null_guarded(F.col("__share")))
     # agg path: the two plan branches each evaluate only their own
     # expressions (line HOFs in one, the bigram explode in the other) —
-    # no shared expensive expression crosses branches
+    # no shared expensive expression crosses branches. LEFT join: a NULL
+    # text never reaches the explode, and the doc must survive with NULL
+    # metrics, not vanish
     counts = (
         df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
         .groupBy(id_col, "bg")
@@ -828,12 +856,14 @@ def repetition_profile(
         .groupBy(id_col)
         .agg(F.max("c").alias("__top"), F.sum("c").alias("__n_bg"))
     )
-    return line_metrics.join(counts, id_col).select(
-        id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
-        F.round(
-            F.col("__top") / F.greatest(F.col("__n_bg"), F.lit(1)).cast("double"),
-            6,
-        ).alias("top_bigram_share"),
+    return line_metrics.join(counts, id_col, "left").select(
+        *out_cols,
+        null_guarded(
+            F.round(
+                F.col("__top") / F.greatest(F.col("__n_bg"), F.lit(1)).cast("double"),
+                6,
+            )
+        ),
     )
 
 

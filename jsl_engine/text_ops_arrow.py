@@ -322,14 +322,20 @@ def minhash_near_duplicates_exact_arrow(
     bands: int = 16,
     shingle_n: int = 5,
     cache: bool = True,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Headline near-dup (EAGER by default — ``cache=True`` materializes
     signatures at construction): Arrow MinHash signatures propose
     candidates via LSH banding, then every candidate is verified with the
     **exact** word-``shingle_n``-gram Jaccard
     (:func:`jsl_engine.text_ops.verified_jaccard_pairs`) — the output
-    contract is *all pairs with exact Jaccard ≥ threshold*, LSH being a
-    pure accelerator. With 16 bands × 4 rows the per-pair miss odds at
+    contract is *all pairs with exact Jaccard ≥ threshold* **among
+    candidates surviving the ``max_bucket`` oversized-bucket guard**: a
+    duplicate cluster larger than ``max_bucket`` collides in EVERY band
+    and is pruned whole (that pathology is exact-dup territory — run
+    :func:`jsl_engine.text_ops.exact_duplicates` first, or lift
+    ``max_bucket`` for the unqualified contract, as the oracled driver
+    query does). With 16 bands × 4 rows the per-pair miss odds at
     Jaccard 0.8 are (1-0.8⁴)¹⁶ ≈ 2·10⁻⁴ and fall super-exponentially
     above it; the DuckDB full-pair oracle checks recall end-to-end.
     Returns ``id_a, id_b, jaccard``."""
@@ -339,7 +345,9 @@ def minhash_near_duplicates_exact_arrow(
     if cache:
         sigs = sigs.cache()
         sigs.count()  # eager: see minhash_near_duplicates_arrow
-    cands = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, max_bucket=max_bucket, num_hashes=num_hashes
+    )
     return verified_jaccard_pairs(df, cands, text_col, id_col, shingle_n, threshold)
 
 
@@ -360,7 +368,10 @@ def winnow_overlap_exact_arrow(
     word-``verify_n``-gram Jaccard filter
     (:func:`jsl_engine.text_ops.verified_jaccard_pairs`) gives the
     engine-independent contract *all pairs with exact Jaccard ≥
-    threshold*. Winnowing's guarantee (any contiguous match of length ≥
+    threshold* **among candidates surviving the ``max_bucket`` guard**
+    (a fingerprint shared by more docs than ``max_bucket`` pairs nobody —
+    lift it for the unqualified contract, as the oracled driver query
+    does). Winnowing's guarantee (any contiguous match of length ≥
     window+k-1 shares a selected fingerprint) makes high-overlap pairs
     candidates with certainty; the DuckDB full-pair oracle checks recall
     end-to-end. Returns ``id_a, id_b, jaccard``."""
@@ -399,16 +410,29 @@ def fuzzy_contamination_exact_arrow(
 
     c = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n)
     b = minhash_signatures_arrow(benchmark, text_col, id_col, num_hashes, shingle_n)
+    # the verify corpus is the UNION of both sides, so ids must be
+    # disambiguated: corpus and benchmark number their documents
+    # independently in the realistic case, and a shared raw id would make
+    # the verify join fan a candidate out against the WRONG side's text.
+    # A (side, id) struct is the join key; structs equi-join natively.
+    def tagged(side: int, col):
+        return F.struct(F.lit(side).alias("side"), col.alias("v"))
+
     cands = cross_corpus_near_dups_from_signatures(
         c, b, id_col=id_col, threshold=candidate_est, bands=bands,
         num_hashes=num_hashes, max_bucket=max_bucket,
-    ).select(F.col(id_col).alias("id_a"), F.col("bench_id").alias("id_b"))
-    both = df.select(id_col, text_col).unionByName(
-        benchmark.select(id_col, text_col)
+    ).select(
+        tagged(0, F.col(id_col)).alias("id_a"),
+        tagged(1, F.col("bench_id")).alias("id_b"),
+    )
+    both = df.select(
+        tagged(0, F.col(id_col)).alias(id_col), F.col(text_col)
+    ).unionByName(
+        benchmark.select(tagged(1, F.col(id_col)).alias(id_col), F.col(text_col))
     )
     out = verified_jaccard_pairs(both, cands, text_col, id_col, shingle_n, threshold)
     return out.select(
-        F.col("id_a").alias(id_col), F.col("id_b").alias("bench_id"), "jaccard"
+        F.col("id_a.v").alias(id_col), F.col("id_b.v").alias("bench_id"), "jaccard"
     )
 
 

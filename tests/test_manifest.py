@@ -331,3 +331,36 @@ def test_partition_prune_skips_unchanged_partitions(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert metrics.apply("numFiles").value() == len(org3_files)
+
+
+def test_registry_null_route_does_not_poison_summary_or_resume(spark, tmp_path):
+    """Rows with a NULL route value get a '<null_route>' detail row —
+    NEVER a schema_key-NULL row, which is the summary row's signature:
+    a NULL-keyed detail row would double-count those docs in the job
+    totals and falsely satisfy a later single-schema run's
+    committed_partitions check (resume contamination)."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(repo=f"org{i % 2}/r", path=f"f{i}", commit=f"c{i}",
+            lang=None if i % 3 == 0 else "py", content='{"k": 1}')
+        for i in range(60)
+    ]
+    source = spark.createDataFrame(rows)
+    py = compile_schema({"properties": {"k": {"type": "uint32"}}})
+    default = compile_schema({})
+    out = str(tmp_path / "nullroute")
+    s1 = run_validation_job(
+        spark, source, None, output_root=out,
+        schemas={"py": py}, route_col="lang", default_schema=default,
+    )
+    assert s1["docs"] == 60  # NOT double-counted
+
+    manifest = spark.read.parquet(f"{out}/manifest")
+    detail_keys = {r.schema_key
+                   for r in manifest.where("schema_key IS NOT NULL").collect()}
+    assert detail_keys == {"py", "<null_route>"}
+    # the default schema's fingerprint must not alias a summary row:
+    # a later single-schema run with the DEFAULT schema sees nothing
+    s2 = run_validation_job(spark, source, default, output_root=out)
+    assert s2["partitions_committed"] == 0 and s2["docs"] == 60

@@ -1054,3 +1054,72 @@ def test_repetition_profile_hand_computed(spark):
     a = sorted(map(tuple, T.repetition_profile(docs, bigram_path="agg").collect()))
     b = sorted(map(tuple, T.repetition_profile(docs, bigram_path="hof").collect()))
     assert a == b
+
+
+def test_fuzzy_contamination_overlapping_id_spaces(spark):
+    """Corpus and benchmark numbering their documents independently (the
+    realistic decontamination case: both sides use ids 0..N) must not
+    cross-wire the verify join — a candidate must be scored against the
+    BENCHMARK text with that id, never the same-id corpus text."""
+    from pyspark.sql import functions as F
+
+    from jsl_engine.text_ops_arrow import fuzzy_contamination_exact_arrow
+
+    base = " ".join(f"tok{i}word{i % 7}" for i in range(60))
+    corpus = spark.createDataFrame([
+        Row(doc_id=0, text=base),                      # leaks benchmark doc 1
+        Row(doc_id=1, text="completely different words entirely " * 10),
+    ])
+    bench = spark.createDataFrame([
+        Row(doc_id=0, text="unrelated benchmark question here " * 10),
+        Row(doc_id=1, text=base + " tail"),
+    ])
+    got = {(r.doc_id, r.bench_id): r.jaccard
+           for r in fuzzy_contamination_exact_arrow(
+               corpus, bench, threshold=0.5).collect()}
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] > 0.8
+
+
+def test_minhash_exact_arrow_bucket_guard_liftable(spark):
+    """The exact op's contract qualifier: a 100-doc duplicate cluster
+    collides in EVERY band, so the default max_bucket=64 guard prunes it
+    whole (boilerplate semantics); lifting max_bucket restores the
+    unqualified all-pairs contract the oracled query runs under."""
+    from jsl_engine.text_ops_arrow import minhash_near_duplicates_exact_arrow
+
+    boiler = "This file is auto-generated do not edit today. " * 6
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=boiler) for i in range(100)]
+    )
+    guarded = minhash_near_duplicates_exact_arrow(df, threshold=0.5)
+    assert guarded.count() == 0
+    lifted = minhash_near_duplicates_exact_arrow(
+        df, threshold=0.5, max_bucket=1 << 30
+    )
+    assert lifted.count() == 100 * 99 // 2
+
+
+def test_repetition_profile_null_text_and_n_words(spark):
+    """NULL-text rows must survive BOTH bigram paths with NULL metrics
+    (not vanish from the agg path's join), and n_words must be emitted
+    so callers can floor repetition thresholds (a W-word doc's top
+    bigram share is >= 1/(W-1) by pigeonhole)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x y z"), Row(doc_id=2, text=None)],
+        "doc_id long, text string",
+    )
+    for path in ("agg", "hof"):
+        out = {r.doc_id: r for r in
+               T.repetition_profile(docs, bigram_path=path).collect()}
+        assert set(out) == {1, 2}, path
+        assert out[1].n_words == 3
+        assert out[1].top_bigram_share == 0.5
+        assert out[2].top_bigram_share is None
+    # metric selection: skipping a family omits its columns (and its work)
+    only_lines = T.repetition_profile(docs, with_bigrams=False)
+    assert "top_bigram_share" not in only_lines.columns
+    assert "dup_line_frac" in only_lines.columns
+    only_bg = T.repetition_profile(docs, with_lines=False)
+    assert "dup_line_frac" not in only_bg.columns
+    assert "top_bigram_share" in only_bg.columns
