@@ -2,10 +2,22 @@
 
 Training-data pipelines carry images/audio/video as ``binary`` columns with
 a typed metadata struct. The Spark-side plumbing here — schema, Arrow batch
-shape, partition sizing, mapInPandas signatures — is real and tested; the
-actual media decoding is STUBBED (``decode_stub``) because no image/audio
-libraries exist in this container. Swapping the stub for Pillow/torchcodec
-changes one function, not the pipeline.
+shape, partition sizing, mapInPandas signatures — is real and tested.
+
+Decoding is REAL for formats that need no codec library:
+
+* **netpbm images (binary PGM ``P5`` / PPM ``P6``)** —
+  :func:`decode_netpbm` / :func:`encode_netpbm` (header parse + numpy
+  ``frombuffer``), with genuine nearest-neighbor resize in
+  :func:`resize_images` and decoded-pixel pooled features in
+  :func:`extract_features`;
+* **WAV PCM audio** — :func:`decode_wav` (stdlib ``wave`` + numpy), with
+  real windowed RMS-energy + zero-crossing features.
+
+Formats that DO require codec libraries (JPEG/PNG/MP4 — no Pillow or
+torchcodec in this container) fall back to the clearly-labeled
+``decode_stub``; swapping it for a real codec changes one function, not
+the pipeline.
 
 Design points for 100 TB of media:
 
@@ -68,26 +80,46 @@ def synth_media(spark, n_rows: int, *, seed: int = 42, partitions: int | None = 
     partitioning)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        kinds = [("image", "image/png"), ("audio", "audio/wav"), ("video", "video/mp4")]
+        import io
+        import wave
+
+        import numpy as np
+
         for batch in batches:
             rows = []
             for i in batch["id"]:
                 i = int(i)
-                kind, mime = kinds[i % 3]
-                blob = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=32).digest()
-                blob = blob * (1 + i % 64)  # 32B .. 2KB
-                rows.append(
-                    (
-                        i,
-                        kind,
-                        mime,
-                        64 + i % 512 if kind == "image" else None,
-                        64 + (i * 7) % 512 if kind == "image" else None,
-                        1000 + i % 60_000 if kind != "image" else None,
-                        len(blob),
-                        blob,
-                    )
-                )
+                digest = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=8).digest()
+                rng = np.random.default_rng(int.from_bytes(digest, "big"))
+                kind = ("image", "audio", "video")[i % 3]
+                if kind == "image":
+                    # REAL binary PPM payload: decodable without any codec lib
+                    w, h = 8 + i % 56, 8 + (i * 7) % 56
+                    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    blob = encode_netpbm(arr)
+                    rows.append((i, kind, "image/x-portable-pixmap",
+                                 w, h, None, len(blob), blob))
+                elif kind == "audio":
+                    # REAL 16-bit PCM WAV payload (stdlib wave)
+                    rate = 8000
+                    n = 200 + (i * 37) % 1400
+                    x = (rng.standard_normal(n) * 8000).astype("<i2")
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wf:
+                        wf.setnchannels(1)
+                        wf.setsampwidth(2)
+                        wf.setframerate(rate)
+                        wf.writeframes(x.tobytes())
+                    blob = buf.getvalue()
+                    rows.append((i, kind, "audio/wav", None, None,
+                                 int(n * 1000 / rate), len(blob), blob))
+                else:
+                    # opaque stand-in: mp4 NEEDS a codec lib -> stub regime
+                    blob = hashlib.blake2b(
+                        f"{seed}:{i}".encode(), digest_size=32
+                    ).digest() * (1 + i % 64)
+                    rows.append((i, kind, "video/mp4", None, None,
+                                 1000 + i % 60_000, len(blob), blob))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -97,6 +129,126 @@ def synth_media(spark, n_rows: int, *, seed: int = 42, partitions: int | None = 
             )
 
     return spark.range(0, n_rows, numPartitions=partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_netpbm(payload: bytes):
+    """Decode a binary netpbm image (``P5`` grayscale / ``P6`` RGB, maxval
+    ≤ 255) to a numpy array of shape (h, w) or (h, w, 3) — pure
+    header-parse + ``np.frombuffer``, no codec library. Returns ``None``
+    if the payload is not netpbm (caller falls back to the stub)."""
+    import numpy as np
+
+    if not payload[:2] in (b"P5", b"P6"):
+        return None
+    # header: magic, width, height, maxval — whitespace/comment separated
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i:i + 1]
+        if c == b"#":  # comment to end of line
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        return None
+    i += 1  # single whitespace byte after maxval
+    channels = 3 if payload[:2] == b"P6" else 1
+    need = w * h * channels
+    data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    if data.size < need:
+        return None
+    arr = data.reshape(h, w, channels)
+    return arr[:, :, 0] if channels == 1 else arr
+
+
+def encode_netpbm(arr) -> bytes:
+    """Encode a (h, w) or (h, w, 3) uint8 array as binary PGM/PPM."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[:2]
+    return magic + f" {w} {h} 255\n".encode() + arr.tobytes()
+
+
+def resize_nearest(arr, nw: int, nh: int):
+    """Nearest-neighbor resize via index striding — exact, deterministic,
+    numpy-only."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = np.minimum((np.arange(nh) * h) // nh, h - 1)
+    cols = np.minimum((np.arange(nw) * w) // nw, w - 1)
+    return arr[rows][:, cols]
+
+
+def decode_wav(payload: bytes):
+    """Decode PCM WAV via the stdlib ``wave`` module to
+    ``(samples: np.ndarray[float64 in -1..1], rate: int)``; mono-mixes
+    multi-channel. Returns ``None`` for non-WAV payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            width = wf.getsampwidth()
+            channels = wf.getnchannels()
+            raw = wf.readframes(n)
+    except Exception:
+        return None
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        return None
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def image_feature(arr, dim: int = 16) -> list[float]:
+    """Decoded-pixel feature: grayscale 4×4 grid means in [-1, 1] —
+    the shape of a tiny visual embedding, computed from REAL pixels."""
+    import numpy as np
+
+    g = arr.mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+    side = int(dim ** 0.5)
+    pooled = resize_nearest(np.asarray(g, dtype=np.float64), side, side)
+    out = (pooled.reshape(-1) / 127.5 - 1.0).tolist()
+    return (out + [0.0] * dim)[:dim]
+
+
+def audio_feature(samples, dim: int = 16) -> list[float]:
+    """Decoded-sample feature: windowed RMS energy (first dim-1 slots)
+    plus global zero-crossing rate (last slot)."""
+    import numpy as np
+
+    n_win = dim - 1
+    n = len(samples)
+    if n == 0:
+        return [0.0] * dim
+    bounds = [(k * n) // n_win for k in range(n_win + 1)]
+    rms = [
+        float(np.sqrt(np.mean(samples[a:b] ** 2))) if b > a else 0.0
+        for a, b in zip(bounds, bounds[1:])
+    ]
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    return rms + [zcr]
 
 
 def decode_stub(payload: bytes, kind: str, dim: int = 16) -> list[float]:
@@ -125,7 +277,19 @@ def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
             feats, shas, sizes = [], [], []
             for payload, kind in zip(batch["payload"], batch["kind"]):
                 payload = bytes(payload)
-                feats.append(decode_stub(payload, kind, dim))
+                # REAL decode first (netpbm pixels / WAV samples); the
+                # stub only covers codec-library formats (mp4 here)
+                feat = None
+                if kind == "image":
+                    arr = decode_netpbm(payload)
+                    if arr is not None:
+                        feat = image_feature(arr, dim)
+                elif kind == "audio":
+                    decoded = decode_wav(payload)
+                    if decoded is not None:
+                        feat = audio_feature(decoded[0], dim)
+                feats.append(feat if feat is not None
+                             else decode_stub(payload, kind, dim))
                 shas.append(hashlib.sha256(payload).hexdigest())
                 sizes.append(len(payload))
             out = pd.DataFrame(
@@ -145,10 +309,12 @@ def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
 def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
     """Resize pass over image rows: payload → decoded → resized → encoded,
     metadata updated to the new dimensions (aspect preserved, only
-    downscales). The decode/encode is the labeled stub (no Pillow in this
-    container — a real deployment swaps ``decode_stub``-style seams); the
-    Spark plumbing is real: non-image rows pass through untouched, the
-    batch iterates once, output schema equals input schema.
+    downscales). netpbm payloads take the REAL path — decode_netpbm →
+    nearest-neighbor resize → encode_netpbm, genuine pixels end to end;
+    codec-library formats (JPEG/PNG — no Pillow in this container) fall
+    back to the labeled stub transform. The Spark plumbing is the same
+    either way: non-image rows pass through untouched, the batch
+    iterates once, output schema equals input schema.
     """
     schema = media.schema
 
@@ -165,13 +331,17 @@ def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
                     continue
                 scale = max_side / side
                 nw, nh = max(1, int(w[i] * scale)), max(1, int(h[i] * scale))
-                # STUB resize: deterministic payload transform standing in
-                # for decode→resize→encode (shape: output smaller, derived
-                # from input bytes + target dims)
-                payloads[i] = hashlib.blake2b(
-                    bytes(payloads[i]), digest_size=32,
-                    person=f"{nw}x{nh}".encode()[:8],
-                ).digest()
+                arr = decode_netpbm(bytes(payloads[i]))
+                if arr is not None:
+                    # REAL resize on decoded pixels
+                    payloads[i] = encode_netpbm(resize_nearest(arr, nw, nh))
+                else:
+                    # STUB for codec-library formats: deterministic payload
+                    # transform standing in for decode→resize→encode
+                    payloads[i] = hashlib.blake2b(
+                        bytes(payloads[i]), digest_size=32,
+                        person=f"{nw}x{nh}".encode()[:8],
+                    ).digest()
                 w[i], h[i] = nw, nh
             out = batch.copy()
             out["width"] = w

@@ -80,7 +80,7 @@ def test_resize_images_plumbing(spark):
     byte-identical; schema unchanged."""
     media = M.synth_media(spark, 60, seed=5, partitions=2).cache()
     try:
-        out = M.resize_images(media, max_side=128)
+        out = M.resize_images(media, max_side=32)
         assert out.schema == media.schema
         before = {r.media_id: r for r in media.collect()}
         after = {r.media_id: r for r in out.collect()}
@@ -91,13 +91,16 @@ def test_resize_images_plumbing(spark):
             if b.kind != "image":
                 assert bytes(a.payload) == bytes(b.payload)
                 continue
-            if max(b.width, b.height) <= 128:
+            if max(b.width, b.height) <= 32:
                 assert (a.width, a.height) == (b.width, b.height)
             else:
                 changed += 1
-                assert max(a.width, a.height) <= 128
-                # aspect preserved within integer rounding
-                assert abs(a.width / a.height - b.width / b.height) < 0.1
+                assert max(a.width, a.height) <= 32
+                # dims follow the operator's exact scaling formula
+                scale = 32 / max(b.width, b.height)
+                assert (a.width, a.height) == (
+                    max(1, int(b.width * scale)), max(1, int(b.height * scale))
+                )
                 assert a.n_bytes == len(bytes(a.payload))
         assert changed > 0  # fixture has oversized images
     finally:
@@ -123,5 +126,106 @@ def test_sample_frames_grid(spark):
         again = {(r.media_id, r.frame_index): bytes(r.frame)
                  for r in M.sample_frames(media, every_ms=1000, max_frames=8).collect()}
         assert all(again[(r.media_id, r.frame_index)] == bytes(r.frame) for r in rows)
+    finally:
+        media.unpersist()
+
+
+def test_netpbm_roundtrip_and_real_resize():
+    """Pure-numpy netpbm codec: encode->decode is the identity on pixels,
+    and resize_nearest produces exactly the nearest-neighbor grid."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, size=(20, 30, 3), dtype=np.uint8)
+    assert np.array_equal(M.decode_netpbm(M.encode_netpbm(rgb)), rgb)
+    gray = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+    assert np.array_equal(M.decode_netpbm(M.encode_netpbm(gray)), gray)
+    # comments + arbitrary whitespace in the header parse too
+    hand = b"P5 # a comment\n 2 2 255\n" + bytes([1, 2, 3, 4])
+    assert np.array_equal(M.decode_netpbm(hand), np.array([[1, 2], [3, 4]]))
+    # non-netpbm -> None (stub fallback signal)
+    assert M.decode_netpbm(b"\x89PNG....") is None
+
+    small = M.resize_nearest(rgb, 15, 10)
+    assert small.shape == (10, 15, 3)
+    rows = (np.arange(10) * 20) // 10
+    cols = (np.arange(15) * 30) // 15
+    assert np.array_equal(small, rgb[rows][:, cols])
+
+
+def test_wav_decode_and_audio_feature():
+    """stdlib-WAV decode recovers a synthetic sine wave (right length,
+    right scale) and the windowed-RMS feature matches a hand-computed
+    value; a 100 Hz sine's RMS is ~1/sqrt(2) of its amplitude."""
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    rate, n, amp = 8000, 1600, 0.5
+    t = np.arange(n) / rate
+    x = (amp * np.sin(2 * math.pi * 100 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    samples, got_rate = M.decode_wav(buf.getvalue())
+    assert got_rate == rate and len(samples) == n
+    assert abs(samples.max() - amp) < 0.01
+    feat = M.audio_feature(samples, dim=16)
+    assert len(feat) == 16
+    for v in feat[:-1]:  # each full window of a steady sine: RMS = amp/sqrt(2)
+        assert abs(v - amp / math.sqrt(2)) < 0.02
+    assert M.decode_wav(b"not a wav at all") is None
+
+
+def test_extract_features_uses_real_decoders(spark):
+    """Features for netpbm/WAV rows must equal the locally-computed
+    real-decode features (pixels/samples, not byte hashes); only the
+    codec-library kind (video/mp4) falls back to the stub."""
+    media = M.synth_media(spark, 30, seed=11, partitions=2).cache()
+    try:
+        feats = {r.media_id: r.feature
+                 for r in M.extract_features(media, dim=16).collect()}
+        for r in media.collect():
+            payload = bytes(r.payload)
+            if r.kind == "image":
+                want = M.image_feature(M.decode_netpbm(payload), 16)
+            elif r.kind == "audio":
+                want = M.audio_feature(M.decode_wav(payload)[0], 16)
+            else:
+                want = M.decode_stub(payload, r.kind, 16)
+            got = feats[r.media_id]
+            assert all(abs(a - b) < 1e-6 for a, b in zip(got, want)), r.kind
+    finally:
+        media.unpersist()
+
+
+def test_real_resize_pixels_survive(spark):
+    """resize_images on netpbm payloads must produce decodable payloads
+    whose pixels are exactly the nearest-neighbor downsample of the
+    original image — real pixels end to end, not a stub transform."""
+    import numpy as np
+
+    media = M.synth_media(spark, 30, seed=7, partitions=2).cache()
+    try:
+        originals = {r.media_id: (bytes(r.payload), r.width, r.height)
+                     for r in media.where("kind = 'image'").collect()}
+        out = {r.media_id: r for r in
+               M.resize_images(media, max_side=16).where("kind = 'image'").collect()}
+        checked = 0
+        for mid, (payload, w, h) in originals.items():
+            a = out[mid]
+            if max(w, h) <= 16:
+                continue
+            arr = M.decode_netpbm(payload)
+            want = M.resize_nearest(arr, a.width, a.height)
+            got = M.decode_netpbm(bytes(a.payload))
+            assert got is not None and np.array_equal(got, want)
+            checked += 1
+        assert checked > 0
     finally:
         media.unpersist()
