@@ -867,6 +867,178 @@ def repetition_profile(
     )
 
 
+def unigram_logprob_score(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 65536,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style proxy-perplexity quality score: the mean unigram
+    log-probability of a document's tokens under a reference corpus's
+    smoothed unigram model::
+
+        <id_col>, n_tokens, mean_logprob
+
+    The classic LM-quality filter (CCNet, Gopher, RefinedWeb keep the
+    best-scoring band): gibberish, OCR noise and wrong-language text
+    score far below fluent text from the reference distribution, while
+    the length/punctuation heuristics of :func:`quality_score` cannot
+    see token *identity* at all.
+
+    Model: the ``vocab_size`` most frequent reference tokens (ties
+    broken on the token string) get ``log((count + alpha) / D)``; every
+    other token gets the shared OOV mass
+    ``log(alpha * n_oov_types' / D)`` — Lidstone smoothing with
+    ``D = total + alpha * (vocab + 1)``, deterministic by construction.
+    ``reference`` defaults to ``df`` itself (self-scored corpus).
+
+    Scale shape — three bounded stages, no driver-side model:
+
+    1. reference token counts: explode → groupBy(token) with map-side
+       combine (shuffle carries the VOCABULARY, not the corpus), rank
+       window caps it at ``vocab_size`` rows;
+    2. scoring join: the model is ≤ ``vocab_size`` rows → broadcast;
+       corpus tokens LEFT-join it map-side, missing rows take the OOV
+       constant — the corpus is never shuffled to meet the model;
+    3. per-doc aggregation: one groupBy(id) over (id, logp) rows.
+
+    Empty/whitespace-only docs score ``NULL`` (no tokens)."""
+    if reference is None:
+        reference = df
+    ref_toks = reference.select(
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("token")
+    ).where(F.col("token") != "")
+    counts = ref_toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("token"))
+    vocab = counts.withColumn("__r", F.row_number().over(w)).where(
+        F.col("__r") <= vocab_size
+    )
+    # single tiny action: totals for the smoothing denominator (vocab is
+    # bounded; the full-count total comes from the same aggregate)
+    tot_row = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
+    ).first()
+    total, n_types = int(tot_row["total"] or 0), int(tot_row["n_types"] or 0)
+    n_vocab = min(n_types, vocab_size)
+    denom = float(total + alpha * (n_vocab + 1))
+    import math
+
+    oov_logp = math.log(alpha / denom) if total else 0.0
+    model = F.broadcast(
+        vocab.select(
+            "token",
+            F.log((F.col("c") + F.lit(float(alpha))) / F.lit(denom)).alias("__logp"),
+        )
+    )
+    doc_toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    scored = doc_toks.join(model, "token", "left").select(
+        id_col, F.coalesce(F.col("__logp"), F.lit(oov_logp)).alias("__logp")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("__logp"), 6).alias("mean_logprob"),
+    )
+    # docs with zero tokens keep a row (NULL score): left join back
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            "mean_logprob",
+        )
+    )
+
+
+def vocabulary_drift(
+    df: DataFrame,
+    part_col: str,
+    *,
+    text_col: str = "text",
+    vocab_size: int = 4096,
+) -> DataFrame:
+    """One-vs-rest Jensen–Shannon divergence of token distributions per
+    partition (source/snapshot/day)::
+
+        <part_col>, n_tokens, js_divergence   (in [0, ln 2])
+
+    The content-drift companion to the value-column drift family
+    (:mod:`jsl_engine.table_checks`): a source whose *vocabulary*
+    shifted (new domain, language mix change, template injection) moves
+    JSD even when every numeric column looks stable. Distributions are
+    over the global ``vocab_size`` most frequent tokens plus one
+    collapsed ``<oov>`` bucket, so the statistic is exact on a bounded
+    support.
+
+    Scale shape: ONE token-count aggregation (shuffle carries the
+    vocabulary, map-side combined), the top-K membership broadcast back,
+    then all JSD terms computed on the ≤ parts × (vocab_size+1) dense
+    grid — the corpus is scanned once and never re-shuffled. Zero-count
+    terms contribute 0 by the usual 0·ln0 = 0 convention (JSD is always
+    finite — no smoothing constant to tune)."""
+    toks = df.select(
+        F.col(part_col).alias("part"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("token"),
+    ).where(F.col("token") != "")
+    pc = toks.groupBy("part", "token").agg(F.count(F.lit(1)).alias("c"))
+    totals = pc.groupBy("token").agg(F.sum("c").alias("ct"))
+    w = Window.orderBy(F.desc("ct"), F.asc("token"))
+    top = F.broadcast(
+        totals.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= vocab_size)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    bucketed = (
+        pc.join(top, "token", "left")
+        .withColumn(
+            "bucket",
+            F.when(F.col("__in_vocab"), F.col("token")).otherwise(F.lit("<oov>")),
+        )
+        .groupBy("part", "bucket")
+        .agg(F.sum("c").alias("c_part"))
+    )
+    tb = bucketed.groupBy("bucket").agg(F.sum("c_part").alias("c_tot"))
+    parts = bucketed.groupBy("part").agg(F.sum("c_part").alias("n_part"))
+    grand = Window.partitionBy()
+    parts = parts.withColumn(
+        "n_rest", F.sum("n_part").over(grand) - F.col("n_part")
+    )
+    # densify over the FULL parts × buckets grid: a bucket the partition
+    # never uses still carries rest-side probability mass (q > 0, p = 0),
+    # and dropping those terms silently understates the divergence — the
+    # same densification _binned_part_counts does for the numeric drift
+    # family. The grid is bounded: |parts| × (vocab_size + 1) rows.
+    grid = parts.select("part", "n_part", "n_rest").crossJoin(tb)
+    j = grid.join(bucketed, ["part", "bucket"], "left").withColumn(
+        "c_part", F.coalesce(F.col("c_part"), F.lit(0))
+    ).withColumn("c_rest", F.col("c_tot") - F.col("c_part"))
+    p = F.col("c_part") / F.col("n_part")
+    q = F.col("c_rest") / F.col("n_rest")
+    m = (p + q) / 2
+    term = (
+        F.when(F.col("c_part") > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("c_rest") > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        j.groupBy("part")
+        .agg(
+            F.first("n_part").alias("n_tokens"),
+            F.round(F.sum(term), 6).alias("js_divergence"),
+        )
+        .select(
+            F.col("part").alias(part_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "js_divergence",
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  *, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-document text metrics, all JVM expressions::

@@ -1123,3 +1123,116 @@ def test_repetition_profile_null_text_and_n_words(spark):
     only_bg = T.repetition_profile(docs, with_lines=False)
     assert "dup_line_frac" not in only_bg.columns
     assert "top_bigram_share" in only_bg.columns
+
+
+def test_unigram_logprob_score_hand_computed(spark):
+    """Proxy-perplexity scorer against a hand-derived Lidstone model:
+    fluent text (frequent reference tokens) must outscore rare-token and
+    OOV-heavy text, values must match the closed-form math, empty docs
+    keep a NULL-score row, and a small vocab_size routes tail tokens
+    through the OOV mass."""
+    import math
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=100 + i, text="the cat sat on the mat") for i in range(5)]
+    )
+    # reference counts: the=10, cat=5, sat=5, on=5, mat=5 -> total=30,
+    # n_types=5; alpha=0.5, vocab=5 -> denom = 30 + 0.5*6 = 33
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the the cat"),
+        Row(doc_id=2, text="zyx qwv"),       # pure OOV
+        Row(doc_id=3, text="   "),            # no tokens
+    ])
+    out = {r.doc_id: r for r in T.unigram_logprob_score(
+        docs, ref, vocab_size=5, alpha=0.5).collect()}
+    lp = lambda c: math.log((c + 0.5) / 33.0)
+    oov = math.log(0.5 / 33.0)
+    assert out[1].n_tokens == 3
+    assert out[1].mean_logprob == round((2 * lp(10) + lp(5)) / 3, 6)
+    assert out[2].mean_logprob == round(oov, 6)
+    assert out[3].n_tokens == 0 and out[3].mean_logprob is None
+    assert out[1].mean_logprob > out[2].mean_logprob
+
+    # vocab cap: vocab_size=1 keeps only 'the'; 'cat' now scores as OOV
+    capped = {r.doc_id: r.mean_logprob for r in T.unigram_logprob_score(
+        docs, ref, vocab_size=1, alpha=0.5).collect()}
+    denom1 = 30 + 0.5 * 2
+    want = round((2 * math.log(10.5 / denom1) + math.log(0.5 / denom1)) / 3, 6)
+    assert capped[1] == want
+
+    # self-scored default: reference = the corpus itself, deterministic
+    a = sorted(map(tuple, T.unigram_logprob_score(docs).collect()))
+    b = sorted(map(tuple, T.unigram_logprob_score(docs.repartition(3)).collect()))
+    assert a == b
+
+
+def test_vocabulary_drift_jsd(spark):
+    """One-vs-rest token JSD against a pure-Python computation, bounds
+    respected (0 for identically-distributed parts, ln 2 for disjoint
+    vocabularies), and the oov bucket honors the vocab cap."""
+    import collections
+    import math
+
+    def jsd(c1, c2):
+        n1, n2 = sum(c1.values()), sum(c2.values())
+        out = 0.0
+        for t in set(c1) | set(c2):
+            p, q = c1.get(t, 0) / n1, c2.get(t, 0) / n2
+            m = (p + q) / 2
+            if p:
+                out += 0.5 * p * math.log(p / m)
+            if q:
+                out += 0.5 * q * math.log(q / m)
+        return out
+
+    rows = (
+        [Row(part="a", text="alpha beta gamma alpha beta")] * 3
+        + [Row(part="b", text="alpha beta delta delta epsilon")] * 2
+        + [Row(part="c", text="zeta zeta eta theta")] * 2
+    )
+    df = spark.createDataFrame(rows)
+    got = {r.part: r for r in T.vocabulary_drift(df, "part", vocab_size=100).collect()}
+    counts = {}
+    for r in rows:
+        counts.setdefault(r.part, collections.Counter()).update(r.text.split())
+    for part in ("a", "b", "c"):
+        rest = collections.Counter()
+        for other, c in counts.items():
+            if other != part:
+                rest.update(c)
+        assert got[part].js_divergence == round(jsd(counts[part], rest), 6), part
+        assert 0.0 <= got[part].js_divergence <= math.log(2) + 1e-9
+        assert got[part].n_tokens == sum(counts[part].values())
+    # disjoint vocabulary -> maximal divergence
+    assert got["c"].js_divergence == round(math.log(2), 6)
+
+    # identical distributions -> 0
+    same = spark.createDataFrame(
+        [Row(part="x", text="one two three")] * 4
+        + [Row(part="y", text="one two three")] * 4
+    )
+    out = {r.part: r.js_divergence
+           for r in T.vocabulary_drift(same, "part").collect()}
+    assert out == {"x": 0.0, "y": 0.0}
+
+    # vocab cap: with vocab_size=2 the tail collapses into one <oov>
+    # bucket; divergence can only shrink (data-processing inequality on
+    # the coarsening) and must match the hand-computed bucketing
+    capped = {r.part: r.js_divergence
+              for r in T.vocabulary_drift(df, "part", vocab_size=2).collect()}
+    glob = collections.Counter()
+    for c in counts.values():
+        glob.update(c)
+    keep = {t for t, _ in sorted(glob.items(), key=lambda kv: (-kv[1], kv[0]))[:2]}
+    def bucket(c):
+        out = collections.Counter()
+        for t, n in c.items():
+            out[t if t in keep else "<oov>"] += n
+        return out
+    for part in ("a", "b", "c"):
+        rest = collections.Counter()
+        for other, c in counts.items():
+            if other != part:
+                rest.update(c)
+        assert capped[part] == round(jsd(bucket(counts[part]), bucket(rest)), 6)
+        assert capped[part] <= got[part].js_divergence + 1e-9
