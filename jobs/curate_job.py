@@ -15,6 +15,12 @@ reassigns an existing document's fate:
    .repetition_profile` drops boilerplate/spam documents whose
    duplicate-line fraction or top-bigram share exceeds the bound —
    the Gopher-style filters that length/punctuation scores miss;
+2b. **fluency** (with ``--min-logprob``, applied AFTER the language
+   filter — a pooled multilingual model under-scores minority languages): :func:`jsl_engine.text_ops
+   .unigram_logprob_score` drops documents whose mean token
+   log-probability under the corpus's own unigram model falls below the
+   bound — the CCNet-style proxy-perplexity filter that catches
+   gibberish and OCR noise token heuristics cannot;
 2. **language**: :func:`jsl_engine.text_ops.language_id` restricted to
    ``--langs`` (JVM regexp script counting + marker argmax);
 3. **license** (with ``--licenses``):
@@ -69,6 +75,7 @@ from jsl_engine.text_ops import (
     language_id,
     quality_score,
     repetition_profile,
+    unigram_logprob_score,
 )
 
 
@@ -83,6 +90,10 @@ def main() -> int:
     ap.add_argument("--max-top-bigram-share", type=float, default=None,
                     help="drop docs whose most frequent word bigram "
                          "covers more than this share (e.g. 0.18)")
+    ap.add_argument("--min-logprob", type=float, default=None,
+                    help="drop docs whose mean token log-probability "
+                         "under the corpus unigram model is below this "
+                         "(CCNet-style fluency filter; e.g. -7.0)")
     ap.add_argument("--repetition-min-words", type=int, default=20,
                     help="repetition thresholds apply only to docs with "
                          "at least this many words (a W-word doc's top "
@@ -169,12 +180,27 @@ def main() -> int:
     else:
         n_lang = n_repetition
 
+    # fluency runs AFTER the language filter: a self-scored unigram model
+    # over a multilingual corpus systematically under-scores minority
+    # languages (their tokens are rare in the pooled counts), so scoring
+    # the language-filtered corpus is the per-language model the
+    # CCNet-style filter intends
+    if args.min_logprob is not None:
+        lp = unigram_logprob_score(survivors).where(
+            F.col("mean_logprob").isNull()          # empty docs: not fluency's call
+            | (F.col("mean_logprob") >= args.min_logprob)
+        )
+        survivors = survivors.join(lp.select("doc_id"), "doc_id").localCheckpoint()
+        n_fluency = survivors.count()
+    else:
+        n_fluency = n_lang
+
     if licenses:
         lic = license_scan(survivors).where(F.col("license").isin(licenses))
         survivors = survivors.join(lic.select("doc_id"), "doc_id").localCheckpoint()
         n_license = survivors.count()
     else:
-        n_license = n_lang
+        n_license = n_fluency
 
     if args.benchmark:
         bench = spark.read.parquet(args.benchmark)
@@ -211,7 +237,8 @@ def main() -> int:
         "quality_dropped": docs_in - n_quality,
         "repetition_dropped": n_quality - n_repetition,
         "lang_dropped": n_repetition - n_lang,
-        "license_dropped": n_lang - n_license,
+        "fluency_dropped": n_lang - n_fluency,
+        "license_dropped": n_fluency - n_license,
         "contamination_dropped": n_license - n_decon,
         "mixture_dropped": n_decon - n_mixed,
         "secrets_redacted": int(n_redactions),

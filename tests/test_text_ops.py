@@ -669,6 +669,14 @@ def test_curate_job_end_to_end(spark, tmp_path):
     # passes every quality threshold but is pure 2-word boilerplate:
     # top bigram ('buy now.') covers ~51% of bigrams -> repetition drop
     rows += [Row(doc_id=105, text="buy now. " * 30, source="s0")]
+    # gibberish WITH English function words (so lang-id keeps it and the
+    # fluency stage is what must catch it): token-shape thresholds all
+    # pass, logprob ~ -5.7 vs ~ -2.9 for fluent docs -> fluency drop at
+    # --min-logprob -4.5
+    rows += [Row(doc_id=106,
+                 text="the zq xv of jk wq and zx qj the kv xz mzk of vkq "
+                      "pzw qqj and nvx zzr. " * 2,
+                 source="s0")]
     src = str(tmp_path / "cur_in")
     spark.createDataFrame(rows).repartition(2).write.parquet(src)
     bench_dir = str(tmp_path / "bench")
@@ -680,7 +688,7 @@ def test_curate_job_end_to_end(spark, tmp_path):
         out = subprocess.run(
             [sys.executable, str(repo / "jobs" / "curate_job.py"),
              "--input", src, "--min-quality", "0.5", "--langs", "en",
-             "--max-top-bigram-share", "0.3",
+             "--max-top-bigram-share", "0.3", "--min-logprob", "-4.5",
              "--rate", "s1=0.5", "--default-rate", "1.0", "--cpus", "4",
              *extra],
             capture_output=True, text=True, timeout=600,
@@ -688,9 +696,10 @@ def test_curate_job_end_to_end(spark, tmp_path):
         return json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
 
     rep = run()
-    assert rep["docs_in"] == 36
+    assert rep["docs_in"] == 37
     assert rep["quality_dropped"] == 1
     assert rep["repetition_dropped"] == 1       # doc 105, the bigram spam
+    assert rep["fluency_dropped"] == 1          # doc 106, the gibberish
     assert rep["lang_dropped"] == 1
     assert rep["license_dropped"] == 0          # no --licenses
     assert rep["contamination_dropped"] == 0    # no --benchmark
