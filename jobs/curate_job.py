@@ -11,18 +11,20 @@ reassigns an existing document's fate:
 1. **quality**: :func:`jsl_engine.text_ops.quality_score` ≥ ``min_quality``
    (pure JVM expressions, one scan);
 1b. **repetition** (with ``--max-dup-line-frac`` /
-   ``--max-top-bigram-share``): :func:`jsl_engine.text_ops
-   .repetition_profile` drops boilerplate/spam documents whose
-   duplicate-line fraction or top-bigram share exceeds the bound —
-   the Gopher-style filters that length/punctuation scores miss;
-2b. **fluency** (with ``--min-logprob``, applied AFTER the language
-   filter — a pooled multilingual model under-scores minority languages): :func:`jsl_engine.text_ops
-   .unigram_logprob_score` drops documents whose mean token
-   log-probability under the corpus's own unigram model falls below the
-   bound — the CCNet-style proxy-perplexity filter that catches
-   gibberish and OCR noise token heuristics cannot;
+   ``--max-top-bigram-share``, floored by ``--repetition-min-words``):
+   :func:`jsl_engine.text_ops.repetition_profile` drops boilerplate/spam
+   documents whose duplicate-line fraction or top-bigram share exceeds
+   the bound — the Gopher-style filters that length/punctuation scores
+   miss;
 2. **language**: :func:`jsl_engine.text_ops.language_id` restricted to
    ``--langs`` (JVM regexp script counting + marker argmax);
+2b. **fluency** (with ``--min-logprob``, deliberately AFTER the language
+   filter — a pooled multilingual model under-scores minority
+   languages): :func:`jsl_engine.text_ops.unigram_logprob_score` drops
+   documents whose mean token log-probability under the corpus's own
+   unigram model falls below the bound — the CCNet-style
+   proxy-perplexity filter that catches gibberish and OCR noise token
+   heuristics cannot;
 3. **license** (with ``--licenses``):
    :func:`jsl_engine.code_ops.license_scan` keeps only documents whose
    detected license is in the allowlist (anchor-phrase regex CASE,
@@ -42,14 +44,17 @@ reassigns an existing document's fate:
 Usage::
 
     python jobs/curate_job.py [--input PARQUET] [--output DIR]
-        [--min-quality 0.5] [--langs en,de,fr] [--licenses mit,apache-2.0]
+        [--min-quality 0.5]
+        [--max-dup-line-frac 0.3] [--max-top-bigram-share 0.18]
+        [--repetition-min-words 20] [--min-logprob -7.0]
+        [--langs en,de,fr] [--licenses mit,apache-2.0]
         [--benchmark PARQUET]
         [--contamination-ngram 3] [--rate SRC=R ...] [--default-rate 1.0]
         [--redact] [--eval-permille 50] [--cpus 8] [--keep-output]
 
-Prints one JSON line: docs_in, quality_dropped, lang_dropped,
-license_dropped, contamination_dropped, mixture_dropped,
-secrets_redacted, train, eval, seconds, docs_per_sec.
+Prints one JSON line: docs_in, quality_dropped, repetition_dropped,
+lang_dropped, fluency_dropped, license_dropped, contamination_dropped,
+mixture_dropped, secrets_redacted, train, eval, seconds, docs_per_sec.
 """
 
 from __future__ import annotations
@@ -158,14 +163,25 @@ def main() -> int:
         )
         # thresholds gate only docs above the word floor: short docs are
         # never repetition-dropped (their bigram share is high by pigeonhole,
-        # not by spam)
-        short = F.col("n_words") < args.repetition_min_words
+        # not by spam). NULL metrics (NULL text) also pass — repetition is
+        # not their drop reason, and a NULL predicate would silently drop
+        # them (mirrors the fluency stage's isNull exemption)
+        short = (
+            F.col("n_words").isNull()
+            | (F.col("n_words") < args.repetition_min_words)
+        )
         keep = F.lit(True)
         if args.max_dup_line_frac is not None:
-            keep = keep & (short | (F.col("dup_line_frac") <= args.max_dup_line_frac))
+            keep = keep & (
+                short
+                | F.col("dup_line_frac").isNull()
+                | (F.col("dup_line_frac") <= args.max_dup_line_frac)
+            )
         if args.max_top_bigram_share is not None:
             keep = keep & (
-                short | (F.col("top_bigram_share") <= args.max_top_bigram_share)
+                short
+                | F.col("top_bigram_share").isNull()
+                | (F.col("top_bigram_share") <= args.max_top_bigram_share)
             )
         rep = rep.where(keep)
         survivors = survivors.join(rep.select("doc_id"), "doc_id").localCheckpoint()

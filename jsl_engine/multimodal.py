@@ -140,31 +140,36 @@ def decode_netpbm(payload: bytes):
 
     if not payload[:2] in (b"P5", b"P6"):
         return None
-    # header: magic, width, height, maxval — whitespace/comment separated
-    tokens: list[bytes] = []
-    i = 2
-    while len(tokens) < 3 and i < len(payload):
-        c = payload[i:i + 1]
-        if c == b"#":  # comment to end of line
-            while i < len(payload) and payload[i:i + 1] != b"\n":
+    try:
+        # header: magic, width, height, maxval — whitespace/comment separated
+        tokens: list[bytes] = []
+        i = 2
+        while len(tokens) < 3 and i < len(payload):
+            c = payload[i:i + 1]
+            if c == b"#":  # comment to end of line
+                while i < len(payload) and payload[i:i + 1] != b"\n":
+                    i += 1
+            elif c.isspace():
                 i += 1
-        elif c.isspace():
-            i += 1
-        else:
-            j = i
-            while j < len(payload) and not payload[j:j + 1].isspace():
-                j += 1
-            tokens.append(payload[i:j])
-            i = j
-    if len(tokens) < 3:
+            else:
+                j = i
+                while j < len(payload) and not payload[j:j + 1].isspace():
+                    j += 1
+                tokens.append(payload[i:j])
+                i = j
+        if len(tokens) < 3:
+            return None
+        w, h, maxval = (int(t) for t in tokens)
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None
+        i += 1  # single whitespace byte after maxval
+        channels = 3 if payload[:2] == b"P6" else 1
+        need = w * h * channels
+        data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+    except Exception:
+        # malformed header tokens or a truncated pixel section must route
+        # to the stub fallback, never crash the Spark task
         return None
-    w, h, maxval = (int(t) for t in tokens)
-    if maxval > 255:
-        return None
-    i += 1  # single whitespace byte after maxval
-    channels = 3 if payload[:2] == b"P6" else 1
-    need = w * h * channels
-    data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
     if data.size < need:
         return None
     arr = data.reshape(h, w, channels)
@@ -208,16 +213,19 @@ def decode_wav(payload: bytes):
             width = wf.getsampwidth()
             channels = wf.getnchannels()
             raw = wf.readframes(n)
+        # the numpy conversion stays inside the guard: a data chunk
+        # truncated mid-frame yields a byte count frombuffer/reshape
+        # reject — that is a malformed payload, not a task crash
+        if width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+        elif width == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        else:
+            return None
+        if channels > 1:
+            x = x.reshape(-1, channels).mean(axis=1)
     except Exception:
         return None
-    if width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 1:
-        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
-    else:
-        return None
-    if channels > 1:
-        x = x.reshape(-1, channels).mean(axis=1)
     return x, rate
 
 
@@ -240,14 +248,20 @@ def audio_feature(samples, dim: int = 16) -> list[float]:
 
     n_win = dim - 1
     n = len(samples)
-    if n == 0:
+    if n == 0 or n_win < 1:
+        # dim=1 leaves no RMS slots; a zero vector is the defined result
         return [0.0] * dim
     bounds = [(k * n) // n_win for k in range(n_win + 1)]
     rms = [
         float(np.sqrt(np.mean(samples[a:b] ** 2))) if b > a else 0.0
         for a, b in zip(bounds, bounds[1:])
     ]
-    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    # a single sample has no transitions: ZCR is 0, not NaN
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+        if n > 1
+        else 0.0
+    )
     return rms + [zcr]
 
 

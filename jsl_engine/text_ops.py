@@ -890,19 +890,24 @@ def unigram_logprob_score(
 
     Model: the ``vocab_size`` most frequent reference tokens (ties
     broken on the token string) get ``log((count + alpha) / D)``; every
-    other token gets the shared OOV mass
-    ``log(alpha * n_oov_types' / D)`` — Lidstone smoothing with
-    ``D = total + alpha * (vocab + 1)``, deterministic by construction.
-    ``reference`` defaults to ``df`` itself (self-scored corpus).
+    OOV occurrence gets the unseen-type mass ``log(alpha / D)`` —
+    Lidstone smoothing with ``D = total + alpha * (n_vocab + 1)``,
+    deterministic by construction. ``reference`` defaults to ``df``
+    itself (self-scored corpus).
 
-    Scale shape — three bounded stages, no driver-side model:
+    Scale shape — fully action-free, bounded stages:
 
     1. reference token counts: explode → groupBy(token) with map-side
-       combine (shuffle carries the VOCABULARY, not the corpus), rank
-       window caps it at ``vocab_size`` rows;
+       combine (the shuffle carries the VOCABULARY, not the corpus); the
+       top-``vocab_size`` cut is ``orderBy().limit()`` — Spark's
+       TakeOrderedAndProject (per-partition partial top-K + bounded
+       merge, NO single-reducer global sort); the smoothing denominator
+       is a one-row aggregate of the same counts (the token-count
+       exchange is reused across the branches at runtime — the
+       drift-report ReusedExchange pattern);
     2. scoring join: the model is ≤ ``vocab_size`` rows → broadcast;
        corpus tokens LEFT-join it map-side, missing rows take the OOV
-       constant — the corpus is never shuffled to meet the model;
+       mass — the corpus is never shuffled to meet the model;
     3. per-doc aggregation: one groupBy(id) over (id, logp) rows.
 
     Empty/whitespace-only docs score ``NULL`` (no tokens)."""
@@ -912,33 +917,32 @@ def unigram_logprob_score(
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("token")
     ).where(F.col("token") != "")
     counts = ref_toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.desc("c"), F.asc("token"))
-    vocab = counts.withColumn("__r", F.row_number().over(w)).where(
-        F.col("__r") <= vocab_size
+    vocab = counts.orderBy(F.desc("c"), F.asc("token")).limit(vocab_size)
+    a = F.lit(float(alpha))
+    stats = F.broadcast(
+        counts.agg(
+            (
+                F.coalesce(F.sum("c"), F.lit(0))
+                + a * (F.least(F.count(F.lit(1)), F.lit(vocab_size)) + 1)
+            ).alias("__denom")
+        )
     )
-    # single tiny action: totals for the smoothing denominator (vocab is
-    # bounded; the full-count total comes from the same aggregate)
-    tot_row = counts.agg(
-        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_types")
-    ).first()
-    total, n_types = int(tot_row["total"] or 0), int(tot_row["n_types"] or 0)
-    n_vocab = min(n_types, vocab_size)
-    denom = float(total + alpha * (n_vocab + 1))
-    import math
-
-    oov_logp = math.log(alpha / denom) if total else 0.0
     model = F.broadcast(
-        vocab.select(
-            "token",
-            F.log((F.col("c") + F.lit(float(alpha))) / F.lit(denom)).alias("__logp"),
+        vocab.crossJoin(stats).select(
+            "token", F.log((F.col("c") + a) / F.col("__denom")).alias("__logp")
         )
     )
     doc_toks = df.select(
         F.col(id_col),
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("token"),
     ).where(F.col("token") != "")
-    scored = doc_toks.join(model, "token", "left").select(
-        id_col, F.coalesce(F.col("__logp"), F.lit(oov_logp)).alias("__logp")
+    scored = (
+        doc_toks.join(model, "token", "left")
+        .crossJoin(stats)
+        .select(
+            id_col,
+            F.coalesce(F.col("__logp"), F.log(a / F.col("__denom"))).alias("__logp"),
+        )
     )
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
@@ -988,10 +992,12 @@ def vocabulary_drift(
     ).where(F.col("token") != "")
     pc = toks.groupBy("part", "token").agg(F.count(F.lit(1)).alias("c"))
     totals = pc.groupBy("token").agg(F.sum("c").alias("ct"))
-    w = Window.orderBy(F.desc("ct"), F.asc("token"))
+    # top-K via orderBy().limit() = TakeOrderedAndProject: per-partition
+    # partial top-K + bounded merge — a global row_number window would
+    # funnel every distinct token through one reducer task
     top = F.broadcast(
-        totals.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= vocab_size)
+        totals.orderBy(F.desc("ct"), F.asc("token"))
+        .limit(vocab_size)
         .select("token", F.lit(True).alias("__in_vocab"))
     )
     bucketed = (

@@ -229,3 +229,41 @@ def test_real_resize_pixels_survive(spark):
         assert checked > 0
     finally:
         media.unpersist()
+
+
+def test_malformed_media_routes_to_stub_not_crash():
+    """Malformed payloads must return None from the real decoders (stub
+    fallback), never raise — a poisoned row must not abort a Spark task:
+    bad header tokens, truncated pixels, zero dims, truncated WAV data,
+    1-sample audio (ZCR 0, not NaN), dim=1 feature (no division by
+    zero)."""
+    import math
+
+    assert M.decode_netpbm(b"P6 abc 4 255\n....") is None
+    assert M.decode_netpbm(b"P6 4 4 255\nshort") is None
+    assert M.decode_netpbm(b"P6 0 0 255\n") is None
+    assert M.decode_netpbm(b"P5 2 2 70000\n....") is None
+    good = M.encode_netpbm(__import__("numpy").zeros((3, 3), dtype="uint8"))
+    assert M.decode_netpbm(good[:-2]) is None  # truncated pixel section
+
+    # WAV truncated mid-frame: header promises more than the data holds
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x01\x02\x03\x04" * 10)
+    blob = bytearray(buf.getvalue())
+    # the only contract for a mid-frame truncation is "no exception":
+    # wave may surface fewer whole frames (valid partial decode) or the
+    # guard may reject it (None) — both are acceptable, a crash is not
+    M.decode_wav(bytes(blob[:-3]))
+    import numpy as np
+
+    f = M.audio_feature(np.array([0.25]), dim=16)
+    assert len(f) == 16 and not any(math.isnan(v) for v in f)
+    assert f[-1] == 0.0
+    assert M.audio_feature(np.array([0.1, -0.1]), dim=1) == [0.0]
