@@ -9,7 +9,12 @@ wired from the engine's guarded building blocks:
    map-side combine, one shuffle);
 2. **near**: :func:`jsl_engine.text_ops_arrow.minhash_near_duplicates_arrow`
    (numpy signatures, banding with the pre-join oversized-bucket guard,
-   estimated-Jaccard verify) over the exact-dedup survivors;
+   estimated-Jaccard verify) over the exact-dedup survivors — or, with
+   ``--exact-verify``, :func:`jsl_engine.text_ops_arrow
+   .minhash_near_duplicates_exact_arrow` (every candidate re-checked
+   with the exact word-shingle Jaccard, the headline queries' contract:
+   no estimation noise near the threshold, at the cost of the verify
+   joins);
 3. **group**: :func:`jsl_engine.text_ops.connected_components` (min-label
    propagation; pass ``--star`` for the O(log² n) star-contraction variant
    on adversarial-diameter graphs) + keep the min-id representative per
@@ -44,7 +49,10 @@ from jsl_engine.text_ops import (
     connected_components_star,
     dedup_exact,
 )
-from jsl_engine.text_ops_arrow import minhash_near_duplicates_arrow
+from jsl_engine.text_ops_arrow import (
+    minhash_near_duplicates_arrow,
+    minhash_near_duplicates_exact_arrow,
+)
 
 
 def main() -> int:
@@ -55,6 +63,9 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--star", action="store_true",
                     help="star-contraction components (any-diameter graphs)")
+    ap.add_argument("--exact-verify", action="store_true",
+                    help="verify candidates with exact word-shingle "
+                         "Jaccard instead of the signature estimate")
     ap.add_argument("--keep-output", action="store_true")
     args = ap.parse_args()
 
@@ -78,7 +89,12 @@ def main() -> int:
     survivors = dedup_exact(docs).localCheckpoint()
     n_after_exact = survivors.count()
 
-    pairs = minhash_near_duplicates_arrow(
+    near_fn = (
+        minhash_near_duplicates_exact_arrow
+        if args.exact_verify
+        else minhash_near_duplicates_arrow
+    )
+    pairs = near_fn(
         survivors, threshold=args.threshold
     ).select("id_a", "id_b").localCheckpoint()
     components_fn = connected_components_star if args.star else connected_components
@@ -104,6 +120,7 @@ def main() -> int:
         "seconds": seconds,
         "docs_per_sec": round(docs_in / seconds, 1),
         "strategy": "star" if args.star else "propagation",
+        "verify": "exact" if args.exact_verify else "estimate",
     }))
     if not args.keep_output and args.output is None:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -623,7 +623,7 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     spark.createDataFrame(rows).repartition(2).write.parquet(src)
 
     repo = Path(__file__).resolve().parent.parent
-    for flag in ([], ["--star"]):
+    for flag in ([], ["--star"], ["--exact-verify"]):
         out = subprocess.run(
             [sys.executable, str(repo / "jobs" / "dedup_job.py"),
              "--input", src, "--threshold", "0.6", "--cpus", "4", *flag],
@@ -636,6 +636,7 @@ def test_dedup_job_end_to_end(spark, tmp_path):
         assert rep["near_dropped"] == 1           # 102 dies in near dedup
         assert rep["docs_out"] == 41
         assert rep["docs_in"] - rep["exact_dropped"] - rep["near_dropped"] == rep["docs_out"]
+        assert rep["verify"] == ("exact" if "--exact-verify" in flag else "estimate")
 
 
 def test_curate_job_end_to_end(spark, tmp_path):
