@@ -36,24 +36,43 @@ def run_quality_suite(
     content_col: str = "content",
     part_prefix_len: int = 4,
     strict_instance_semantics: bool = False,
+    curate: bool = False,
 ) -> dict:
     """Run validation + uniqueness + RI + stats + drift; returns a dict of
     result DataFrames plus a scalar ``summary``.
 
     The caller owns the lifetime of the returned frames; ``validated`` is
     cached — call ``report["validated"].unpersist()`` when done.
+
+    ``curate=True`` swaps the validation stage for the fused
+    validation+curation pass — ``validated`` (and hence ``verdicts``)
+    then also carries ``quality, lang_id, n_secrets, license`` per
+    document at zero extra scans, and the summary gains
+    ``avg_quality``/``docs_with_secret``.
     """
     keyed = source.withColumn(
         "part_key", F.substring(F.col(key_cols[0]), 1, part_prefix_len)
     )
 
-    validated = validate_df(
-        keyed,
-        schema,
-        content_col=content_col,
-        key_cols=("part_key",) + key_cols,
-        strict_instance_semantics=strict_instance_semantics,
-    ).cache()
+    if curate:
+        from jsl_engine.spark_validate import validate_and_curate
+
+        validated = validate_and_curate(
+            keyed,
+            schema,
+            content_col=content_col,
+            text_col=content_col,
+            key_cols=("part_key",) + key_cols,
+            strict_instance_semantics=strict_instance_semantics,
+        ).cache()
+    else:
+        validated = validate_df(
+            keyed,
+            schema,
+            content_col=content_col,
+            key_cols=("part_key",) + key_cols,
+            strict_instance_semantics=strict_instance_semantics,
+        ).cache()
 
     report: dict = {
         "validated": validated,
@@ -82,7 +101,17 @@ def run_quality_suite(
         F.sum("n_errors").cast("long").alias("violations"),
         F.sum((F.col("error") == "json_parse_error").cast("long")).alias("parse_errors"),
     ).first()
+    if curate:
+        c = validated.agg(
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum((F.col("n_secrets") > 0).cast("long")).alias("docs_with_secret"),
+        ).first()
     report["summary"] = {
+        **(
+            {"avg_quality": c["avg_quality"],
+             "docs_with_secret": c["docs_with_secret"]}
+            if curate else {}
+        ),
         "docs": v["docs"],
         "docs_ok": v["ok"],
         "docs_bad": v["docs"] - v["ok"],

@@ -63,3 +63,29 @@ def test_dup_rate_zero_unchanged(spark):
     a = generate_corpus(spark, 300, seed=7, partitions=2).collect()
     b = generate_corpus(spark, 300, seed=7, dup_rate=0.0, partitions=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_quality_suite_curate_mode(spark):
+    """run_quality_suite(curate=True): the validated frame carries the
+    fused curation columns, the summary gains the curation aggregates,
+    and every verdict total equals the plain suite's."""
+    from jsl_engine.corpus import CODE_FILE_SCHEMA, generate_corpus
+    from jsl_engine.schema import compile_schema
+    from jsl_engine.suite import run_quality_suite
+
+    src = generate_corpus(spark, 500, seed=23, defect_rate=0.1, partitions=3)
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    plain = run_quality_suite(spark, src, schema)
+    cur = run_quality_suite(spark, src, schema, curate=True)
+    try:
+        for c in ("quality", "lang_id", "n_secrets", "license"):
+            assert c in cur["validated"].columns
+            assert c not in plain["validated"].columns
+        for k in ("docs", "docs_ok", "docs_bad", "violation_rows",
+                  "parse_errors"):
+            assert cur["summary"][k] == plain["summary"][k], k
+        assert cur["summary"]["avg_quality"] is not None
+        assert "docs_with_secret" in cur["summary"]
+    finally:
+        plain["validated"].unpersist()
+        cur["validated"].unpersist()
