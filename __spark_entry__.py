@@ -324,19 +324,6 @@ def q_simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_vocab_topk_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-memory top-15 vocabulary (Misra-Gries candidates + exact
-    recount of candidates only) — the web-scale companion to
-    `vocab_topk_documents`. The sketch guarantee holds by orders of
-    magnitude at this scale, so the output — and therefore the oracle
-    SQL — is identical to the exact variant's."""
-    from jsl_engine.text_ops import vocabulary_topk_scalable
-
-    return vocabulary_topk_scalable(
-        _t(spark, sf_dir, "documents"), k=15, sketch_size=8192
-    )
-
-
 def q_curation_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation report composing the scoring operators (the
     rollup a data owner reads before a training run): document counts,
@@ -385,12 +372,23 @@ def q_fuzzy_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def q_vocab_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-15 tokens per language over documents — two-phase aggregation
-    (shuffle carries vocabulary, not corpus) + per-group rank window with
-    deterministic tie-break on the token string. Fully oracled."""
-    from jsl_engine.text_ops import vocabulary_topk
+    """Top-15 tokens per language, BOTH engines in one oracled query:
+    the exact two-phase aggregation (``variant='exact'`` — shuffle
+    carries vocabulary, not corpus; per-group rank window with
+    deterministic token tie-break) unioned with the bounded-memory
+    Misra-Gries + exact-recount operator (``variant='mg'`` — the
+    10^12-doc path, whose sketch guarantee makes its rows identical
+    here). One oracle serves both arms verbatim, so an MG divergence is
+    a hash mismatch — the merge keeps both operators under the driver's
+    correctness window instead of spending two of its 50 slots."""
+    from jsl_engine.text_ops import vocabulary_topk, vocabulary_topk_scalable
 
-    return vocabulary_topk(_t(spark, sf_dir, "documents"), k=15)
+    docs = _t(spark, sf_dir, "documents")
+    exact = vocabulary_topk(docs, k=15).withColumn("variant", F.lit("exact"))
+    mg = vocabulary_topk_scalable(docs, k=15, sketch_size=8192).withColumn(
+        "variant", F.lit("mg")
+    )
+    return exact.unionByName(mg)
 
 
 def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +406,28 @@ def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return contamination_arrow(
+        docs.where(F.col("doc_id") % 20 != 7),
+        docs.where(F.col("doc_id") % 20 == 7),
+        n=3,
+    )
+
+
+def q_bloom_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination behind a Bloom prefilter (same
+    doc_id%20==7 benchmark split as the other contamination variants) —
+    the bounded-memory tier above the sorted-hash-array broadcast of
+    `contamination_documents`: ~14.4 bits/gram at fp=1e-3 instead of 64,
+    for decontamination lists (10^8-10^9 grams) past the comfortable
+    broadcast ceiling. The filter is built distributed (per-partition
+    bitmaps OR-combined via treeAggregate), the full-corpus pass is
+    map-only bitmap probing, and an exact string-gram verify join over
+    the Bloom candidates (no-false-negative guarantee makes the
+    restriction lossless) returns the bit-for-bit exact answer — so the
+    query shares the exact contamination DuckDB SQL verbatim."""
+    from jsl_engine.bloom import bloom_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_contamination(
         docs.where(F.col("doc_id") % 20 != 7),
         docs.where(F.col("doc_id") % 20 == 7),
         n=3,
@@ -952,7 +972,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_documents": q_language_id_documents,
         "token_counts_documents": q_token_counts_documents,
         "vocab_topk_documents": q_vocab_topk_documents,
-        "vocab_topk_scalable": q_vocab_topk_scalable,
         "curation_report_documents": q_curation_report_documents,
         "secret_scan_documents": q_secret_scan_documents,
         "redact_documents": q_redact_documents,
@@ -968,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_components_documents": q_near_dup_components_documents,
         "dedup_near_documents": q_dedup_near_documents,
         "contamination_documents": q_contamination_documents,
+        "bloom_contamination_documents": q_bloom_contamination_documents,
         "fuzzy_contamination_documents": q_fuzzy_contamination_documents,
         # sampling / export
         "stratified_sample_documents": q_stratified_sample_documents,
@@ -1747,13 +1767,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, token, COUNT(*)::BIGINT AS n_occ
                 FROM toks WHERE token <> '' GROUP BY lang, token
             )
-            SELECT lang, token, n_occ, rank FROM (
-                SELECT lang, token, n_occ,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY lang ORDER BY n_occ DESC, token ASC
-                       )::INT AS rank
-                FROM counts
-            ) WHERE rank <= 15
+            , topk AS (
+                SELECT lang, token, n_occ, rank FROM (
+                    SELECT lang, token, n_occ,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY lang ORDER BY n_occ DESC, token ASC
+                           )::INT AS rank
+                    FROM counts
+                ) WHERE rank <= 15
+            )
+            -- both engine arms (exact / Misra-Gries+recount) must equal
+            -- this one exact table
+            SELECT lang, token, n_occ, rank, v.variant
+            FROM topk CROSS JOIN (VALUES ('exact'), ('mg')) v(variant)
         """,
         "contamination_documents": """
             WITH sh AS (
@@ -2047,8 +2073,8 @@ def oracle_sql() -> dict[str, str]:
     # (assignment + probe join + exact re-rank + tie-break), so it shares
     # the brute-force SQL verbatim
     out["ivf_topk_embeddings"] = out["topk_cosine_embeddings"]
-    # the Misra-Gries + exact-recount vocabulary equals the exact
-    # operator whenever the sketch guarantee holds (it does at sf<=0.1 by
-    # orders of magnitude), so it shares the oracle too
-    out["vocab_topk_scalable"] = out["vocab_topk_documents"]
+    # the Bloom-prefiltered decontamination is exact by construction
+    # (no-false-negative prefilter + string-gram verify tail), so it
+    # shares the exact contamination SQL verbatim
+    out["bloom_contamination_documents"] = out["contamination_documents"]
     return out

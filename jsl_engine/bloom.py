@@ -1,0 +1,274 @@
+"""Bounded-memory Bloom-filter decontamination.
+
+:func:`jsl_engine.text_ops_arrow.contamination_arrow` broadcasts the
+benchmark's distinct gram hashes as a sorted uint64 array — 8 bytes per
+gram. That is the right shape for eval suites (10^5–10^6 grams, a few
+MB), but production decontamination lists grow far past that: "every
+published benchmark plus every known leaked eval plus a copyright
+blocklist" reaches 10^8–10^9 distinct grams, where the sorted-array
+broadcast is 0.8–8 GB per executor — past the comfortable broadcast
+ceiling. A Bloom filter at ~14.4 bits/gram (fp_rate=1e-3) is 5.5× smaller
+at identical decision quality *for this pipeline*, because the filter's
+false positives are removed by an exact verify tail:
+
+1. **Build** (two passes over the benchmark, which is small relative to
+   the corpus): a sizing pass sums per-partition distinct-gram counts
+   (cross-partition duplicates overcount, which only oversizes the
+   filter and lowers the false-positive rate), then a build pass ORs
+   per-partition bitmaps via ``RDD.treeReduce`` — the driver never sees
+   per-gram data, only ``depth``-ary combined bitmaps.
+2. **Probe** (the one full-corpus pass, map-only): each document's
+   distinct gram hashes are tested against the broadcast bitmap with
+   vectorized double hashing; ``bloom_hits`` counts grams with all ``k``
+   bits set. Blooms have **no false negatives**, so ``bloom_hits >= 1``
+   is a superset of the documents with any true benchmark hit.
+3. **Exact verify tail** (candidates only): candidate ids are broadcast
+   back onto the corpus (semi-join — no corpus shuffle), and the
+   candidates' string grams are joined against the benchmark's distinct
+   string grams with a *shuffle* join — the tail is where the
+   benchmark-sized work lives, but it is joined against a candidate set
+   sized by true contamination + m·fp_rate, not by the corpus.
+
+The result is therefore **exact** (bit-for-bit the output of
+:func:`jsl_engine.text_ops.contamination`) while the full-corpus pass
+stays map-only with a bitmap whose size is independent of the corpus and
+sublinear in benchmark bytes. ``n_grams`` for non-candidates counts
+distinct 64-bit gram hashes rather than distinct gram strings — equal
+absent a ~1e-6 collision, the same argument (and the same shared DuckDB
+oracle) as ``contamination_arrow``.
+
+North-rule context: engine-level addition (the reference validates
+single documents; reference scope src/lib.rs:114-118).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from jsl_engine.text_ops_arrow import _shingle_hashes, _splitmix64
+
+#: Domain-separation constant for the second hash of the double-hashing
+#: probe sequence (distinct from every seed used by the minhash family).
+_BLOOM_SALT = np.uint64(0xB10F_11E5_0000_0001)
+
+#: Hard floor so degenerate inputs (empty benchmark) still build a valid,
+#: well-formed filter instead of a zero-length bitmap.
+_MIN_BITS = 1024
+
+
+def bloom_params(n_items: int, fp_rate: float) -> tuple[int, int]:
+    """Classic Bloom sizing: bits ``m = -n ln p / (ln 2)^2`` rounded up
+    to a multiple of 64, hash count ``k = (m/n) ln 2`` clamped to
+    [1, 16]."""
+    if not 0.0 < fp_rate < 1.0:
+        raise ValueError(f"fp_rate must be in (0, 1), got {fp_rate}")
+    n = max(int(n_items), 1)
+    m = int(math.ceil(-n * math.log(fp_rate) / (math.log(2.0) ** 2)))
+    m = max(((m + 63) // 64) * 64, _MIN_BITS)
+    k = max(1, min(16, int(round(m / n * math.log(2.0)))))
+    return m, k
+
+
+def _probe_matrix(hashes: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(len(hashes), k) uint64 bit positions via double hashing
+    ``h1 + i*h2 mod m`` — h2 forced odd so the probe stride never
+    collapses to zero."""
+    h1 = hashes
+    h2 = _splitmix64(hashes ^ _BLOOM_SALT) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def _set_bits(bitmap: np.ndarray, pos: np.ndarray) -> None:
+    """Set bit positions (flattened) in a uint64 bitmap, in place."""
+    flat = pos.ravel()
+    np.bitwise_or.at(bitmap, (flat >> np.uint64(6)).astype(np.int64),
+                     np.uint64(1) << (flat & np.uint64(63)))
+
+
+def _test_all_k(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Boolean vector: rows of the (n, k) position matrix whose k bits
+    are all set."""
+    word = bitmap[(pos >> np.uint64(6)).astype(np.int64)]
+    hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+    return hit.all(axis=1)
+
+
+def build_gram_bloom(
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    fp_rate: float = 1e-3,
+    expected_grams: int | None = None,
+    tree_depth: int = 2,
+) -> tuple[np.ndarray, int, int]:
+    """Distributed Bloom build over the benchmark's distinct word
+    ``n``-gram hashes. Returns ``(bitmap uint64[m/64], m, k)``.
+
+    When ``expected_grams`` is None a sizing pass sums per-partition
+    distinct counts (an upper bound — duplicates spanning partitions are
+    double-counted, which only lowers the realized false-positive rate).
+    The build pass emits one local bitmap per partition and OR-combines
+    them with ``treeReduce(depth=tree_depth)``, so driver ingress is
+    ``depth``-ary combined bitmaps, not one per partition.
+    """
+    texts = benchmark.select(text_col)
+
+    if expected_grams is None:
+        def count_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            seen: list[np.ndarray] = []
+            for batch in batches:
+                for t in batch.column(0).to_pylist():
+                    if t is not None:
+                        seen.append(_shingle_hashes(t, n))
+            c = int(np.unique(np.concatenate(seen)).size) if seen else 0
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([c], type=pa.int64())], names=["c"]
+            )
+
+        schema = StructType([StructField("c", LongType(), False)])
+        [row] = texts.mapInArrow(count_part, schema).agg(
+            F.sum("c").alias("c")
+        ).collect()
+        expected_grams = int(row["c"] or 0)
+
+    m, k = bloom_params(expected_grams, fp_rate)
+    n_words = m // 64
+
+    def seq_op(local: np.ndarray, row) -> np.ndarray:
+        t = row[0]
+        if t is not None:
+            g = np.unique(_shingle_hashes(t, n))
+            _set_bits(local, _probe_matrix(g, k, m))
+        return local
+
+    bitmap = texts.rdd.treeAggregate(
+        np.zeros(n_words, dtype=np.uint64), seq_op, np.bitwise_or,
+        depth=tree_depth,
+    )
+    return bitmap, m, k
+
+
+def bloom_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 1,
+    fp_rate: float = 1e-3,
+) -> DataFrame:
+    """Exact benchmark decontamination behind a Bloom prefilter — the
+    bounded-memory tier above :func:`contamination_arrow` for benchmark
+    sets too large to broadcast as sorted hash arrays. Output schema and
+    values equal :func:`jsl_engine.text_ops.contamination`::
+
+        doc_id, n_grams, n_hits, hit_rate, contaminated
+
+    Plan shape: one map-only full-corpus pass (bitmap probe), then an
+    exact string-gram verify join restricted to the Bloom candidates
+    (no-false-negative guarantee makes the restriction lossless). The
+    kernel output is ``localCheckpoint``-ed so the candidate and clean
+    branches don't re-run the probe pass (the plan-branch dedup pattern
+    measured on the near-dup verify tails, BENCH/ANALYSIS.md round 4).
+    """
+    spark = df.sparkSession
+    bitmap, m, k = build_gram_bloom(
+        benchmark, text_col=text_col, n=n, fp_rate=fp_rate
+    )
+    bc = spark.sparkContext.broadcast(bitmap)
+
+    pruned = df.select(id_col, text_col)
+    out_schema = StructType(
+        [
+            pruned.schema[id_col],
+            StructField("n_grams", LongType(), False),
+            StructField("bloom_hits", LongType(), False),
+        ]
+    )
+
+    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bits = bc.value
+        for batch in batches:
+            rows = batch.num_rows
+            if rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            n_grams = np.empty(rows, dtype=np.int64)
+            hits = np.empty(rows, dtype=np.int64)
+            for i, t in enumerate(texts):
+                g = np.unique(_shingle_hashes(t or "", n))
+                n_grams[i] = g.size
+                hits[i] = int(_test_all_k(bits, _probe_matrix(g, k, m)).sum())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(n_grams, type=pa.int64()),
+                    pa.array(hits, type=pa.int64()),
+                ],
+                schema=pa.schema(
+                    [
+                        batch.schema.field(0),
+                        pa.field("n_grams", pa.int64(), False),
+                        pa.field("bloom_hits", pa.int64(), False),
+                    ]
+                ),
+            )
+
+    # candidates = ANY possible gram hit (not min_hits): bloom_hits upper-
+    # bounds exact hits per gram, so bloom_hits == 0 implies exact
+    # n_hits == 0 — but a doc with 0 < exact < min_hits must still report
+    # its exact n_hits to stay bit-for-bit with contamination().
+    probed = pruned.mapInArrow(probe, out_schema).localCheckpoint(eager=False)
+    cand_ids = probed.where(F.col("bloom_hits") >= 1).select(id_col)
+
+    # exact verify tail: string grams of candidate docs vs the
+    # benchmark's distinct string grams. The candidate side is tiny
+    # (true positives + n·fp_rate), so the shuffle is benchmark-sized
+    # once — not per-corpus-doc work.
+    from jsl_engine.text_ops import shingles
+
+    cand_docs = df.join(F.broadcast(cand_ids), id_col).select(id_col, text_col)
+    cand_grams = cand_docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), n))
+            ).alias("gram")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    verified = (
+        cand_grams.join(bench_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+    clean = probed.where(F.col("bloom_hits") == 0).select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.lit(0).cast("long").alias("n_hits"),
+    )
+    return clean.unionByName(verified).select(
+        F.col(id_col),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hits"),
+        F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_rate"),
+        (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
+    )
