@@ -524,34 +524,62 @@ def q_winnow_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for three query vectors (exact ANN
-    baseline; JVM array expressions, broadcast query side)."""
-    from jsl_engine.similarity import brute_force_topk
+    """Cosine top-10 for three query vectors, BOTH engines in one
+    oracled query: the brute-force baseline (``variant='brute'`` — JVM
+    array expressions, broadcast query side) unioned with IVF run at
+    **full probe** (``variant='ivf'``, n_probe = n_cells), where the
+    entire IVF pipeline — distributed cell assignment, probe-cell
+    pruning join, exact cosine re-rank, tie-break — must reproduce the
+    brute-force answer bit-for-bit, so one brute-force DuckDB SQL
+    oracles both arms (the merge keeps both operators inside the
+    driver's 50-slot correctness window). The *approximate* IVF regime
+    (n_probe < n_cells) has no SQL analogue — on random-gaussian
+    testdata its recall is data-noise — so it is gated in pytest on
+    planted clusters instead (recall ≥ 0.9 there)."""
+    from jsl_engine.similarity import brute_force_topk, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(emb, queries, k=10)
+    brute = brute_force_topk(emb, queries, k=10).withColumn(
+        "variant", F.lit("brute")
+    )
+    ivf = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=16).withColumn(
+        "variant", F.lit("ivf")
+    )
+    return brute.unionByName(ivf)
 
 
-def q_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means coarse quantizer) top-k, run at **full probe**
-    (n_probe = n_cells) so the entire IVF pipeline — distributed cell
-    assignment, probe-cell pruning join, exact cosine re-rank, tie-break
-    — must reproduce the brute-force answer bit-for-bit, and the
-    brute-force DuckDB SQL becomes a real hash-matched oracle. The
-    *approximate* regime (n_probe < n_cells) has no SQL analogue —
-    on random-gaussian testdata its recall is data-noise (0.2–0.8
-    measured) — so it is gated in pytest on planted clusters instead
-    (recall ≥ 0.9 there, plus full-probe == brute-force equality)."""
-    from jsl_engine.similarity import ivf_topk
+#: Fixed PQ geometry for the oracled driver query: data-independent
+#: seeded codebooks so the DuckDB oracle can replay the identical
+#: centroids as SQL literals (trained codebooks are numpy-only and
+#: quality-gated in pytest on planted clusters instead).
+_PQ_CONF = dict(dim=64, m_sub=4, k_codes=16, seed=7, k=10)
+
+
+def q_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (the compressed-domain ANN scan:
+    encode once into m_sub small codes per vector, score queries by
+    codebook lookup-table sums — at 10^12 embeddings the scan reads the
+    ~64×-smaller code table, not the vectors). Run with the
+    deterministic data-independent codebook so the FULL pipeline —
+    normalize, per-subspace argmin-L2 encode, ADC LUT scoring, rounded
+    rank, tie-break — is replayed bit-for-bit by generated DuckDB SQL
+    with the same centroids as literals; a real hash oracle, not a
+    property gate. Trained-codebook quality (driver + distributed Lloyd)
+    and the exact-refine tail are pytest-gated on planted clusters."""
+    from jsl_engine.pq import make_random_codebooks, pq_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=10, n_cells=16, n_probe=16)
+    c = _PQ_CONF
+    cb = make_random_codebooks(
+        c["dim"], m_sub=c["m_sub"], k_codes=c["k_codes"], seed=c["seed"]
+    )
+    return pq_topk(emb, queries, k=c["k"], codebooks=cb)
 
 
 def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,7 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         # similarity search
         "topk_cosine_embeddings": q_topk_cosine_embeddings,
-        "ivf_topk_embeddings": q_ivf_topk_embeddings,
+        "pq_topk_embeddings": q_pq_topk_embeddings,
         "embedding_near_dup_embeddings": q_embedding_near_dup_embeddings,
     }
 
@@ -1453,6 +1481,88 @@ def _language_id_oracle_sql() -> str:
         WITH {_language_id_cte_sql("documents")}
         SELECT lang_id, COUNT(*)::BIGINT AS n_docs
         FROM lang_verdict GROUP BY lang_id
+    """
+
+
+def _pq_topk_oracle_sql() -> str:
+    """DuckDB re-derivation of the FULL product-quantization pipeline
+    (:func:`jsl_engine.pq.pq_topk` with the deterministic
+    data-independent codebook of :func:`make_random_codebooks`):
+    normalize → per-subspace encode (argmax of ``<x_m,c> - 0.5·<c,c>``
+    = argmin L2; ``list_indexof(_, list_max(_))`` is first-max 1-based,
+    matching numpy argmax + 1) → per-query ADC lookup-table sum in fixed
+    left-to-right subspace order → ROUND(_, 6) → rank with vec_id
+    tie-break. The centroids and the precomputed ``0.5·<c,c>`` terms are
+    injected as full-precision literals from the SAME numpy arrays the
+    kernel broadcasts, so the two sides can only diverge on logic or
+    last-ulp summation order (killed by the rounding, same precedent as
+    the cosine oracles)."""
+    import numpy as np
+
+    from jsl_engine.pq import make_random_codebooks
+
+    c = _PQ_CONF
+    cb = make_random_codebooks(
+        c["dim"], m_sub=c["m_sub"], k_codes=c["k_codes"], seed=c["seed"]
+    )
+    m_sub, k_codes, sub = cb.shape
+
+    def lst(vals) -> str:
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+    # per-subspace encode: scores list then first-max index (1-based)
+    enc_cols = []
+    for m in range(m_sub):
+        half_cc = 0.5 * np.einsum("jd,jd->j", cb[m], cb[m])
+        lo, hi = m * sub + 1, (m + 1) * sub
+        scores = ", ".join(
+            f"list_dot_product(nv[{lo}:{hi}], {lst(cb[m][j])}) - {repr(float(half_cc[j]))}"
+            for j in range(k_codes)
+        )
+        enc_cols.append(
+            f"list_indexof([{scores}], list_max([{scores}])) AS c{m}"
+        )
+    enc_sql = ",\n                       ".join(enc_cols)
+
+    # ADC: literal codebook-of-lists indexed by the 1-based code
+    adc_terms = []
+    for m in range(m_sub):
+        cb_lit = "[" + ", ".join(lst(cb[m][j]) for j in range(k_codes)) + "]"
+        lo, hi = m * sub + 1, (m + 1) * sub
+        adc_terms.append(f"list_dot_product(q.qv[{lo}:{hi}], ({cb_lit})[e.c{m}])")
+    adc_sql = "\n                         + ".join(adc_terms)
+
+    return f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding::DOUBLE[],
+                       x -> x / greatest(sqrt(list_dot_product(
+                                embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
+                   ) AS nv
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id IN (0, 1, 2)
+        ),
+        enc AS (
+            SELECT vec_id,
+                       {enc_sql}
+            FROM v
+        ),
+        s AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND({adc_sql}, 6) AS adc_sim
+            FROM enc e CROSS JOIN q
+        ),
+        r AS (
+            SELECT query_id, vec_id, adc_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_sim DESC, vec_id ASC) AS rank
+            FROM s
+        )
+        SELECT query_id, vec_id, adc_sim, rank::INT AS rank
+        FROM r WHERE rank <= {c["k"]}
     """
 
 
@@ -1993,7 +2103,11 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos_sim DESC, vec_id ASC) AS rank
                 FROM s
             )
-            SELECT query_id, vec_id, cos_sim, rank::INT AS rank FROM r WHERE rank <= 10
+            -- both engine arms (brute force / full-probe IVF) must equal
+            -- this one exact table
+            SELECT query_id, vec_id, cos_sim, rank::INT AS rank, v.variant
+            FROM r CROSS JOIN (VALUES ('brute'), ('ivf')) v(variant)
+            WHERE rank <= 10
         """,
         # jsl_validate_events IS oracle-checkable for this simple schema:
         # {"properties": {"k": {"type": "uint32"}}} over {"k": int} docs maps
@@ -2069,10 +2183,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "language_id_documents": _language_id_oracle_sql(),
     }
-    # full-probe IVF must reproduce the brute-force answer bit-for-bit
-    # (assignment + probe join + exact re-rank + tie-break), so it shares
-    # the brute-force SQL verbatim
-    out["ivf_topk_embeddings"] = out["topk_cosine_embeddings"]
+    out["pq_topk_embeddings"] = _pq_topk_oracle_sql()
     # the Bloom-prefiltered decontamination is exact by construction
     # (no-false-negative prefilter + string-gram verify tail), so it
     # shares the exact contamination SQL verbatim

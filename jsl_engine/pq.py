@@ -1,0 +1,456 @@
+"""Product quantization (PQ) for embedding similarity at compression scale.
+
+IVF (:mod:`jsl_engine.similarity`) prunes *which* vectors a query scores;
+PQ compresses *how* a vector is stored and scored: the d-dim vector is
+split into ``m_sub`` subspaces, each subvector replaced by the index of
+its nearest codebook centroid (``k_codes`` per subspace), so a float32
+d=64 embedding (256 B) becomes ``m_sub`` small ints (4 B at m=4/k=16,
+8 B at m=8/k=256). Query scoring never decodes: an asymmetric-distance
+(ADC) lookup table ``LUT[m][j] = <q_m, c_mj>`` is built once per query,
+and each stored vector's score is ``sum_m LUT[m][codes[m]]`` — m table
+lookups instead of d multiplies, over codes that are 64× smaller than
+the vectors. At 10^12 embeddings this is the difference between scanning
+a 256 TB vector table and a 4 TB code table; it composes with IVF
+(IVF-PQ) by scanning only probed cells.
+
+Shapes (all public API is DataFrame-in/DataFrame-out):
+
+* **Encode** is one map-only Arrow pass (per-batch numpy matmul against
+  the broadcast codebook) producing the narrow ``(id, codes)`` table a
+  production deployment would persist.
+* **Scoring** is one map-only Arrow pass over the *code* table — batch-
+  local top-k plus a rounding-safety band feeds a tiny global window, so
+  the shuffle carries ~k rows per (query, batch), never the corpus.
+* **Training** mirrors the IVF trainers: a bounded driver-sample Lloyd
+  per subspace (deterministic counter-hash init), plus a distributed
+  variant whose per-iteration pass emits per-(subspace, code) partial
+  sums — the shuffle carries ≤ partitions × m_sub × k_codes × sub_dim
+  partial floats, never rows.
+
+Float-parity contract with the DuckDB oracle (same precedent as
+``cosine``/``topk_cosine_embeddings``): assignments and ADC sums are
+computed in float64 with a fixed evaluation order; scores surface
+through ``F.round(_, 6)`` so last-ulp summation-order noise cannot
+reach the hash comparison, and the kernel's batch-local candidate cut
+keeps every row within ``ROUND_SLACK`` of the local k-th so rounding
+can never promote a pruned row into the global top-k.
+
+North-rule context: engine-level addition (the reference validates
+single documents; reference scope src/lib.rs:114-118).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: Batch-local candidate band: rows within this of the local k-th
+#: unrounded score are kept, so a row that ROUND(_, 6) would tie into the
+#: global top-k can never be pruned locally (band >> 2 × 0.5e-6).
+ROUND_SLACK = 1e-5
+
+
+def make_random_codebooks(
+    dim: int, *, m_sub: int = 4, k_codes: int = 16, seed: int = 7
+) -> np.ndarray:
+    """Deterministic, data-independent codebooks: seeded standard-normal
+    subvectors, L2-normalized per centroid — shape
+    ``(m_sub, k_codes, dim // m_sub)``.
+
+    A random codebook is a valid (if untrained) product quantizer; its
+    value here is that it depends on nothing but ``(dim, m_sub, k_codes,
+    seed)``, so the DuckDB oracle can embed the *identical* centroids as
+    SQL literals and replay the full encode → ADC → top-k pipeline
+    bit-for-bit. Trained codebooks (data-dependent, numpy-only) are
+    quality-gated in pytest on planted clusters instead."""
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    rng = np.random.default_rng(seed)
+    cb = rng.standard_normal((m_sub, k_codes, dim // m_sub))
+    cb /= np.maximum(np.linalg.norm(cb, axis=2, keepdims=True), 1e-12)
+    return cb
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def _assign_codes(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(rows, m_sub) int32 codes: per subspace, argmax of
+    ``<x_m, c> - 0.5·<c, c>`` (= argmin L2, ties to the smallest code —
+    numpy argmax first-occurrence, matching SQL ``list_indexof`` of the
+    max)."""
+    m_sub, k_codes, sub = codebooks.shape
+    out = np.empty((x.shape[0], m_sub), dtype=np.int32)
+    for m in range(m_sub):
+        c = codebooks[m]
+        s = x[:, m * sub:(m + 1) * sub] @ c.T - 0.5 * np.einsum("jd,jd->j", c, c)
+        out[:, m] = np.argmax(s, axis=1)
+    return out
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """One map-only Arrow pass: ``(id, codes array<int>)`` — the narrow
+    compressed table a 10^12-vector deployment persists and scans."""
+    spark = vectors.sparkSession
+    bc = spark.sparkContext.broadcast(codebooks)
+    pruned = vectors.select(id_col, vec_col)
+    out_schema = StructType(
+        [
+            pruned.schema[id_col],
+            StructField("codes", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        cb = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            x = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+            if normalize:
+                x = _normalize_rows(x)
+            codes = _assign_codes(x, cb)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(list(codes), type=pa.list_(pa.int32())),
+                ],
+                names=[batch.schema.field(0).name, "codes"],
+            )
+
+    return pruned.mapInArrow(run, out_schema)
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    codebooks: np.ndarray | None = None,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    normalize: bool = True,
+    refine: int = 0,
+) -> DataFrame:
+    """ADC top-k over PQ codes::
+
+        query_id, vec_id, adc_sim, rank     (rank 1..k; ties by vec_id)
+
+    Two map-only Arrow passes (encode, then score over the code table —
+    the scoring kernel never touches the original vectors) and one tiny
+    window over ≤ (k + rounding band) rows per (query, input batch).
+    ``adc_sim`` approximates cosine (``normalize=True``) or inner
+    product; with ``codebooks=None`` the deterministic random codebook
+    (:func:`make_random_codebooks`) is used, which is what the hash
+    oracle replays in SQL.
+
+    ``refine=R`` (R ≥ k) adds the standard IVFPQ-style exact re-rank:
+    the ADC pass keeps its top ``R`` candidates per query, those R rows
+    (alone) are joined back to the original vectors — candidate ids
+    broadcast, so the corpus is never shuffled — and exact cosine
+    re-scores them; output columns gain ``cos_sim`` and rank by it. ADC
+    code resolution bounds *candidate recall* only; within-cluster
+    ordering comes from the exact tail, which is why recall climbs with
+    R while the scan still reads only the code table."""
+    spark = vectors.sparkSession
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("queries DataFrame is empty")
+    qx = np.array([r[1] for r in q_rows], dtype=np.float64)
+    if normalize:
+        qx = _normalize_rows(qx)
+    if codebooks is None:
+        codebooks = make_random_codebooks(
+            qx.shape[1], m_sub=m_sub, k_codes=k_codes, seed=seed
+        )
+    m_sub_, k_codes_, sub = codebooks.shape
+    # LUT[q, m, j] = <q_m, c_mj> — one table per query, built once
+    luts = np.empty((qx.shape[0], m_sub_, k_codes_), dtype=np.float64)
+    for m in range(m_sub_):
+        luts[:, m, :] = qx[:, m * sub:(m + 1) * sub] @ codebooks[m].T
+    q_ids = [r[0] for r in q_rows]
+    bc = spark.sparkContext.broadcast((q_ids, luts))
+
+    # batch-local pruning must preserve enough rows for the widest
+    # downstream cut: the ADC window keeps max(k, refine) per query
+    n_keep = max(k, refine)
+    encoded = pq_encode(
+        vectors, codebooks, vec_col=vec_col, id_col=id_col,
+        normalize=normalize,
+    )
+    id_field = encoded.schema[0]
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField(id_field.name, id_field.dataType, True),
+            StructField("__adc", DoubleType(), False),
+        ]
+    )
+
+    def score(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ids, tables = bc.value
+        for batch in batches:
+            rows = batch.num_rows
+            if rows == 0:
+                continue
+            vid = batch.column(0)
+            codes = np.array(batch.column(1).to_pylist(), dtype=np.int64)
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(ids):
+                lut = tables[qi]
+                # fixed left-to-right subspace order == the oracle's
+                # term0 + term1 + ... SQL sum
+                s = np.zeros(rows, dtype=np.float64)
+                for m in range(lut.shape[0]):
+                    s = s + lut[m][codes[:, m]]
+                if rows > n_keep:
+                    kth = np.partition(s, rows - n_keep)[rows - n_keep]
+                    keep = np.flatnonzero(s >= kth - ROUND_SLACK)
+                else:
+                    keep = np.arange(rows)
+                out_q.append(np.full(keep.size, qid, dtype=np.int64))
+                out_v.append(vid.take(pa.array(keep)))
+                out_s.append(s[keep])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.concat_arrays(out_v),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ],
+                names=["query_id", id_field.name, "__adc"],
+            )
+
+    cand = encoded.mapInArrow(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_sim"), F.asc(id_field.name)
+    )
+    adc_ranked = (
+        cand.select(
+            "query_id", id_field.name, F.round(F.col("__adc"), 6).alias("adc_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= max(k, refine))
+    )
+    if refine <= 0:
+        return adc_ranked.where(F.col("rank") <= k)
+
+    from jsl_engine.similarity import cosine
+
+    q_vec_df = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__q_vec"),
+        )
+    )
+    cand_slim = F.broadcast(
+        adc_ranked.select("query_id", id_field.name, "adc_sim")
+    )
+    rescored = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .join(cand_slim, id_field.name)
+        .join(q_vec_df, "query_id")
+        .select(
+            "query_id",
+            id_field.name,
+            "adc_sim",
+            F.round(cosine(F.col(vec_col), F.col("__q_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_field.name)
+    )
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+def _init_codebooks(
+    x: np.ndarray, m_sub: int, k_codes: int, seed: int
+) -> np.ndarray:
+    """Deterministic init shared by both trainers: per subspace, pick
+    ``k_codes`` sample subvectors by counter hash (the IVF init
+    contract, jsl_engine/similarity.py)."""
+    sub = x.shape[1] // m_sub
+    idx = sorted(
+        range(len(x)),
+        key=lambda i: hashlib.blake2b(
+            f"{seed}:{i}".encode(), digest_size=8
+        ).digest(),
+    )[:k_codes]
+    if len(idx) < k_codes:
+        raise ValueError(
+            f"need >= {k_codes} init vectors, got {len(x)}"
+        )
+    return np.stack(
+        [x[idx, m * sub:(m + 1) * sub].copy() for m in range(m_sub)]
+    )
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    *,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 10_000,
+    iterations: int = 10,
+    seed: int = 7,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Driver-side per-subspace Lloyd k-means over a bounded
+    deterministic sample (the ``sample_rows`` smallest ids —
+    TakeOrderedAndProject, no global sort). O(sample × k × dim) on the
+    driver, constant in table size; the distributed trainer below is the
+    whole-corpus path."""
+    rows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
+        .select(vec_col).collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    if normalize:
+        x = _normalize_rows(x)
+    sub = x.shape[1] // m_sub
+    cb = _init_codebooks(x, m_sub, k_codes, seed)
+    for _ in range(iterations):
+        codes = _assign_codes(x, cb)
+        for m in range(m_sub):
+            xm = x[:, m * sub:(m + 1) * sub]
+            for j in range(k_codes):
+                members = xm[codes[:, m] == j]
+                if len(members):
+                    cb[m, j] = members.mean(axis=0)
+    return cb
+
+
+def train_pq_codebooks_distributed(
+    vectors: DataFrame,
+    *,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 10,
+    seed: int = 7,
+    init_sample_rows: int = 10_000,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Distributed per-subspace Lloyd — the 10^12-vector trainer: each
+    iteration is ONE Arrow pass emitting per-(subspace, code) partial
+    sums per partition (≤ partitions × m_sub × k_codes × (sub_dim + 1)
+    rows — never corpus-sized), aggregated by a map-side-combining
+    groupBy and reduced on the driver (m_sub × k_codes rows). Same init
+    and same fixed iteration count as the driver trainer, so the two
+    agree up to float-summation order (pinned by closeness in pytest);
+    empty codes keep their previous centroid."""
+    spark = vectors.sparkSession
+    base = vectors.select(id_col, vec_col).cache()
+    base.count()  # eager: every iteration re-reads the projection
+
+    init_rows = (
+        base.orderBy(id_col).limit(init_sample_rows).select(vec_col).collect()
+    )
+    x0 = np.array([r[0] for r in init_rows], dtype=np.float64)
+    if normalize:
+        x0 = _normalize_rows(x0)
+    dim = x0.shape[1]
+    sub = dim // m_sub
+    cb = _init_codebooks(x0, m_sub, k_codes, seed)
+
+    part_schema = StructType(
+        [
+            StructField("sub", IntegerType(), False),
+            StructField("code", IntegerType(), False),
+            StructField("pos", IntegerType(), False),  # -1 = member count
+            StructField("val", DoubleType(), False),
+        ]
+    )
+    try:
+        for _ in range(iterations):
+            bc = spark.sparkContext.broadcast(cb)
+
+            def partials(
+                batches: Iterator[pa.RecordBatch],
+            ) -> Iterator[pa.RecordBatch]:
+                cbk = bc.value
+                sums = np.zeros((m_sub, k_codes, sub), dtype=np.float64)
+                counts = np.zeros((m_sub, k_codes), dtype=np.float64)
+                for batch in batches:
+                    if batch.num_rows == 0:
+                        continue
+                    x = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+                    if normalize:
+                        x = _normalize_rows(x)
+                    codes = _assign_codes(x, cbk)
+                    for m in range(m_sub):
+                        xm = x[:, m * sub:(m + 1) * sub]
+                        np.add.at(sums[m], codes[:, m], xm)
+                        np.add.at(counts[m], codes[:, m], 1.0)
+                subs, cods, poss, vals = [], [], [], []
+                for m in range(m_sub):
+                    for j in range(k_codes):
+                        if not counts[m, j]:
+                            continue
+                        subs.extend([m] * (sub + 1))
+                        cods.extend([j] * (sub + 1))
+                        poss.extend([-1] + list(range(sub)))
+                        vals.extend([counts[m, j]] + list(sums[m, j]))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(subs, type=pa.int32()),
+                        pa.array(cods, type=pa.int32()),
+                        pa.array(poss, type=pa.int32()),
+                        pa.array(vals, type=pa.float64()),
+                    ],
+                    names=["sub", "code", "pos", "val"],
+                )
+
+            stats = (
+                base.mapInArrow(partials, part_schema)
+                .groupBy("sub", "code", "pos")
+                .agg(F.sum("val").alias("val"))
+                .collect()
+            )
+            new_cb = cb.copy()
+            counts = np.zeros((m_sub, k_codes))
+            sums = np.zeros((m_sub, k_codes, sub))
+            for r in stats:
+                if r["pos"] == -1:
+                    counts[r["sub"], r["code"]] = r["val"]
+                else:
+                    sums[r["sub"], r["code"], r["pos"]] = r["val"]
+            nz = counts > 0
+            new_cb[nz] = sums[nz] / counts[nz][:, None]
+            cb = new_cb
+    finally:
+        base.unpersist()
+    return cb

@@ -1,0 +1,222 @@
+"""Product quantization (jsl_engine.pq): encode, ADC top-k, trainers.
+
+Correctness ladder: (1) codes equal a from-scratch numpy argmin-L2
+reference, (2) the full ADC top-k equals a from-scratch numpy ADC
+replication including rounding and tiebreaks, (3) a lossless codebook
+(every subvector IS a centroid) makes ADC equal exact inner product, so
+the operator must reproduce exact top-k bit-for-bit, (4) trained
+codebooks beat the random codebook's recall on planted clusters, and
+the distributed trainer is the same algorithm as the driver trainer.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from jsl_engine import pq as P
+
+
+def _df(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def _np_encode(x, cb, normalize=True):
+    """Reference: per subspace, argmin squared L2 distance (first min)."""
+    x = x.astype(np.float64)
+    if normalize:
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    m_sub, k, sub = cb.shape
+    codes = np.empty((len(x), m_sub), dtype=np.int64)
+    for m in range(m_sub):
+        d = ((x[:, None, m * sub:(m + 1) * sub] - cb[m][None]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d, axis=1)
+    return codes
+
+
+def _round_half_up(v):
+    return np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+
+
+def _np_adc_topk(x, q_ids, qx, cb, k=10, normalize=True):
+    """Reference ADC top-k: rounded score desc, vec_id asc."""
+    codes = _np_encode(x, cb, normalize)
+    qn = qx.astype(np.float64)
+    if normalize:
+        qn = qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)
+    m_sub, kc, sub = cb.shape
+    out = {}
+    for qi, qid in enumerate(q_ids):
+        lut = np.stack(
+            [qn[qi, m * sub:(m + 1) * sub] @ cb[m].T for m in range(m_sub)]
+        )
+        s = np.zeros(len(x))
+        for m in range(m_sub):
+            s = s + lut[m][codes[:, m]]
+        order = sorted(range(len(x)), key=lambda i: (-_round_half_up(s[i]), i))
+        for rank, i in enumerate(order[:k], start=1):
+            out[(qid, rank)] = (i, float(_round_half_up(s[i])))
+    return out
+
+
+@pytest.fixture(scope="module")
+def gaussian(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(300, 32)).astype("float32")
+    return _df(spark, vecs).cache(), vecs
+
+
+def test_pq_encode_matches_numpy_argmin(spark, gaussian):
+    df, vecs = gaussian
+    cb = P.make_random_codebooks(32, m_sub=4, k_codes=16, seed=7)
+    got = {r.vec_id: list(r.codes) for r in P.pq_encode(df, cb).collect()}
+    want = _np_encode(vecs, cb)
+    assert len(got) == len(vecs)
+    for i in range(len(vecs)):
+        assert got[i] == list(want[i]), i
+
+
+def test_pq_encode_map_only_plan(spark, gaussian):
+    df, _ = gaussian
+    cb = P.make_random_codebooks(32, m_sub=4, k_codes=16, seed=7)
+    plan = P.pq_encode(df, cb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pq_topk_matches_numpy_adc(spark, gaussian):
+    df, vecs = gaussian
+    cb = P.make_random_codebooks(32, m_sub=4, k_codes=16, seed=7)
+    queries = df.where("vec_id in (0, 5, 9)").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = P.pq_topk(df, queries, k=10, codebooks=cb)
+    got = {(r.query_id, r.rank): (r.vec_id, r.adc_sim) for r in out.collect()}
+    want = _np_adc_topk(vecs, [0, 5, 9], vecs[[0, 5, 9]], cb, k=10)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], (key, got[key], want[key])
+        assert abs(got[key][1] - want[key][1]) <= 1e-9
+
+
+def test_pq_topk_band_survives_tiny_batches(spark, gaussian):
+    """Batch-local pruning must not change the answer when the corpus is
+    split into many partitions (each batch's local top-k is a different
+    cut)."""
+    df, vecs = gaussian
+    cb = P.make_random_codebooks(32, m_sub=4, k_codes=16, seed=7)
+    queries = df.where("vec_id = 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    a = {(r.query_id, r.rank): r.vec_id
+         for r in P.pq_topk(df, queries, k=10, codebooks=cb).collect()}
+    b = {(r.query_id, r.rank): r.vec_id
+         for r in P.pq_topk(df.repartition(37), queries, k=10,
+                            codebooks=cb).collect()}
+    assert a == b
+
+
+def test_pq_lossless_codebook_equals_exact_topk(spark):
+    """Vectors assembled FROM codebook centroids quantize losslessly, so
+    ADC equals the exact inner product and PQ top-k must equal exact
+    top-k (computed independently in numpy) bit-for-bit."""
+    cb = P.make_random_codebooks(32, m_sub=4, k_codes=16, seed=3)
+    rng = np.random.default_rng(5)
+    picks = rng.integers(0, 16, size=(120, 4))
+    vecs = np.concatenate(
+        [cb[m][picks[:, m]] for m in range(4)], axis=1
+    ).astype("float64")
+    df = _df(spark, vecs)
+    queries = df.where("vec_id in (0, 1)").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    out = P.pq_topk(df, queries, k=8, codebooks=cb, normalize=False)
+    got = {(r.query_id, r.rank): r.vec_id for r in out.collect()}
+    want = {}
+    for qid in (0, 1):
+        s = _round_half_up(vecs @ vecs[qid])
+        order = sorted(range(len(vecs)), key=lambda i: (-s[i], i))
+        for rank, i in enumerate(order[:8], start=1):
+            want[(qid, rank)] = i
+    assert got == want
+
+
+def _clustered(spark, n, dim, clusters, seed):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(clusters, dim)) * 3
+    vecs = np.vstack(
+        [centers[i % clusters] + rng.normal(scale=0.4, size=dim)
+         for i in range(n)]
+    ).astype("float32")
+    return _df(spark, vecs).cache(), vecs
+
+
+def _recon_mse(vecs, cb):
+    """Mean squared reconstruction error — the objective Lloyd descends."""
+    x = vecs.astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    codes = _np_encode(vecs, cb)
+    m_sub, _, sub = cb.shape
+    recon = np.concatenate(
+        [cb[m][codes[:, m]] for m in range(m_sub)], axis=1
+    )
+    return float(((x - recon) ** 2).sum(axis=1).mean())
+
+
+def test_pq_training_reduces_distortion(spark):
+    """Driver-trained codebooks must reconstruct the corpus with far
+    less error than the random codebook (Lloyd minimizes exactly this),
+    which is the quantity that bounds ADC score error."""
+    df, vecs = _clustered(spark, 400, 32, 6, seed=13)
+    try:
+        trained = P.train_pq_codebooks(df, m_sub=4, k_codes=16)
+        rand = P.make_random_codebooks(32, m_sub=4, k_codes=16, seed=7)
+        mse_t = _recon_mse(vecs, trained)
+        mse_r = _recon_mse(vecs, rand)
+        assert mse_t < 0.5 * mse_r, (mse_t, mse_r)
+    finally:
+        df.unpersist()
+
+
+def test_pq_refined_recall_on_clusters(spark):
+    """ADC candidates + exact re-rank (the IVFPQ-style refine tail):
+    recall@10 vs exact cosine must be high — ADC ties within a cluster
+    are resolved by the exact tail, so recall is governed by candidate
+    coverage, not code resolution."""
+    df, vecs = _clustered(spark, 400, 32, 6, seed=13)
+    try:
+        from jsl_engine.similarity import brute_force_topk
+
+        queries = df.where("vec_id in (0, 1, 2)").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        bf = {(r.query_id, r.vec_id)
+              for r in brute_force_topk(df, queries, k=10).collect()}
+        trained = P.train_pq_codebooks(df, m_sub=4, k_codes=16)
+        got = {(r.query_id, r.vec_id)
+               for r in P.pq_topk(df, queries, k=10, refine=60,
+                                  codebooks=trained).collect()}
+        assert len(bf & got) / len(bf) >= 0.9, len(bf & got) / len(bf)
+    finally:
+        df.unpersist()
+
+
+def test_pq_distributed_trainer_matches_driver(spark):
+    """Full-sample equivalence: same init, same Lloyd math — centroids
+    agree to float-summation tolerance; partition-layout independent at
+    the same tolerance."""
+    rng = np.random.default_rng(29)
+    vecs = rng.normal(size=(500, 32)).astype("float32")
+    df = _df(spark, vecs)
+    a = P.train_pq_codebooks(df, m_sub=4, k_codes=8, sample_rows=10_000)
+    b = P.train_pq_codebooks_distributed(df, m_sub=4, k_codes=8)
+    assert np.allclose(a, b, atol=1e-6), np.abs(a - b).max()
+    c = P.train_pq_codebooks_distributed(df.repartition(7), m_sub=4, k_codes=8)
+    assert np.allclose(b, c, atol=1e-6)
+
+
+def test_pq_trainer_deterministic(spark, gaussian):
+    df, _ = gaussian
+    a = P.train_pq_codebooks(df, m_sub=4, k_codes=8)
+    b = P.train_pq_codebooks(df.repartition(5), m_sub=4, k_codes=8)
+    assert np.array_equal(a, b)
