@@ -234,6 +234,7 @@ def run_validation_job(
     strict_instance_semantics: bool = False,
     repartition: int | None = None,
     curate: bool = False,
+    lang_engine: str = "jvm",
     schemas: "dict[str, Schema] | None" = None,
     route_col: str = "lang",
     default_schema: "Schema | None" = None,
@@ -337,6 +338,7 @@ def run_validation_job(
             text_col=content_col,
             key_cols=("part_key",) + key_cols,
             strict_instance_semantics=strict_instance_semantics,
+            lang_engine=lang_engine,
         )
     else:
         validated = validate_df(

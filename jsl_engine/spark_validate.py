@@ -292,6 +292,7 @@ def validate_and_curate(
     max_errors: int = 0,
     max_depth: int = 32,
     max_nesting: "int | None" = None,
+    lang_engine: str = "jvm",
 ) -> DataFrame:
     """Fused validation + curation: ONE content scan produces JSL
     verdicts **and** every map-only curation column::
@@ -317,10 +318,22 @@ def validate_and_curate(
     :func:`jsl_engine.redaction.secret_scan`,
     :func:`jsl_engine.code_ops.license_scan`) — the fusion chains them
     through their ``keep_cols`` passthroughs, so there is one
-    implementation of every scorer, not a fused copy."""
+    implementation of every scorer, not a fused copy.
+
+    ``lang_engine="arrow"`` swaps the language stage for the numpy
+    kernel (:func:`jsl_engine.lang_arrow.language_id_arrow` — ~2.5× the
+    JVM rate, BENCH/ANALYSIS.md round 4, parity-pinned in
+    tests/test_lang_arrow.py): the dominant rider becomes a second
+    Arrow stage in the same single-scan plan — still zero joins, zero
+    shuffles."""
     from jsl_engine.code_ops import license_scan
     from jsl_engine.redaction import secret_scan
     from jsl_engine.text_ops import language_id, quality_score
+
+    if lang_engine == "arrow":
+        from jsl_engine.lang_arrow import language_id_arrow as language_id  # noqa: F811
+    elif lang_engine != "jvm":
+        raise ValueError(f"lang_engine must be 'jvm' or 'arrow', got {lang_engine!r}")
 
     k0, rest = key_cols[0], tuple(key_cols[1:])
 

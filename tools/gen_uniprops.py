@@ -1,0 +1,102 @@
+"""Generate jsl_engine/_uniprops.py from the JVM's own Unicode tables.
+
+The Arrow language-id kernel (jsl_engine/lang_arrow.py) must reproduce
+the JVM operator's semantics exactly: Java regex script classes
+(``\\p{IsHan}`` …), the ``\\p{L}\\p{M}`` letter/mark class, and Spark's
+``lower()``. Python's stdlib has no Unicode *script* property and its
+``str.lower`` differs from Java on a handful of code points — so instead
+of hand-transcribing Scripts.txt (and trusting two implementations of
+the same standard to agree), this tool asks the running JVM to classify
+EVERY code point and emits the answer as compressed ranges. The kernel
+is then exact by construction against the same JVM that executes the
+queries; regenerate after a JDK (Unicode version) bump:
+
+    python tools/gen_uniprops.py
+
+Sweep: all code points 0x20..0x10FFFF excluding surrogates, one row per
+code point, classified with single-char ``rlike`` probes; the lowercase
+map keeps only non-identity entries (JVM ``lower(chr(cp)) != chr(cp)``).
+Context-sensitive lowering (Greek final sigma) is per-code-point here;
+the kernel documents why that cannot change a verdict.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from jsl_engine.partitioning import get_spark
+from jsl_engine.text_ops import _SCRIPT_CLASSES
+
+OUT = Path(__file__).resolve().parent.parent / "jsl_engine" / "_uniprops.py"
+
+#: (table_name, single-char anchored Java regex)
+CLASSES = [(lang.strip("_"), f"^{cls}$") for lang, cls in _SCRIPT_CLASSES] + [
+    ("lm", r"^[\p{L}\p{M}]$"),
+]
+
+
+def _ranges(cps: list[int]) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for cp in cps:
+        if out and cp == out[-1][1] + 1:
+            out[-1] = (out[-1][0], cp)
+        else:
+            out.append((cp, cp))
+    return out
+
+
+def main() -> None:
+    spark = get_spark(
+        master="local[8]",
+        app_name="gen-uniprops",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    cps = [c for c in range(0x20, 0x110000) if not 0xD800 <= c <= 0xDFFF]
+    df = spark.createDataFrame(
+        [(c, chr(c)) for c in cps], ["cp", "ch"]
+    ).repartition(32).cache()
+
+    tables: dict[str, list[tuple[int, int]]] = {}
+    for name, rx in CLASSES:
+        hits = [
+            r[0]
+            for r in df.where(F.col("ch").rlike(rx)).select("cp")
+            .orderBy("cp").collect()
+        ]
+        tables[name] = _ranges(hits)
+        print(f"{name}: {len(hits)} cps, {len(tables[name])} ranges")
+
+    lower_rows = (
+        df.select("cp", F.lower(F.col("ch")).alias("lo"), "ch")
+        .where(F.col("lo") != F.col("ch"))
+        .orderBy("cp")
+        .collect()
+    )
+    lower_map = {r["cp"]: r["lo"] for r in lower_rows}
+    print(f"lower map: {len(lower_map)} non-identity entries")
+
+    with OUT.open("w") as f:
+        f.write(
+            '"""JVM-extracted Unicode tables (GENERATED — do not edit).\n\n'
+            "Produced by tools/gen_uniprops.py: every code point classified\n"
+            "by the running JVM's regex engine (script classes, letter/mark)\n"
+            "and Spark's lower(); regenerate after a JDK bump. Consumed by\n"
+            "jsl_engine/lang_arrow.py.\n"
+            '"""\n\n'
+            "# fmt: off\n"
+        )
+        for name, rngs in tables.items():
+            f.write(f"{name.upper()}_RANGES = {rngs!r}\n\n")
+        f.write(f"LOWER_MAP = {lower_map!r}\n")
+        f.write("# fmt: on\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()
