@@ -37,6 +37,7 @@ def run_quality_suite(
     part_prefix_len: int = 4,
     strict_instance_semantics: bool = False,
     curate: bool = False,
+    lang_engine: str = "jvm",
 ) -> dict:
     """Run validation + uniqueness + RI + stats + drift; returns a dict of
     result DataFrames plus a scalar ``summary``.
@@ -48,7 +49,9 @@ def run_quality_suite(
     validation+curation pass — ``validated`` (and hence ``verdicts``)
     then also carries ``quality, lang_id, n_secrets, license`` per
     document at zero extra scans, and the summary gains
-    ``avg_quality``/``docs_with_secret``.
+    ``avg_quality``/``docs_with_secret``. ``lang_engine="arrow"``
+    forwards to the fused pass's numpy language kernel (same verdicts,
+    ~2.5× the rate — see :mod:`jsl_engine.lang_arrow`).
     """
     keyed = source.withColumn(
         "part_key", F.substring(F.col(key_cols[0]), 1, part_prefix_len)
@@ -64,6 +67,7 @@ def run_quality_suite(
             text_col=content_col,
             key_cols=("part_key",) + key_cols,
             strict_instance_semantics=strict_instance_semantics,
+            lang_engine=lang_engine,
         ).cache()
     else:
         validated = validate_df(
