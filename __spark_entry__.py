@@ -427,10 +427,14 @@ def q_bloom_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFra
     from jsl_engine.bloom import bloom_contamination
 
     docs = _t(spark, sf_dir, "documents")
+    # expected_grams given = the production shape (callers know their
+    # blocklist scale; skips the sizing pass). Exactness NEVER depends
+    # on sizing — an undersized filter only inflates the verify tail.
     return bloom_contamination(
         docs.where(F.col("doc_id") % 20 != 7),
         docs.where(F.col("doc_id") % 20 == 7),
         n=3,
+        expected_grams=200_000,
     )
 
 

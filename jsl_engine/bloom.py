@@ -50,7 +50,7 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
 from jsl_engine.text_ops_arrow import _shingle_hashes, _splitmix64
 
@@ -61,6 +61,12 @@ _BLOOM_SALT = np.uint64(0xB10F_11E5_0000_0001)
 #: Hard floor so degenerate inputs (empty benchmark) still build a valid,
 #: well-formed filter instead of a zero-length bitmap.
 _MIN_BITS = 1024
+
+#: Bitmaps at or below this collect one row per partition from an Arrow
+#: pass and OR on the driver (driver ingress = partitions × bytes);
+#: above it the executor-side treeAggregate path takes over. 16 MB ≈
+#: a 10^7-gram filter at fp 1e-3.
+_COLLECT_BITMAP_BYTES = 16 << 20
 
 
 def bloom_params(n_items: int, fp_rate: float) -> tuple[int, int]:
@@ -116,8 +122,17 @@ def build_gram_bloom(
     When ``expected_grams`` is None a sizing pass sums per-partition
     distinct counts (an upper bound — duplicates spanning partitions are
     double-counted, which only lowers the realized false-positive rate).
-    The build pass emits one local bitmap per partition and OR-combines
-    them with ``treeReduce(depth=tree_depth)``, so driver ingress is
+    Callers that know their blocklist's scale should pass
+    ``expected_grams`` and skip that pass: **exactness never depends on
+    sizing** (the verify tail scrubs false positives whatever the
+    realized rate); sizing only trades bitmap bytes against tail volume.
+
+    Build path switches on bitmap size: small bitmaps (≤
+    ``_COLLECT_BITMAP_BYTES``) collect one per-partition bitmap row from
+    a ``mapInArrow`` pass and OR on the driver — staying on the Arrow
+    worker pool, no second (pickle-serialized) Python worker pool to
+    spin up; big bitmaps OR-combine executor-side via
+    ``RDD.treeAggregate(depth=tree_depth)``, so driver ingress is
     ``depth``-ary combined bitmaps, not one per partition.
     """
     texts = benchmark.select(text_col)
@@ -143,6 +158,28 @@ def build_gram_bloom(
     m, k = bloom_params(expected_grams, fp_rate)
     n_words = m // 64
 
+    if n_words * 8 <= _COLLECT_BITMAP_BYTES:
+        def build_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            local = np.zeros(n_words, dtype=np.uint64)
+            got = False
+            for batch in batches:
+                for t in batch.column(0).to_pylist():
+                    if t is not None:
+                        g = np.unique(_shingle_hashes(t, n))
+                        _set_bits(local, _probe_matrix(g, k, m))
+                        got = True
+            if got:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([local.tobytes()], type=pa.binary())], names=["b"]
+                )
+
+        schema = StructType([StructField("b", BinaryType(), False)])
+        rows = texts.mapInArrow(build_part, schema).collect()
+        bitmap = np.zeros(n_words, dtype=np.uint64)
+        for r in rows:
+            bitmap |= np.frombuffer(r["b"], dtype=np.uint64)
+        return bitmap, m, k
+
     def seq_op(local: np.ndarray, row) -> np.ndarray:
         t = row[0]
         if t is not None:
@@ -166,6 +203,7 @@ def bloom_contamination(
     n: int = 3,
     min_hits: int = 1,
     fp_rate: float = 1e-3,
+    expected_grams: int | None = None,
 ) -> DataFrame:
     """Exact benchmark decontamination behind a Bloom prefilter — the
     bounded-memory tier above :func:`contamination_arrow` for benchmark
@@ -183,7 +221,8 @@ def bloom_contamination(
     """
     spark = df.sparkSession
     bitmap, m, k = build_gram_bloom(
-        benchmark, text_col=text_col, n=n, fp_rate=fp_rate
+        benchmark, text_col=text_col, n=n, fp_rate=fp_rate,
+        expected_grams=expected_grams,
     )
     bc = spark.sparkContext.broadcast(bitmap)
 

@@ -153,6 +153,30 @@ def test_build_gram_bloom_no_false_negatives(spark):
         assert _test_all_k(bitmap, _probe_matrix(g, k, m)).all()
 
 
+def test_bloom_treeaggregate_build_path_parity(spark, planted, monkeypatch):
+    """Forcing the executor-side treeAggregate build (the big-bitmap
+    path) must give the same filter — and the same exact answer — as
+    the collect-and-OR path."""
+    import jsl_engine.bloom as B
+
+    corpus, bench = planted
+    exact = _rows(T.contamination(corpus, bench, n=3))
+    monkeypatch.setattr(B, "_COLLECT_BITMAP_BYTES", 0)
+    assert _rows(B.bloom_contamination(corpus, bench, n=3)) == exact
+
+
+def test_bloom_expected_grams_skips_sizing_and_stays_exact(spark, planted):
+    """Caller-supplied sizing (grossly wrong in both directions) must
+    not change the answer — exactness never depends on the filter
+    geometry."""
+    corpus, bench = planted
+    exact = _rows(T.contamination(corpus, bench, n=3))
+    for eg in (1, 10_000_000):
+        assert _rows(
+            bloom_contamination(corpus, bench, n=3, expected_grams=eg)
+        ) == exact
+
+
 def test_bloom_plan_shape(spark, planted):
     """Scale gates: candidate ids re-enter the corpus via broadcast (no
     corpus shuffle to meet the candidate set), and nothing degenerates
