@@ -289,6 +289,146 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    codebooks: np.ndarray | None = None,
+    centroids: list[list[float]] | None = None,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    refine: int = 0,
+) -> DataFrame:
+    """IVF-PQ: coarse-cell pruning over the compressed code table — the
+    composition a 10^12-vector deployment actually runs (FAISS
+    ``IVFx,PQy`` shape, shared codebook over normalized vectors rather
+    than per-cell residuals — the simpler variant, documented).
+
+    Index = ONE Arrow pass producing ``(id, cell, codes)`` (coarse
+    assignment via the broadcast centroid matmul + PQ encode — this is
+    the narrow table you persist). Query = probe each query's best
+    ``n_probe`` cells and score **in whole-stage codegen**: the
+    broadcast probe table carries each query's flattened ADC lookup
+    table as an array column, the cell equi-join prunes the scan, and
+    the score is ``m_sub`` ``element_at`` lookups summed — no Python on
+    the query path at all. Exact cosine ``refine`` tail as in
+    :func:`pq_topk`.
+
+    Same output shape as :func:`pq_topk`; recall follows
+    ``n_probe/n_cells`` × code resolution (pytest-gated on planted
+    clusters; candidate misses are recovered by ``refine`` only within
+    probed cells, as in any IVF index)."""
+    from jsl_engine.similarity import train_ivf_centroids
+
+    spark = vectors.sparkSession
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("queries DataFrame is empty")
+    qx = _normalize_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
+    dim = qx.shape[1]
+    if codebooks is None:
+        codebooks = make_random_codebooks(
+            dim, m_sub=m_sub, k_codes=k_codes, seed=seed
+        )
+    m_sub_, k_codes_, sub = codebooks.shape
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+    cent = np.array(centroids, dtype=np.float64)
+
+    # --- index: one Arrow pass -> (id, cell, codes) ---
+    bc = spark.sparkContext.broadcast((cent, codebooks))
+    pruned = vectors.select(id_col, vec_col)
+    idx_schema = StructType(
+        [
+            pruned.schema[id_col],
+            StructField("cell", IntegerType(), False),
+            StructField("codes", ArrayType(IntegerType(), False), False),
+        ]
+    )
+
+    def index(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ctr, cb = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            x = _normalize_rows(
+                np.array(batch.column(1).to_pylist(), dtype=np.float64)
+            )
+            cell = np.argmax(x @ ctr.T, axis=1).astype(np.int32)
+            codes = _assign_codes(x, cb)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(cell, type=pa.int32()),
+                    pa.array(list(codes), type=pa.list_(pa.int32())),
+                ],
+                names=[batch.schema.field(0).name, "cell", "codes"],
+            )
+
+    encoded = pruned.mapInArrow(index, idx_schema)
+
+    # --- probe table: (query_id, cell, flat LUT) broadcast ---
+    probe_rows = []
+    for r, qv in zip(q_rows, qx):
+        lut = np.concatenate(
+            [qv[m * sub:(m + 1) * sub] @ codebooks[m].T for m in range(m_sub_)]
+        )
+        cells = np.argsort(-(qv @ cent.T), kind="stable")[:n_probe]
+        for c in cells:
+            probe_rows.append((r[0], int(c), [float(v) for v in lut]))
+    probe = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, f"query_id long, cell int, lut array<double>"
+        )
+    )
+
+    score = sum(
+        F.element_at(F.col("lut"), F.lit(m * k_codes_) + F.element_at(F.col("codes"), m + 1) + 1)
+        for m in range(m_sub_)
+    )
+    id_name = pruned.schema[0].name
+    scored = encoded.join(probe, "cell").select(
+        "query_id", id_name, F.round(score, 6).alias("adc_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc(id_name))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= max(k, refine)
+    )
+    if refine <= 0:
+        return ranked.where(F.col("rank") <= k)
+
+    from jsl_engine.similarity import cosine
+
+    q_vec_df = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__q_vec"),
+        )
+    )
+    rescored = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(ranked.select("query_id", id_name, "adc_sim")), id_name)
+        .join(q_vec_df, "query_id")
+        .select(
+            "query_id", id_name, "adc_sim",
+            F.round(cosine(F.col(vec_col), F.col("__q_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_name))
+    return rescored.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------------------
 # training
 # ---------------------------------------------------------------------------

@@ -201,6 +201,67 @@ def test_pq_refined_recall_on_clusters(spark):
         df.unpersist()
 
 
+def test_ivfpq_refined_recall_on_clusters(spark):
+    """IVF-PQ with a fraction of the cells probed + exact refine:
+    recall@10 vs exact cosine stays high on planted clusters (the
+    composed index a 10^12-vector deployment runs)."""
+    df, vecs = _clustered(spark, 400, 32, 6, seed=13)
+    try:
+        from jsl_engine.similarity import brute_force_topk
+
+        queries = df.where("vec_id in (0, 1, 2)").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        bf = {(r.query_id, r.vec_id)
+              for r in brute_force_topk(df, queries, k=10).collect()}
+        trained = P.train_pq_codebooks(df, m_sub=4, k_codes=16)
+        got = {(r.query_id, r.vec_id)
+               for r in P.ivfpq_topk(df, queries, k=10, n_cells=8, n_probe=3,
+                                     refine=80, codebooks=trained).collect()}
+        assert len(bf & got) / len(bf) >= 0.9, len(bf & got) / len(bf)
+    finally:
+        df.unpersist()
+
+
+def test_ivfpq_full_probe_lossless_equals_brute(spark):
+    """Full probe + lossless codebook: ADC equals the exact score, so
+    the result set must equal exact top-k."""
+    cb = P.make_random_codebooks(32, m_sub=4, k_codes=16, seed=3)
+    rng = np.random.default_rng(5)
+    picks = rng.integers(0, 16, size=(120, 4))
+    # vectors concatenated from 4 unit centroids have norm exactly 2, so
+    # the pipeline's normalization lands every subvector on cb/2 — a
+    # codebook of halved centroids quantizes losslessly
+    vecs = np.concatenate([cb[m][picks[:, m]] for m in range(4)], axis=1)
+    cb_n = cb / 2.0
+    df = _df(spark, vecs)
+    queries = df.where("vec_id in (0, 1)").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    from jsl_engine.similarity import brute_force_topk
+
+    bf = {(r.query_id, r.vec_id)
+          for r in brute_force_topk(df, queries, k=8).collect()}
+    got = {(r.query_id, r.vec_id)
+           for r in P.ivfpq_topk(df, queries, k=8, n_cells=4, n_probe=4,
+                                 refine=30, codebooks=cb_n).collect()}
+    assert got == bf
+
+
+def test_ivfpq_plan_shape(spark, gaussian):
+    """Scale gates: the probe table joins the encoded corpus as a
+    BroadcastHashJoin on cell (the corpus is never shuffled to meet the
+    queries) and nothing degenerates into a CartesianProduct."""
+    df, _ = gaussian
+    queries = df.where("vec_id in (0, 1)").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    plan = P.ivfpq_topk(df, queries, k=5, n_cells=4, n_probe=2
+                        )._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pq_distributed_trainer_matches_driver(spark):
     """Full-sample equivalence: same init, same Lloyd math — centroids
     agree to float-summation tolerance; partition-layout independent at
