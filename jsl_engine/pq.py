@@ -305,11 +305,11 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     refine: int = 0,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: coarse-cell pruning over the compressed code table — the
     composition a 10^12-vector deployment actually runs (FAISS
-    ``IVFx,PQy`` shape, shared codebook over normalized vectors rather
-    than per-cell residuals — the simpler variant, documented).
+    ``IVFx,PQy`` shape).
 
     Index = ONE Arrow pass producing ``(id, cell, codes)`` (coarse
     assignment via the broadcast centroid matmul + PQ encode — this is
@@ -320,6 +320,16 @@ def ivfpq_topk(
     the score is ``m_sub`` ``element_at`` lookups summed — no Python on
     the query path at all. Exact cosine ``refine`` tail as in
     :func:`pq_topk`.
+
+    ``residual=True`` quantizes ``x − centroid[cell]`` instead of ``x``
+    (the accuracy variant: residuals are centered and much smaller than
+    the vectors, so the same code budget spends its resolution on the
+    informative part). The ADC algebra stays codegen-friendly because
+    the codebook is shared across cells: ``score = <q, centroid[cell]>
+    + Σ_m LUT[m][code_m]`` — the per-(query, cell) constant rides the
+    probe table as a ``bias`` column. With ``codebooks=None`` residual
+    codebooks are trained on a bounded driver sample of residuals
+    (:func:`train_residual_pq_codebooks`).
 
     Same output shape as :func:`pq_topk`; recall follows
     ``n_probe/n_cells`` × code resolution (pytest-gated on planted
@@ -333,16 +343,22 @@ def ivfpq_topk(
         raise ValueError("queries DataFrame is empty")
     qx = _normalize_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
     dim = qx.shape[1]
-    if codebooks is None:
-        codebooks = make_random_codebooks(
-            dim, m_sub=m_sub, k_codes=k_codes, seed=seed
-        )
-    m_sub_, k_codes_, sub = codebooks.shape
     if centroids is None:
         centroids = train_ivf_centroids(
             vectors, n_cells=n_cells, vec_col=vec_col, id_col=id_col, seed=seed
         )
     cent = np.array(centroids, dtype=np.float64)
+    if codebooks is None:
+        if residual:
+            codebooks = train_residual_pq_codebooks(
+                vectors, cent, m_sub=m_sub, k_codes=k_codes,
+                vec_col=vec_col, id_col=id_col, seed=seed,
+            )
+        else:
+            codebooks = make_random_codebooks(
+                dim, m_sub=m_sub, k_codes=k_codes, seed=seed
+            )
+    m_sub_, k_codes_, sub = codebooks.shape
 
     # --- index: one Arrow pass -> (id, cell, codes) ---
     bc = spark.sparkContext.broadcast((cent, codebooks))
@@ -364,7 +380,7 @@ def ivfpq_topk(
                 np.array(batch.column(1).to_pylist(), dtype=np.float64)
             )
             cell = np.argmax(x @ ctr.T, axis=1).astype(np.int32)
-            codes = _assign_codes(x, cb)
+            codes = _assign_codes(x - ctr[cell] if residual else x, cb)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(0),
@@ -376,22 +392,24 @@ def ivfpq_topk(
 
     encoded = pruned.mapInArrow(index, idx_schema)
 
-    # --- probe table: (query_id, cell, flat LUT) broadcast ---
+    # --- probe table: (query_id, cell, bias, flat LUT) broadcast ---
     probe_rows = []
     for r, qv in zip(q_rows, qx):
         lut = np.concatenate(
             [qv[m * sub:(m + 1) * sub] @ codebooks[m].T for m in range(m_sub_)]
         )
-        cells = np.argsort(-(qv @ cent.T), kind="stable")[:n_probe]
+        cell_dots = qv @ cent.T
+        cells = np.argsort(-cell_dots, kind="stable")[:n_probe]
         for c in cells:
-            probe_rows.append((r[0], int(c), [float(v) for v in lut]))
+            bias = float(cell_dots[c]) if residual else 0.0
+            probe_rows.append((r[0], int(c), bias, [float(v) for v in lut]))
     probe = F.broadcast(
         spark.createDataFrame(
-            probe_rows, f"query_id long, cell int, lut array<double>"
+            probe_rows, "query_id long, cell int, bias double, lut array<double>"
         )
     )
 
-    score = sum(
+    score = F.col("bias") + sum(
         F.element_at(F.col("lut"), F.lit(m * k_codes_) + F.element_at(F.col("codes"), m + 1) + 1)
         for m in range(m_sub_)
     )
@@ -487,6 +505,45 @@ def train_pq_codebooks(
             xm = x[:, m * sub:(m + 1) * sub]
             for j in range(k_codes):
                 members = xm[codes[:, m] == j]
+                if len(members):
+                    cb[m, j] = members.mean(axis=0)
+    return cb
+
+
+def train_residual_pq_codebooks(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    *,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 10_000,
+    iterations: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Per-subspace Lloyd over **coarse residuals** (``x −
+    centroid[cell]`` on normalized vectors) from a bounded deterministic
+    driver sample — the codebooks :func:`ivfpq_topk(residual=True)`
+    scores with. Residuals are centered near zero with far less spread
+    than the vectors themselves, so the same ``k_codes`` budget resolves
+    much finer structure (pinned by the distortion test)."""
+    rows = (
+        vectors.select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
+        .select(vec_col).collect()
+    )
+    x = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    cent = np.asarray(centroids, dtype=np.float64)
+    cell = np.argmax(x @ cent.T, axis=1)
+    res = x - cent[cell]
+    sub = res.shape[1] // m_sub
+    cb = _init_codebooks(res, m_sub, k_codes, seed)
+    for _ in range(iterations):
+        codes = _assign_codes(res, cb)
+        for m in range(m_sub):
+            rm = res[:, m * sub:(m + 1) * sub]
+            for j in range(k_codes):
+                members = rm[codes[:, m] == j]
                 if len(members):
                     cb[m, j] = members.mean(axis=0)
     return cb

@@ -248,6 +248,107 @@ def test_ivfpq_full_probe_lossless_equals_brute(spark):
     assert got == bf
 
 
+def test_ivfpq_residual_cuts_distortion(spark):
+    """Residual codebooks must reconstruct far better than plain-vector
+    codebooks at the same bit budget (the point of residual encoding):
+    compare mean squared reconstruction error of x̂ = centroid + decode
+    vs x̂ = decode(plain)."""
+    from jsl_engine.similarity import train_ivf_centroids
+
+    df, vecs = _clustered(spark, 400, 32, 6, seed=13)
+    try:
+        cent = np.array(train_ivf_centroids(df, n_cells=8, id_col="vec_id"))
+        x = vecs.astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(x @ cent.T, axis=1)
+        res = x - cent[cell]
+
+        plain = P.train_pq_codebooks(df, m_sub=4, k_codes=16)
+        resid = P.train_residual_pq_codebooks(df, cent, m_sub=4, k_codes=16)
+
+        def mse(base, cb, target):
+            codes = np.empty((len(target), 4), dtype=np.int64)
+            for m in range(4):
+                d = ((target[:, None, m * 8:(m + 1) * 8] - cb[m][None]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d, axis=1)
+            recon = np.concatenate([cb[m][codes[:, m]] for m in range(4)], axis=1)
+            return float(((target - recon) ** 2).sum(axis=1).mean()), base + recon
+
+        mse_plain, _ = mse(0.0, plain, x)
+        mse_res, _ = mse(0.0, resid, res)
+        # measured ~0.0087 vs ~0.0134 on this fixture — a solid but not
+        # dramatic cut (6 tight clusters leave the plain codebook plenty
+        # of structure to spend its 16 codes on); gate the margin
+        assert mse_res < 0.8 * mse_plain, (mse_res, mse_plain)
+    finally:
+        df.unpersist()
+
+
+def test_ivfpq_residual_scores_are_more_accurate(spark):
+    """The residual variant's ADC scores must track the true cosine
+    more closely than plain shared-codebook PQ (mean absolute score
+    error — the deterministic quantity residual encoding improves;
+    rank-level recall@10 inside a near-tie cluster is a lottery for ANY
+    quantizer at this bit budget, so the behavioral gate is the refined
+    test below). Fixture has MORE clusters (32) than codes per subspace
+    (16): plain PQ cannot even represent every cluster center, while
+    the residual variant spends its entire budget on the (small)
+    within-cluster offsets — the regime residual encoding exists for."""
+    from jsl_engine.similarity import train_ivf_centroids
+
+    df, vecs = _clustered(spark, 600, 32, 32, seed=13)
+    try:
+        cent = np.array(train_ivf_centroids(df, n_cells=32, id_col="vec_id"))
+        x = vecs.astype(np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(x @ cent.T, axis=1)
+        res = x - cent[cell]
+        plain_cb = P.train_pq_codebooks(df, m_sub=4, k_codes=16)
+        resid_cb = P.train_residual_pq_codebooks(df, cent, m_sub=4, k_codes=16)
+
+        q = x[0]
+        true = x @ q
+
+        codes_p = _np_encode(vecs, plain_cb)
+        lut_p = np.concatenate([q[m * 8:(m + 1) * 8] @ plain_cb[m].T
+                                for m in range(4)])
+        s_p = sum(lut_p[m * 16 + codes_p[:, m]] for m in range(4))
+
+        codes_r = np.empty_like(codes_p)
+        for m in range(4):
+            d = ((res[:, None, m * 8:(m + 1) * 8] - resid_cb[m][None]) ** 2).sum(axis=2)
+            codes_r[:, m] = np.argmin(d, axis=1)
+        lut_r = np.concatenate([q[m * 8:(m + 1) * 8] @ resid_cb[m].T
+                                for m in range(4)])
+        s_r = (q @ cent.T)[cell] + sum(lut_r[m * 16 + codes_r[:, m]]
+                                       for m in range(4))
+        mae_p = float(np.abs(s_p - true).mean())
+        mae_r = float(np.abs(s_r - true).mean())
+        assert mae_r < 0.7 * mae_p, (mae_r, mae_p)
+    finally:
+        df.unpersist()
+
+
+def test_ivfpq_residual_refined_recall(spark):
+    """Residual IVF-PQ + exact refine on planted clusters: recall ≥ 0.9
+    at a fraction of the cells probed (the production configuration)."""
+    df, vecs = _clustered(spark, 400, 32, 6, seed=13)
+    try:
+        from jsl_engine.similarity import brute_force_topk
+
+        queries = df.where("vec_id in (0, 1, 2)").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        bf = {(r.query_id, r.vec_id)
+              for r in brute_force_topk(df, queries, k=10).collect()}
+        got = {(r.query_id, r.vec_id)
+               for r in P.ivfpq_topk(df, queries, k=10, n_cells=8, n_probe=3,
+                                     refine=80, residual=True).collect()}
+        assert len(bf & got) / len(bf) >= 0.9, len(bf & got) / len(bf)
+    finally:
+        df.unpersist()
+
+
 def test_ivfpq_plan_shape(spark, gaussian):
     """Scale gates: the probe table joins the encoded corpus as a
     BroadcastHashJoin on cell (the corpus is never shuffled to meet the
