@@ -66,6 +66,14 @@ def main() -> int:
     ap.add_argument("--exact-verify", action="store_true",
                     help="verify candidates with exact word-shingle "
                          "Jaccard instead of the signature estimate")
+    ap.add_argument("--embeddings", default=None,
+                    help="parquet of (vec_id, embedding) keyed by doc_id: "
+                         "adds embedding-cosine near-dup edges (SRP bucket "
+                         "+ guarded pair join) to the same component graph, "
+                         "so semantically-duplicate docs collapse even when "
+                         "their text n-grams differ")
+    ap.add_argument("--cos-threshold", type=float, default=0.98,
+                    help="cosine threshold for --embeddings edges")
     ap.add_argument("--keep-output", action="store_true")
     args = ap.parse_args()
 
@@ -97,6 +105,27 @@ def main() -> int:
     pairs = near_fn(
         survivors, threshold=args.threshold
     ).select("id_a", "id_b").localCheckpoint()
+    n_pairs_text = pairs.count()
+    n_pairs_emb = 0
+    if args.embeddings:
+        from jsl_engine.similarity import embedding_near_duplicates
+
+        emb = spark.read.parquet(args.embeddings)
+        # edges must stay within the exact-dedup survivors: an edge to an
+        # already-dropped doc could elect a dropped id as representative
+        # and over-drop its neighbors
+        ids = survivors.select(F.col("doc_id").alias("__sid"))
+        raw_pairs = embedding_near_duplicates(
+            emb, threshold=args.cos_threshold
+        ).select("id_a", "id_b")
+        emb_pairs = (
+            raw_pairs
+            .join(ids, raw_pairs.id_a == ids.__sid, "left_semi")
+            .join(ids, F.col("id_b") == ids.__sid, "left_semi")
+            .localCheckpoint()
+        )
+        n_pairs_emb = emb_pairs.count()
+        pairs = pairs.unionByName(emb_pairs).distinct().localCheckpoint()
     components_fn = connected_components_star if args.star else connected_components
     comp = components_fn(pairs)
     drop = comp.where(F.col("id") != F.col("component")).select(
@@ -116,6 +145,8 @@ def main() -> int:
         "near_dropped": n_after_exact - docs_out,
         "docs_out": docs_out,
         "pairs": n_pairs,
+        "pairs_text": n_pairs_text,
+        "pairs_embedding": n_pairs_emb,
         "components": n_components,
         "seconds": seconds,
         "docs_per_sec": round(docs_in / seconds, 1),

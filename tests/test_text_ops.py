@@ -639,6 +639,55 @@ def test_dedup_job_end_to_end(spark, tmp_path):
         assert rep["verify"] == ("exact" if "--exact-verify" in flag else "estimate")
 
 
+def test_dedup_job_embedding_mode(spark, tmp_path):
+    """--embeddings adds embedding-cosine edges to the component graph:
+    two docs with DIFFERENT text but near-identical vectors collapse,
+    and an embedding edge to an exact-dropped doc cannot over-drop (the
+    survivor semi-join)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    rows = [Row(doc_id=i, text=f"unique document {i} " + " ".join(
+        f"w{i}x{j}" for j in range(60))) for i in range(20)]
+    base = "repeated body " * 30
+    rows += [Row(doc_id=100, text=base), Row(doc_id=101, text=base)]  # exact dup
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows).repartition(2).write.parquet(src)
+
+    rng = np.random.default_rng(3)
+    vecs = {i: rng.normal(size=16) for i in [r.doc_id for r in rows]}
+    vecs[7] = vecs[3] + rng.normal(scale=1e-3, size=16)   # semantic dup pair
+    vecs[101] = vecs[5] + rng.normal(scale=1e-3, size=16)  # edge to exact-dropped doc
+    emb = str(tmp_path / "emb_in")
+    spark.createDataFrame(
+        [Row(vec_id=int(i), embedding=[float(x) for x in v])
+         for i, v in vecs.items()]
+    ).write.parquet(emb)
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, str(repo / "jobs" / "dedup_job.py"),
+         "--input", src, "--threshold", "0.6", "--cpus", "4",
+         "--embeddings", emb, "--cos-threshold", "0.99",
+         "--keep-output", "--output", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    rep = json.loads(line)
+    assert rep["docs_in"] == 22
+    assert rep["exact_dropped"] == 1           # 101 dies in exact dedup
+    assert rep["pairs_embedding"] == 1         # (3,7); (5,101) filtered out
+    assert rep["near_dropped"] == 1            # 7 collapses into 3
+    kept = {r.doc_id for r in
+            spark.read.parquet(str(tmp_path / "out" / "documents")).collect()}
+    assert 3 in kept and 7 not in kept
+    assert 5 in kept                           # NOT over-dropped via 101
+
+
 def test_curate_job_end_to_end(spark, tmp_path):
     """The composed curation job (quality -> language -> decontamination
     -> mixture -> redaction -> split) with a corpus planting each drop
