@@ -461,26 +461,60 @@ def _docs_with_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_secret_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secret/PII detection counts per document (emails, IPs, AWS keys,
-    long hex tokens, private-key headers planted into every 5th doc) —
-    map-only JVM regexp_count, fully oracled via RE2 regexp_extract_all
-    with the pattern list generated from the same PATTERNS table."""
-    from jsl_engine.redaction import secret_scan
+    """Secret/PII detection AND redaction, BOTH operators in one
+    oracled query (the merge keeps both under the driver's 50-slot
+    correctness window): per-pattern counts (emails, IPs, AWS keys,
+    long hex tokens, private-key headers planted into every 5th doc —
+    map-only JVM regexp_count) joined with the redaction result
+    (placeholders substituted in PATTERNS order; the redacted text is
+    compared by sha256, full-text equality through the hash gate). One
+    generated oracle covers the pattern list, the sequential-replace
+    semantics and the count parity."""
+    from jsl_engine.redaction import redact_secrets, secret_scan
 
-    return secret_scan(_docs_with_secrets(spark, sf_dir))
-
-
-def q_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Secret redaction: placeholders substituted in PATTERNS order; the
-    redacted text is compared by sha256 (full-text equality through the
-    hash gate) alongside the redaction count."""
-    from jsl_engine.redaction import redact_secrets
-
-    out = redact_secrets(_docs_with_secrets(spark, sf_dir))
-    return out.select(
+    docs = _docs_with_secrets(spark, sf_dir)
+    scan = secret_scan(docs)
+    red = redact_secrets(docs).select(
         "doc_id",
         F.sha2("redacted", 256).alias("redacted_sha256"),
         "n_redactions",
+    )
+    return scan.join(red, "doc_id")
+
+
+#: Deterministic boilerplate injection for the line-dedup driver query
+#: (testdata documents are single-line word salads): every 3rd doc gains
+#: a banner line, every 4th a footer — mirrored verbatim in the oracle.
+_BOILERPLATE_BANNER = "Generated by synthcorpus v1 - do not edit"
+_BOILERPLATE_FOOTER = "(c) example corp - all rights reserved"
+
+
+def q_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (the CCNet remove-duplicated-paragraphs
+    step at line granularity): lines appearing in ≥ min_docs documents
+    are stripped, order preserved, empty lines structural. Boilerplate
+    is planted in-query (banner on doc_id%3==0, footer on doc_id%4==0);
+    the cleaned text rides the hash gate as sha256. Phase 1 is one
+    heavy-hitters-sized aggregation; phase 2 is a map-only Arrow
+    rewrite against the broadcast line set."""
+    from jsl_engine.text_ops import remove_frequent_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(_BOILERPLATE_BANNER + "\n")).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("\n" + _BOILERPLATE_FOOTER)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = remove_frequent_lines(docs, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.sha2("text", 256).alias("clean_sha256"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_removed").cast("int").alias("n_removed"),
     )
 
 
@@ -1006,7 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk_documents": q_vocab_topk_documents,
         "curation_report_documents": q_curation_report_documents,
         "secret_scan_documents": q_secret_scan_documents,
-        "redact_documents": q_redact_documents,
+        "line_dedup_documents": q_line_dedup_documents,
         "license_scan_documents": q_license_scan_documents,
         "license_rollup_documents": q_license_rollup_documents,
         "code_profile_documents": q_code_profile_documents,
@@ -1338,10 +1372,15 @@ def _secret_inject_cte() -> str:
 
 
 def _secret_scan_oracle_sql() -> str:
-    """Generated from redaction.PATTERNS — one len(regexp_extract_all)
-    per pattern (RE2 counts non-overlapping matches exactly like
-    Spark's regexp_count). Pattern syntax is the shared Java/RE2 subset
-    by construction (see jsl_engine/redaction.py)."""
+    """Generated from redaction.PATTERNS, covering BOTH merged arms of
+    the driver query: one len(regexp_extract_all) per pattern (RE2
+    counts non-overlapping matches exactly like Spark's regexp_count)
+    plus the redaction chain — regexp_replace in the same order with
+    the 'g' flag (Spark's regexp_replace is global by default; DuckDB's
+    needs the flag); n_redactions mirrors the sequential semantics
+    (pattern i counted with patterns 0..i-1 already applied). Pattern
+    syntax is the shared Java/RE2 subset by construction (see
+    jsl_engine/redaction.py)."""
     from jsl_engine.redaction import PATTERNS
 
     counts = ",\n                   ".join(
@@ -1351,36 +1390,64 @@ def _secret_scan_oracle_sql() -> str:
     total = " + ".join(
         f"len(regexp_extract_all(text, '{rx}'))" for _, rx, _ in PATTERNS
     )
+    expr = "text"
+    red_terms = []
+    for _, rx, repl in PATTERNS:
+        red_terms.append(f"len(regexp_extract_all({expr}, '{rx}'))")
+        expr = f"regexp_replace({expr}, '{rx}', '{repl}', 'g')"
+    red_total = " + ".join(red_terms)
     return f"""
         WITH {_secret_inject_cte()}
         SELECT doc_id,
                    {counts},
                    ({total})::BIGINT AS n_secrets,
-                   ({total}) > 0 AS has_secret
+                   ({total}) > 0 AS has_secret,
+                   sha256({expr}) AS redacted_sha256,
+                   ({red_total})::BIGINT AS n_redactions
         FROM docs2
     """
 
 
-def _redact_oracle_sql() -> str:
-    """Generated from redaction.PATTERNS — regexp_replace chain in the
-    same order with the 'g' flag (Spark's regexp_replace is global by
-    default; DuckDB's needs the flag). n_redactions mirrors the
-    sequential semantics: pattern i is counted on the chain with
-    patterns 0..i-1 already applied."""
-    from jsl_engine.redaction import PATTERNS
-
-    expr = "text"
-    terms = []
-    for _, rx, repl in PATTERNS:
-        terms.append(f"len(regexp_extract_all({expr}, '{rx}'))")
-        expr = f"regexp_replace({expr}, '{rx}', '{repl}', 'g')"
-    total = " + ".join(terms)
+def _line_dedup_oracle_sql() -> str:
+    """DuckDB re-derivation of corpus-level line dedup over the planted
+    boilerplate: distinct-per-doc line counts, a >= 2-doc frequent set
+    aggregated into one list, and a list_filter reassembly that keeps
+    empty lines (structure) and preserves order."""
     return f"""
-        WITH {_secret_inject_cte()}
+        WITH docs2 AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 3 = 0
+                         THEN '{_BOILERPLATE_BANNER}' || chr(10) ELSE '' END)
+                   || text ||
+                   (CASE WHEN doc_id % 4 = 0
+                         THEN chr(10) || '{_BOILERPLATE_FOOTER}' ELSE '' END)
+                       AS text
+            FROM documents
+        ),
+        perdoc AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split(text, chr(10)))) AS line
+            FROM docs2
+        ),
+        freq AS (
+            SELECT line FROM perdoc WHERE line <> ''
+            GROUP BY line HAVING COUNT(*) >= 2
+        ),
+        fl AS (SELECT COALESCE(list(line), []) AS drop_lines FROM freq),
+        split AS (
+            SELECT d.doc_id, string_split(d.text, chr(10)) AS ls, f.drop_lines
+            FROM docs2 d CROSS JOIN fl f
+        ),
+        kept AS (
+            SELECT doc_id, ls,
+                   list_filter(ls, l -> l = '' OR NOT list_contains(drop_lines, l)) AS ks
+            FROM split
+        )
         SELECT doc_id,
-               sha256({expr}) AS redacted_sha256,
-               ({total})::BIGINT AS n_redactions
-        FROM docs2
+               sha256(array_to_string(ks, chr(10))) AS clean_sha256,
+               len(ls)::INT AS n_lines,
+               (len(ls) - len(ks))::INT AS n_removed
+        FROM kept
     """
 
 def _stats_numeric_one(col: str) -> str:
@@ -1870,7 +1937,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "curation_report_documents": _curation_report_oracle_sql(),
         "secret_scan_documents": _secret_scan_oracle_sql(),
-        "redact_documents": _redact_oracle_sql(),
+        "line_dedup_documents": _line_dedup_oracle_sql(),
         "vocab_topk_documents": """
             WITH toks AS (
                 SELECT lang, unnest(regexp_split_to_array(

@@ -106,6 +106,10 @@ def main() -> int:
                          "share bound rejects ALL short docs)")
     ap.add_argument("--langs", default="",
                     help="comma-separated lang_id allowlist; empty = keep all")
+    ap.add_argument("--dedup-lines", type=int, default=None,
+                    help="strip lines appearing in >= N documents before "
+                         "scoring (corpus-level boilerplate removal, "
+                         "CCNet-style; e.g. 5)")
     ap.add_argument("--lang-engine", choices=("jvm", "arrow"), default="jvm",
                     help="language-id engine for --langs: 'arrow' uses the "
                          "numpy kernel (~2.5x the JVM rate, parity-pinned "
@@ -148,6 +152,23 @@ def main() -> int:
     t0 = time.time()
     docs = spark.read.parquet(args.input)
     docs_in = docs.count()
+
+    # stage 0 (optional): corpus-level line dedup BEFORE scoring — the
+    # CCNet order: boilerplate lines would otherwise drag every scorer
+    # (quality/repetition/fluency) toward the shared chrome instead of
+    # the document's own content. Rewrites text; keeps the other columns.
+    n_lines_removed = 0
+    if args.dedup_lines is not None:
+        from jsl_engine.text_ops import remove_frequent_lines
+
+        extra = tuple(c for c in docs.columns if c not in ("doc_id", "text"))
+        cleaned = remove_frequent_lines(
+            docs, min_docs=args.dedup_lines, keep_cols=extra
+        ).localCheckpoint()
+        n_lines_removed = cleaned.agg(
+            F.sum("n_removed").cast("long")
+        ).first()[0] or 0
+        docs = cleaned.drop("n_lines", "n_removed")
 
     # localCheckpoint after each filter stage: the per-stage report
     # counts and the final write are separate actions — without
@@ -258,6 +279,7 @@ def main() -> int:
 
     print(json.dumps({
         "docs_in": docs_in,
+        "lines_removed": int(n_lines_removed),
         "quality_dropped": docs_in - n_quality,
         "repetition_dropped": n_quality - n_repetition,
         "lang_dropped": n_repetition - n_lang,

@@ -1756,3 +1756,132 @@ def dedup_near(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# line-level (boilerplate) dedup — the CCNet "remove duplicated
+# paragraphs" step, at line granularity
+# ---------------------------------------------------------------------------
+
+def frequent_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Lines (``\\n``-separated, non-empty) appearing in at least
+    ``min_docs`` DISTINCT documents — the boilerplate inventory
+    (headers, footers, license banners, navigation chrome) that
+    corpus-level line dedup removes. Output: ``line, n_docs``.
+
+    Scale shape: explode is map-side; the count aggregates with
+    map-side partial combine on ``(line)`` after an in-doc
+    ``array_distinct`` (one row per (doc, distinct line)), so the
+    shuffle carries distinct (doc, line) pairs, never repeated lines;
+    the output is heavy-hitters-sized by construction (a line needs
+    ``min_docs`` independent documents to appear at all).
+
+    North-rule context: engine-level addition (the reference validates
+    single documents; reference scope src/lib.rs:114-118)."""
+    lines = df.select(
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), "\n"))
+        ).alias("line")
+    ).where(F.col("line") != "")
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(min_docs))
+    )
+
+
+#: Collected-boilerplate guard: remove_frequent_lines collects the
+#: frequent-line set to the driver for the map-only rewrite; a corpus
+#: whose "boilerplate" exceeds this is mis-thresholded (raise min_docs),
+#: not a bigger driver problem.
+MAX_FREQUENT_LINES = 1_000_000
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    frequent: "list[str] | None" = None,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Corpus-level line dedup: drop every line that appears in ≥
+    ``min_docs`` documents, keeping each document's remaining lines in
+    order. Output::
+
+        <id_col>, text, n_lines, n_removed, *keep_cols
+
+    Two phases: (1) :func:`frequent_lines` (one aggregation whose
+    output is heavy-hitters-sized), collected to the driver under
+    :data:`MAX_FREQUENT_LINES` and broadcast; (2) a map-only Arrow
+    rewrite — split, drop members of the broadcast set, rejoin. The
+    full corpus is touched exactly once per phase and never shuffled
+    in phase 2 (empty lines are never removed — they carry document
+    structure, and counting them would make every two multi-paragraph
+    docs "share" a line). Pass ``frequent`` to skip phase 1 (e.g. a
+    curated boilerplate list, or a count reused across snapshots)."""
+    from typing import Iterator as _Iterator
+
+    import pyarrow as pa
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    spark = df.sparkSession
+    if frequent is None:
+        rows = frequent_lines(
+            df, text_col=text_col, id_col=id_col, min_docs=min_docs
+        ).limit(MAX_FREQUENT_LINES + 1).collect()
+        if len(rows) > MAX_FREQUENT_LINES:
+            raise ValueError(
+                f"more than {MAX_FREQUENT_LINES} frequent lines at "
+                f"min_docs={min_docs}; raise the threshold"
+            )
+        frequent = [r["line"] for r in rows]
+    bc = spark.sparkContext.broadcast(frozenset(frequent))
+
+    pruned = df.select(id_col, text_col, *keep_cols)
+    out_schema = StructType(
+        [
+            pruned.schema[id_col],
+            StructField("text", StringType(), True),
+            StructField("n_lines", IntegerType(), False),
+            StructField("n_removed", IntegerType(), False),
+            *[pruned.schema[c] for c in keep_cols],
+        ]
+    )
+
+    def run(batches: "_Iterator[pa.RecordBatch]") -> "_Iterator[pa.RecordBatch]":
+        drop = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            out_t, out_n, out_r = [], [], []
+            for t in texts:
+                if t is None:
+                    out_t.append(None); out_n.append(0); out_r.append(0)
+                    continue
+                lines = t.split("\n")
+                kept = [l for l in lines if l == "" or l not in drop]
+                out_t.append("\n".join(kept))
+                out_n.append(len(lines))
+                out_r.append(len(lines) - len(kept))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(out_t, type=pa.string()),
+                    pa.array(out_n, type=pa.int32()),
+                    pa.array(out_r, type=pa.int32()),
+                    *[batch.column(2 + j) for j in range(len(keep_cols))],
+                ],
+                names=[batch.schema.field(0).name, "text", "n_lines",
+                       "n_removed", *keep_cols],
+            )
+
+    return pruned.mapInArrow(run, out_schema)

@@ -1295,3 +1295,61 @@ def test_vocabulary_drift_jsd(spark):
                 rest.update(c)
         assert capped[part] == round(jsd(bucket(counts[part]), bucket(rest)), 6)
         assert capped[part] <= got[part].js_divergence + 1e-9
+
+
+def test_frequent_lines_and_removal(spark):
+    """Planted boilerplate (a banner in 3 docs, a footer in 2) is
+    inventoried and stripped; unique lines and line ORDER survive; empty
+    lines are structural and never removed; counts are exact."""
+    banner = "Generated by tool v1 - do not edit"
+    footer = "All rights reserved"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{banner}\nalpha beta\n\ngamma\n{footer}"),
+        Row(doc_id=2, text=f"{banner}\ndelta epsilon\n{footer}"),
+        Row(doc_id=3, text=f"{banner}\nzeta eta theta"),
+        Row(doc_id=4, text="totally unique content\n\nmore unique lines"),
+    ])
+    freq = {r.line: r.n_docs for r in T.frequent_lines(docs).collect()}
+    assert freq == {banner: 3, footer: 2}
+
+    out = {r.doc_id: r for r in T.remove_frequent_lines(docs).collect()}
+    assert out[1].text == "alpha beta\n\ngamma"
+    assert out[1].n_lines == 5 and out[1].n_removed == 2
+    assert out[2].text == "delta epsilon"
+    assert out[3].text == "zeta eta theta"
+    assert out[4].text == "totally unique content\n\nmore unique lines"
+    assert out[4].n_removed == 0
+
+    # a supplied boilerplate list skips the counting phase and matches
+    out2 = {r.doc_id: r.text for r in T.remove_frequent_lines(
+        docs, frequent=[banner, footer]).collect()}
+    assert out2 == {i: out[i].text for i in out}
+
+
+def test_remove_frequent_lines_threshold_and_plan(spark):
+    """min_docs raises the bar (footer in 2 docs survives at 3); the
+    rewrite stage itself is map-only."""
+    banner = "the banner line"
+    footer = "the footer line"
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{banner}\na\n{footer}"),
+        Row(doc_id=2, text=f"{banner}\nb\n{footer}"),
+        Row(doc_id=3, text=f"{banner}\nc"),
+    ])
+    out = {r.doc_id: r.text
+           for r in T.remove_frequent_lines(docs, min_docs=3).collect()}
+    assert out == {1: f"a\n{footer}", 2: f"b\n{footer}", 3: "c"}
+    plan = (T.remove_frequent_lines(docs, frequent=[banner])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_remove_frequent_lines_null_and_empty(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_lines, r.n_removed)
+           for r in T.remove_frequent_lines(docs, frequent=["x"]).collect()}
+    assert out[1] == (None, 0, 0)
+    assert out[2] == ("", 1, 0)
