@@ -125,6 +125,10 @@ def main() -> int:
                     help="replace detected secrets/PII with placeholders")
     ap.add_argument("--rate", action="append", default=[],
                     help="SRC=RATE per-source mixture keep rate (repeatable)")
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="derive per-source rates from temperature-scaled "
+                         "source sizes (rate_s = (n_s/n_min)^(T-1); T=1 "
+                         "natural, T->0 uniform); exclusive with --rate")
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--eval-permille", type=int, default=50)
     ap.add_argument("--cpus", type=int, default=8)
@@ -257,6 +261,14 @@ def main() -> int:
     else:
         n_decon = n_license
 
+    if args.temperature is not None:
+        from jsl_engine.sampling import temperature_rates
+
+        if rates:
+            ap.error("--temperature and --rate are mutually exclusive")
+        # rates from the SURVIVOR distribution: the recipe balances what
+        # actually enters the mix, not the pre-filter corpus
+        rates = temperature_rates(survivors, temperature=args.temperature)
     mixed = mixture_sample(survivors, rates, default_rate=args.default_rate)
     n_mixed = mixed.count()
 

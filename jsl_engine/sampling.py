@@ -191,3 +191,46 @@ def hash_split(
             F.lit("train")
         ),
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    *,
+    temperature: float = 0.7,
+    source_col: str = "source",
+    max_rate: float = 1.0,
+) -> dict[str, float]:
+    """Per-source keep rates from temperature-scaled source sizes — the
+    standard multilingual/multi-source re-balancing recipe: sampling
+    probability ∝ ``n_s^temperature``, so ``temperature=1`` keeps natural
+    proportions and ``temperature→0`` flattens toward uniform. Rates are
+    normalized so the SMALLEST source's rate is ``max_rate`` (i.e. only
+    down-sampling — this engine's mixture step is a filter, not a row
+    replicator — so flattening means cutting the big sources down toward
+    the small ones): ``rate_s = max_rate · (n_s / n_min)^(T−1)``, which
+    is ≤ ``max_rate`` for every source when ``T ≤ 1``.
+
+    One aggregation over the corpus (shuffle = #sources rows), then feed
+    the dict straight into :func:`mixture_sample`::
+
+        rates = temperature_rates(docs, temperature=0.7)
+        mix = mixture_sample(docs, rates)
+
+    Rates are rounded to the permille grid ``mixture_sample`` selects on,
+    so the returned dict IS the realized contract (no hidden rounding)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return {}
+    n_min = min(counts.values())
+    out = {}
+    for src, n in sorted(counts.items()):
+        rate = max_rate * (n / n_min) ** (temperature - 1.0)
+        rate = min(max_rate, rate)
+        out[src] = round(min(1.0, rate) * 1000) / 1000.0
+    return out

@@ -34,3 +34,38 @@ def test_unknown_format(spark):
 def test_iceberg_unavailable_message(spark, tmp_path):
     with pytest.raises(RuntimeError, match="iceberg-spark runtime"):
         load_corpus(spark, "db.tbl", source_format="iceberg")
+
+
+def test_temperature_rates(spark):
+    """T=1 keeps natural proportions (all rates = max); T<1 boosts small
+    sources RELATIVE to big ones (rates anti-monotone in size, largest
+    pinned at max_rate); T→0 approaches uniform target counts; rates are
+    permille-rounded so they equal mixture_sample's realized contract."""
+    from pyspark.sql import Row
+
+    from jsl_engine.sampling import mixture_sample, temperature_rates
+
+    rows = (
+        [Row(doc_id=i, source="big") for i in range(800)]
+        + [Row(doc_id=10_000 + i, source="mid") for i in range(200)]
+        + [Row(doc_id=20_000 + i, source="small") for i in range(50)]
+    )
+    df = spark.createDataFrame(rows)
+
+    nat = temperature_rates(df, temperature=1.0)
+    assert nat == {"big": 1.0, "mid": 1.0, "small": 1.0}
+
+    t = temperature_rates(df, temperature=0.5)
+    # rate_s = (n_s/n_min)^(T-1): big 0.25, mid 0.5, small 1.0 —
+    # anti-monotone in source size, smallest pinned at max_rate
+    assert t == {"big": 0.25, "mid": 0.5, "small": 1.0}
+    # target counts flatten: 800→200, 200→100, 50→50 (∝ sqrt(n)·√n_min)
+    kept = mixture_sample(df, t).groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in kept}
+    assert abs(got["big"] - 200) <= 40
+    assert abs(got["mid"] - 100) <= 25
+    assert got["small"] == 50
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_rates(df, temperature=0.0)
