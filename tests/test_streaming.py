@@ -692,3 +692,43 @@ def test_fused_curation_composes_with_streams(spark, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     assert sum(1 for r in got if r.n_secrets > 0) == 12
     assert sum(1 for r in got if not r.ok) == 16
+
+
+def test_line_dedup_composes_with_streams(spark, tmp_path):
+    """remove_frequent_lines with a supplied boilerplate list is a pure
+    map pass (the set broadcasts at plan time), so it runs unchanged
+    over a file-source stream: streaming results == batch results. (The
+    counting phase is a batch aggregation by design — boilerplate
+    inventories come from a snapshot, not the stream.)"""
+    from pyspark.sql import Row
+
+    from jsl_engine.text_ops import remove_frequent_lines
+
+    banner = "generated header - do not edit"
+    src = str(tmp_path / "ld_src")
+    rows = [
+        Row(doc_id=i, text=(f"{banner}\nbody line {i}\nmore {i}"
+                            if i % 2 == 0 else f"body line {i}"))
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows).repartition(4).write.parquet(src)
+    batch_df = spark.read.parquet(src)
+    stream_df = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        remove_frequent_lines(stream_df, frequent=[banner])
+        .writeStream.format("memory")
+        .queryName("ld_stream")
+        .option("checkpointLocation", str(tmp_path / "ld_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ld_stream").collect()))
+    want = sorted(map(tuple,
+                      remove_frequent_lines(batch_df, frequent=[banner]).collect()))
+    assert got == want
+    assert sum(1 for r in got if r[3] == 1) == 20  # every even doc lost the banner
