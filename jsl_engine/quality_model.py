@@ -1,0 +1,154 @@
+"""Model-based quality filtering (pyspark.ml logistic regression).
+
+Heuristic thresholds (:func:`jsl_engine.text_ops.quality_score`) are the
+first line of curation; production pipelines follow them with a LEARNED
+quality classifier (the GPT-3/CCNet pattern: score every document by a
+model trained to separate a trusted "good" reference set from raw crawl,
+keep by probability). This module wires that stage Spark-first:
+
+* **features** are the engine's existing per-document metrics
+  (:func:`text_profile` + the Gopher repetition profile's duplicate-line
+  share) computed in ONE JVM projection — no Python on the scan;
+* **training** uses ``pyspark.ml`` (``VectorAssembler`` →
+  ``LogisticRegression``) on a labeled frame: distributed, deterministic
+  (fixed solver iterations, no sampling), and tiny to persist
+  (coefficients only);
+* **scoring** is the fitted model's ``transform`` — a map-only pass at
+  any corpus size, broadcast coefficients.
+
+The production analogue swaps the feature vector for n-gram/fastText
+projections behind the same ``(features) → p_good`` column contract; the
+plumbing (assembler, trainer, scorer, filter) is what this module pins.
+
+North-rule context: engine-level addition (the reference validates
+single documents; reference scope src/lib.rs:114-118).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Feature columns the assembler consumes — all produced by
+#: quality_features in one scan.
+FEATURE_COLS = (
+    "n_chars",
+    "n_tokens",
+    "punct_ratio",
+    "digit_ratio",
+    "upper_ratio",
+    "avg_token_len",
+    "dup_line_share",
+)
+
+
+def quality_features(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document numeric feature frame (one JVM projection)::
+
+        <id_col>, n_chars, n_tokens, punct_ratio, digit_ratio,
+        upper_ratio, avg_token_len, dup_line_share [, *keep_cols]
+
+    ``dup_line_share`` = fraction of line instances that are duplicates
+    of another line in the SAME document (the strongest single Gopher
+    repetition signal), computed with array HOFs off one split."""
+    from jsl_engine.text_ops import text_profile
+
+    prof = text_profile(df, text_col, id_col, keep_cols=(text_col,) + keep_cols)
+    lines = F.split(F.col(text_col), "\n", -1)
+    n_lines = F.size(lines)
+    dup_share = F.round(
+        (n_lines - F.size(F.array_distinct(lines)))
+        / F.greatest(n_lines, F.lit(1)).cast("double"),
+        6,
+    )
+    return prof.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "avg_token_len",
+        dup_share.alias("dup_line_share"),
+        *keep_cols,
+    )
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    *,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+    reg_param: float = 0.01,
+):
+    """Fit the quality classifier on a labeled frame (``label_col`` = 1
+    for good/reference documents, 0 for raw/bad). Returns the fitted
+    ``pyspark.ml.PipelineModel`` (assembler + standardized logistic
+    regression). Deterministic: LBFGS with a fixed iteration cap, no
+    sampling anywhere."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    feats = quality_features(
+        labeled, text_col=text_col, id_col=id_col, keep_cols=(label_col,)
+    )
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=list(FEATURE_COLS), outputCol="__raw"),
+        StandardScaler(inputCol="__raw", outputCol="__features",
+                       withMean=True, withStd=True),
+        LogisticRegression(featuresCol="__features", labelCol=label_col,
+                           maxIter=max_iter, regParam=reg_param),
+    ])
+    return pipe.fit(feats)
+
+
+def score_quality(
+    df: DataFrame,
+    model,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(id_col, p_good, *keep_cols)`` — the model's good-class
+    probability per document; one feature projection + one map-only
+    model transform (coefficients broadcast by Spark ML)."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = quality_features(
+        df, text_col=text_col, id_col=id_col, keep_cols=keep_cols
+    )
+    scored = model.transform(feats)
+    return scored.select(
+        id_col,
+        F.round(
+            F.element_at(vector_to_array(F.col("probability")), 2), 6
+        ).alias("p_good"),
+        *keep_cols,
+    )
+
+
+def model_quality_filter(
+    df: DataFrame,
+    model,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep documents the model scores at or above ``threshold`` —
+    returns the INPUT rows (all columns), filtered via a join on the
+    scored ids (ids shuffle, text does not re-scan)."""
+    keep = score_quality(df, model, text_col=text_col, id_col=id_col).where(
+        F.col("p_good") >= F.lit(threshold)
+    )
+    return df.join(keep.select(id_col), id_col)

@@ -1,0 +1,77 @@
+"""Model-based quality filter (jsl_engine.quality_model).
+
+Planted corpus: "good" documents are natural-ish prose; "bad" documents
+are symbol spam, digit dumps, and copy-paste line repetition — exactly
+the axes the feature vector measures. The trained classifier must
+separate held-out docs of both classes, the scorer must be
+deterministic, and the filter must return input rows."""
+
+import pytest
+from pyspark.sql import Row
+
+from jsl_engine.quality_model import (
+    FEATURE_COLS,
+    model_quality_filter,
+    quality_features,
+    score_quality,
+    train_quality_model,
+)
+
+
+def _good(i: int) -> str:
+    return (
+        f"Chapter {i}. The morning light settled over the valley and the "
+        "travellers spoke quietly about the road ahead, pausing to share "
+        "bread and to study the worn map they carried between them."
+    )
+
+
+def _bad(i: int) -> str:
+    kind = i % 3
+    if kind == 0:
+        return "$$$ ### @@@ %%% ^^^ &&& *** !!! ??? ;;; ::: |||" * 4
+    if kind == 1:
+        return " ".join(str(1000000 + i * j) for j in range(40))
+    return ("click here to win\n" * 12) + f"offer {i}"
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rows = [Row(doc_id=i, text=_good(i), label=1.0) for i in range(40)]
+    rows += [Row(doc_id=100 + i, text=_bad(i), label=0.0) for i in range(40)]
+    return spark.createDataFrame(rows).cache()
+
+
+def test_quality_features_shape(spark, labeled):
+    out = quality_features(labeled).collect()
+    assert len(out) == 80
+    cols = set(out[0].asDict())
+    assert set(FEATURE_COLS) <= cols
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[102].dup_line_share > 0.5   # the copy-paste doc
+    assert by_id[101].digit_ratio > 0.5      # the digit dump
+    assert by_id[0].dup_line_share == 0.0
+
+
+def test_classifier_separates_held_out(spark, labeled):
+    train = labeled.where("doc_id % 2 = 0")
+    test = labeled.where("doc_id % 2 = 1")
+    model = train_quality_model(train)
+    scored = {r.doc_id: r.p_good
+              for r in score_quality(test, model).collect()}
+    good = [v for k, v in scored.items() if k < 100]
+    bad = [v for k, v in scored.items() if k >= 100]
+    assert min(good) > max(bad), (min(good), max(bad))
+    acc = (sum(v >= 0.5 for v in good) + sum(v < 0.5 for v in bad)) / len(scored)
+    assert acc >= 0.95, acc
+
+
+def test_scoring_deterministic_and_filter_returns_rows(spark, labeled):
+    model = train_quality_model(labeled)
+    a = sorted(map(tuple, score_quality(labeled, model).collect()))
+    b = sorted(map(tuple, score_quality(labeled.repartition(7), model).collect()))
+    assert a == b
+    kept = model_quality_filter(labeled, model, threshold=0.5)
+    assert set(kept.columns) == set(labeled.columns)
+    ids = {r.doc_id for r in kept.collect()}
+    assert all(i < 100 for i in ids) and len(ids) >= 36
