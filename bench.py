@@ -64,10 +64,21 @@ def main() -> int:
     ).collect()
 
     timings: dict[str, float] = {}
+    import gc
+
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
+        # release per-query session state between measurements: several
+        # queries eagerly cache or localCheckpoint internally, and ~50
+        # accumulated block sets push later queries over the storage
+        # cliff (measured: the driver-loop components query 3.5s
+        # isolated vs 25s at the tail of a dirty session). clearCache
+        # drops caches; gc.collect() drops the checkpointed frames'
+        # references so the ContextCleaner can reap their blocks.
+        spark.catalog.clearCache()
+        gc.collect()
 
     # flagship throughput: validate a 200k-doc corpus (from parquet)
     input_path = f"/tmp/jsl_bench_corpus_{VALIDATE_ROWS}"
