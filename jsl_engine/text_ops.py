@@ -1615,15 +1615,22 @@ def connected_components(
         # the driver OOMs just rendering the plan (found by the
         # nonconvergence regression test). Checkpointing truncates the
         # lineage so every round starts from a flat scan of stored blocks.
+        # eager=False + the changed-count as the materializing action:
+        # ONE job per round both stores the checkpoint blocks and answers
+        # convergence (the former separate eager-checkpoint job cost a
+        # full extra driver round trip per iteration — the dominant cost
+        # of this loop on a loaded host, where per-job latency inflates).
+        # The count must be FULL (no limit-short-circuit): a partial job
+        # would leave checkpoint partitions unmaterialized, and once the
+        # previous labels unpersist below they are unrecomputable.
         new_labels = (
             labels.select("id", "component").union(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "id")
             .where(F.col("component") != F.col("old"))
-            .limit(1)
             .count()
         )
         labels.unpersist()
