@@ -1444,7 +1444,9 @@ def _line_dedup_oracle_sql() -> str:
             FROM split
         )
         SELECT doc_id,
-               sha256(array_to_string(ks, chr(10))) AS clean_sha256,
+               -- array_to_string([]) is NULL in DuckDB; a fully-removed
+               -- doc is the EMPTY STRING on the Spark side
+               sha256(COALESCE(array_to_string(ks, chr(10)), '')) AS clean_sha256,
                len(ls)::INT AS n_lines,
                (len(ls) - len(ks))::INT AS n_removed
         FROM kept
