@@ -805,7 +805,12 @@ def q_curate_fused_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     side composes the same generated quality/language/secret/license SQL
     fragments with the defect-class verdict CTE; `violations` is dropped
     (nested array — its exact paths are hash-gated by
-    `jsl_violations_docs`)."""
+    `jsl_violations_docs`). Runs the **Arrow language engine** (the
+    composed jobs' scale path, ~2.5× the JVM rate) against the
+    JVM-derived language SQL — exact parity verified engine-vs-engine on
+    this exact modified-text input at sf0.01 AND sf0.1 before the
+    switch, so the hash gate now covers the production kernel; the JVM
+    operator stays independently oracled via `language_id_documents`."""
     from jsl_engine.spark_validate import validate_and_curate
 
     docs = _docs_with_licenses(spark, sf_dir).withColumn(
@@ -817,7 +822,9 @@ def q_curate_fused_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("")),
         ),
     ).withColumn("content", _docs_json_content())
-    out = validate_and_curate(docs, compile_schema(DOCS_JSON_SCHEMA))
+    out = validate_and_curate(
+        docs, compile_schema(DOCS_JSON_SCHEMA), lang_engine="arrow"
+    )
     return out.drop("violations")
 
 
