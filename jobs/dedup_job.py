@@ -55,6 +55,112 @@ from jsl_engine.text_ops_arrow import (
 )
 
 
+def _write_state(spark, retained_docs, state_dir: Path) -> None:
+    """Persist the retained set's (doc_id, sha256, sig) — the interface
+    the next incremental run bands against. Written to a staging dir
+    then swapped, so a crash mid-write leaves the previous state intact."""
+    from jsl_engine.text_ops_arrow import minhash_signatures_arrow
+
+    sigs = minhash_signatures_arrow(retained_docs)
+    rows = retained_docs.select(
+        "doc_id", F.sha2("text", 256).alias("sha256")
+    ).join(sigs, "doc_id")
+    staging = state_dir.parent / "_staging"
+    rows.write.mode("overwrite").parquet(str(staging))
+    if state_dir.exists():
+        shutil.rmtree(state_dir)
+    staging.rename(state_dir)
+
+
+def _incremental(spark, docs, docs_in, args, out_dir, state_dir: Path, t0) -> int:
+    """Incremental pass: --input is the NEW batch. Contract (the
+    retained-set contract a production continuously-growing corpus
+    runs): no exact or near duplicate of any retained document enters;
+    new-batch internal duplicates collapse to their min-id
+    representative with the SAME component semantics as the full job;
+    retained decisions are never revisited. A new doc whose only
+    similarity is to a previously DROPPED document is kept — that is the
+    contract, not a bug (the dropped doc's representative is what the
+    retained set remembers)."""
+    from jsl_engine.text_ops import incremental_near_dup_pairs
+    from jsl_engine.text_ops_arrow import minhash_signatures_arrow
+
+    state = spark.read.parquet(str(state_dir)).localCheckpoint()
+    n_state = state.count()
+
+    # within-batch exact, then exact-vs-retained (sha anti-join)
+    survivors = dedup_exact(docs).localCheckpoint()
+    n_after_exact = survivors.count()
+    survivors = (
+        survivors.withColumn("__sha", F.sha2("text", 256))
+        .join(state.select(F.col("sha256").alias("__sha")), "__sha", "left_anti")
+        .drop("__sha")
+        .localCheckpoint()
+    )
+    n_after_cross_exact = survivors.count()
+
+    new_sigs = minhash_signatures_arrow(survivors).localCheckpoint()
+    pairs = incremental_near_dup_pairs(
+        state.select("doc_id", "sig"), new_sigs, threshold=args.threshold
+    ).localCheckpoint()
+
+    # drop new docs with a retained-set edge (exactly one side is new:
+    # retained-vs-retained pairs are excluded in the join)
+    state_edges = pairs.where(~F.col("a_is_new") | ~F.col("b_is_new"))
+    drop_state = state_edges.select(
+        F.when(F.col("a_is_new"), F.col("id_a")).otherwise(F.col("id_b"))
+        .alias("doc_id")
+    ).distinct()
+    remaining = survivors.join(drop_state, "doc_id", "left_anti").localCheckpoint()
+    n_after_state = remaining.count()
+
+    # within-batch near-dup components over edges between REMAINING docs
+    nn = pairs.where(F.col("a_is_new") & F.col("b_is_new")).select("id_a", "id_b")
+    ids = remaining.select(F.col("doc_id").alias("__rid"))
+    nn = (
+        nn.join(ids, nn.id_a == ids.__rid, "left_semi")
+        .join(ids, F.col("id_b") == ids.__rid, "left_semi")
+        .localCheckpoint()
+    )
+    components_fn = connected_components_star if args.star else connected_components
+    comp = components_fn(nn)
+    drop_batch = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    deduped = remaining.join(drop_batch, "doc_id", "left_anti")
+    deduped.write.mode("overwrite").parquet(f"{out_dir}/documents")
+    retained_new = spark.read.parquet(f"{out_dir}/documents")
+    docs_out = retained_new.count()
+
+    # state += retained new docs (old rows pass through unchanged)
+    new_rows = retained_new.select(
+        "doc_id", F.sha2("text", 256).alias("sha256")
+    ).join(new_sigs, "doc_id")
+    merged = state.select("doc_id", "sha256", "sig").unionByName(new_rows)
+    staging = state_dir.parent / "_staging"
+    merged.write.mode("overwrite").parquet(str(staging))
+    shutil.rmtree(state_dir)
+    staging.rename(state_dir)
+
+    seconds = round(time.time() - t0, 3)
+    print(json.dumps({
+        "mode": "incremental",
+        "docs_in": docs_in,
+        "state_in": n_state,
+        "exact_dropped": docs_in - n_after_exact,
+        "exact_cross_dropped": n_after_exact - n_after_cross_exact,
+        "near_state_dropped": n_after_cross_exact - n_after_state,
+        "near_batch_dropped": n_after_state - docs_out,
+        "docs_out": docs_out,
+        "retained_total": n_state + docs_out,
+        "seconds": seconds,
+        "docs_per_sec": round(docs_in / seconds, 1),
+    }))
+    if not args.keep_output and args.output is None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default="/root/testdata/sf0.01/documents.parquet")
@@ -74,6 +180,15 @@ def main() -> int:
                          "their text n-grams differ")
     ap.add_argument("--cos-threshold", type=float, default=0.98,
                     help="cosine threshold for --embeddings edges")
+    ap.add_argument("--state", default=None,
+                    help="state directory for INCREMENTAL dedup: holds the "
+                         "retained set's (doc_id, sha256, sig) parquet. "
+                         "First run = full dedup + state write; later runs "
+                         "treat --input as the NEW batch and enforce the "
+                         "retained-set contract: no exact or near duplicate "
+                         "of any retained document enters, new-batch "
+                         "internal dups collapse, retained decisions are "
+                         "never revisited")
     ap.add_argument("--keep-output", action="store_true")
     args = ap.parse_args()
 
@@ -89,6 +204,10 @@ def main() -> int:
     t0 = time.time()
     docs = spark.read.parquet(args.input)
     docs_in = docs.count()
+
+    state_dir = Path(args.state) / "retained" if args.state else None
+    if state_dir is not None and (state_dir / "_SUCCESS").exists():
+        return _incremental(spark, docs, docs_in, args, out_dir, state_dir, t0)
 
     # localCheckpoint: survivors feeds three actions (count, signature
     # kernel, final anti-join write) and pairs feeds two (components,
@@ -137,6 +256,9 @@ def main() -> int:
     deduped = survivors.join(drop, "doc_id", "left_anti")
     deduped.write.mode("overwrite").parquet(f"{out_dir}/documents")
     docs_out = spark.read.parquet(f"{out_dir}/documents").count()
+    if state_dir is not None:
+        _write_state(spark, spark.read.parquet(f"{out_dir}/documents"),
+                     state_dir)
     seconds = round(time.time() - t0, 3)
 
     print(json.dumps({

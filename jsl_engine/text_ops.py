@@ -1892,3 +1892,86 @@ def remove_frequent_lines(
             )
 
     return pruned.mapInArrow(run, out_schema)
+
+
+def incremental_near_dup_pairs(
+    state_sigs: DataFrame,
+    new_sigs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    bands: int = 16,
+    num_hashes: int = 64,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup pairs for an incremental dedup pass: LSH banding over
+    the UNION of the retained-set signature store and the new batch's
+    signatures, with retained-vs-retained pairs excluded **inside the
+    join condition** — those were resolved when the store was built, so
+    they must contribute zero join rows, not get filtered after
+    materializing. Output::
+
+        id_a, id_b, a_is_new, b_is_new, est_jaccard   (est >= threshold)
+
+    Scale shape: the banding equi-join and the oversized-bucket
+    boilerplate guard are identical to the self-join pipeline
+    (:func:`lsh_candidate_pairs`); at 10^12 retained docs the store side
+    dominates the join exactly as the corpus does there, and the
+    at-least-one-new predicate prunes the quadratic retained×retained
+    bulk before the shuffle output materializes."""
+    su = state_sigs.select(id_col, "sig").withColumn("is_new", F.lit(False))
+    nu = new_sigs.select(id_col, "sig").withColumn("is_new", F.lit(True))
+    allsigs = su.unionByName(nu)
+    # band each side separately so the is_new flag rides the banded rows
+    # as a literal (map-side; no id-keyed rejoin to recover it)
+    banded = (
+        band_rows(su, id_col, bands, num_hashes).drop("sig")
+        .withColumn("is_new", F.lit(False))
+        .unionByName(
+            band_rows(nu, id_col, bands, num_hashes).drop("sig")
+            .withColumn("is_new", F.lit(True))
+        )
+    )
+    w = Window.partitionBy("band", "bucket")
+    pruned = (
+        banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("__bucket_n") <= max_bucket)
+        .drop("__bucket_n")
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.is_new") | F.col("b.is_new")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.is_new").alias("a_is_new"),
+            F.col("b.is_new").alias("b_is_new"),
+        )
+        .distinct()
+    )
+    sa = allsigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = allsigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.aggregate(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.size("sig_a"),
+                6,
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "a_is_new", "b_is_new", "est_jaccard")
+    )

@@ -1353,3 +1353,65 @@ def test_remove_frequent_lines_null_and_empty(spark):
            for r in T.remove_frequent_lines(docs, frequent=["x"]).collect()}
     assert out[1] == (None, 0, 0)
     assert out[2] == ("", 1, 0)
+
+
+def test_dedup_job_incremental_state(spark, tmp_path):
+    """Two-batch incremental dedup via --state: batch 1 builds the
+    retained-set store; batch 2 enforces the retained-set contract —
+    exact and near duplicates of retained docs are dropped, batch-2
+    internal dups collapse, a doc similar ONLY to a batch-1 DROPPED doc
+    is kept (the contract, pinned), and retained decisions never change."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    def run(src, state):
+        repo = Path(__file__).resolve().parent.parent
+        out = subprocess.run(
+            [sys.executable, str(repo / "jobs" / "dedup_job.py"),
+             "--input", src, "--threshold", "0.6", "--cpus", "4",
+             "--state", state],
+            capture_output=True, text=True, timeout=600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    filler = " ".join(f"pad{j}" for j in range(50))
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    base_b = "one two three four five six seven eight nine ten " * 8
+    b1 = [Row(doc_id=i, text=f"unique b1 doc {i} " + " ".join(
+        f"u{i}v{j}" for j in range(60))) for i in range(10)]
+    b1 += [Row(doc_id=100, text=base_a),
+           Row(doc_id=101, text=base_a + " tail bit")]   # 101 near-dups 100 -> dropped
+    b1 += [Row(doc_id=102, text=base_b)]
+    src1 = str(tmp_path / "b1")
+    spark.createDataFrame(b1).repartition(2).write.parquet(src1)
+    state = str(tmp_path / "state")
+
+    rep1 = run(src1, state)
+    assert rep1.get("mode") is None               # full run
+    assert rep1["docs_out"] == 12                 # 101 collapsed into 100
+
+    b2 = [Row(doc_id=200, text=base_a)]                       # exact dup of retained 100
+    b2 += [Row(doc_id=201, text=base_a + " slight change")]   # near dup of retained 100
+    b2 += [Row(doc_id=202, text=base_a + " tail bit")]        # exact dup of DROPPED 101 -> near 100 -> dropped via near edge
+    b2 += [Row(doc_id=210, text=f"brand new content {filler}"),
+           Row(doc_id=211, text=f"brand new content {filler} extra")]  # internal near pair
+    b2 += [Row(doc_id=220, text="totally fresh " + " ".join(
+        f"x{j}y{j}" for j in range(60)))]
+    src2 = str(tmp_path / "b2")
+    spark.createDataFrame(b2).repartition(2).write.parquet(src2)
+
+    rep2 = run(src2, state)
+    assert rep2["mode"] == "incremental"
+    assert rep2["state_in"] == 12
+    assert rep2["exact_cross_dropped"] == 1       # 200
+    assert rep2["near_state_dropped"] == 2        # 201, 202
+    assert rep2["near_batch_dropped"] == 1        # 211 collapses into 210
+    assert rep2["docs_out"] == 2                  # 210, 220
+    assert rep2["retained_total"] == 14
+
+    st = spark.read.parquet(f"{state}/retained")
+    ids = {r.doc_id for r in st.select("doc_id").collect()}
+    assert ids == ({i for i in range(10)} | {100, 102, 210, 220})
