@@ -1562,6 +1562,14 @@ def vocabulary_topk_scalable(
 # near-dup components + dedup-keep-representative
 # ---------------------------------------------------------------------------
 
+#: Edge-count ceiling for the driver-side union-find short-circuit in
+#: :func:`connected_components`. A million edges is ~16 MB collected and
+#: milliseconds of union-find — far below any driver limit — while the
+#: per-round distributed loop would burn seconds of scheduling latency
+#: on a graph that small.
+DRIVER_COMPONENTS_EDGES = 1_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     *,
@@ -1589,6 +1597,15 @@ def connected_components(
 
     Deterministic, oracle-checkable (a recursive CTE computes the same
     min-reachable-id fixpoint).
+
+    Small graphs (≤ :data:`DRIVER_COMPONENTS_EDGES` distinct edges)
+    short-circuit to a driver-side union-find: near-dup edge lists are
+    the bounded output of the guarded banding stages, and a
+    thousand-edge graph needs two Spark jobs (count + collect), not a
+    driver loop of per-round jobs whose wall time is pure scheduling
+    latency (measured 4 s quiet → 40 s under neighbor load for the SAME
+    sf0.1 graph). The distributed loop remains the path for graphs past
+    the threshold, where it is compute- rather than latency-bound.
     """
     # cache the symmetrized edge list: every propagation round joins it,
     # and the upstream pair pipeline (LSH banding, jaccard verify, ...)
@@ -1599,6 +1616,39 @@ def connected_components(
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     ).cache()
+    n_edges = edges.count()
+    if n_edges <= DRIVER_COMPONENTS_EDGES:
+        spark = pairs.sparkSession
+        rows = edges.collect()
+        edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for r in rows:
+            a, b = find(r["src"]), find(r["dst"])
+            if a != b:
+                # union by MIN root: any merge touching a component's
+                # minimum keeps it as root, so the final root IS the
+                # min-reachable-id label the distributed loop computes
+                lo, hi = (a, b) if (a <= b) else (b, a)
+                parent[hi] = lo
+        out = [(v, find(v)) for v in {x for r in rows for x in (r["src"], r["dst"])}]
+        src_field = pairs.schema[a_col]
+        from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+        schema = _ST([
+            _SF("id", src_field.dataType, True),
+            _SF("component", src_field.dataType, True),
+        ])
+        return spark.createDataFrame(out, schema)
+
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -472,7 +472,10 @@ def test_simhash_max_hamming_zero_exact_blocking(spark, docs):
     assert out == {(1, 2): 0}
 
 
-def test_connected_components_raises_on_nonconvergence(spark):
+def test_connected_components_raises_on_nonconvergence(spark, monkeypatch):
+    # force the DISTRIBUTED loop (tiny graphs short-circuit to the
+    # driver union-find, which has no convergence concept)
+    monkeypatch.setattr(T, "DRIVER_COMPONENTS_EDGES", 0)
     chain = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(12)]
     )
@@ -482,6 +485,22 @@ def test_connected_components_raises_on_nonconvergence(spark):
     got = {r.id: r.component
            for r in T.connected_components(chain, max_iterations=20).collect()}
     assert set(got.values()) == {0}
+
+
+def test_connected_components_driver_and_distributed_agree(spark, monkeypatch):
+    """The union-find short-circuit and the label-propagation loop must
+    produce identical labels on a mixed clique/chain/triangle graph."""
+    edges = [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),        # chain
+             Row(id_a=10, id_b=11), Row(id_a=11, id_b=12),
+             Row(id_a=10, id_b=12),                            # triangle
+             Row(id_a=20, id_b=21),                            # pair
+             Row(id_a=30, id_b=30)]                            # self loop
+    df = spark.createDataFrame(edges)
+    fast = {(r.id, r.component) for r in T.connected_components(df).collect()}
+    monkeypatch.setattr(T, "DRIVER_COMPONENTS_EDGES", 0)
+    slow = {(r.id, r.component) for r in T.connected_components(df).collect()}
+    assert fast == slow
+    assert {c for _, c in fast} == {1, 10, 20, 30}
 
 
 def test_arrow_shingle_width_validated():
