@@ -55,10 +55,36 @@ from jsl_engine.text_ops_arrow import (
 )
 
 
+def _swap_state(staging: Path, state_dir: Path) -> None:
+    """Crash-safe state replacement: old state moves to a backup, the
+    staging dir takes its place, then the backup is deleted. Every crash
+    window leaves either the old state or the new state recoverable —
+    :func:`_recover_state` restores the backup if a crash landed between
+    the two renames (rmtree-then-rename would instead destroy the
+    retained set and silently route the next run to a full rebuild)."""
+    backup = state_dir.parent / "_backup"
+    if backup.exists():
+        shutil.rmtree(backup)
+    if state_dir.exists():
+        state_dir.rename(backup)
+    staging.rename(state_dir)
+    if backup.exists():
+        shutil.rmtree(backup)
+
+
+def _recover_state(state_dir: Path) -> None:
+    """If a crash left no live state but a complete backup, restore it."""
+    backup = state_dir.parent / "_backup"
+    if not (state_dir / "_SUCCESS").exists() and (backup / "_SUCCESS").exists():
+        if state_dir.exists():
+            shutil.rmtree(state_dir)
+        backup.rename(state_dir)
+
+
 def _write_state(spark, retained_docs, state_dir: Path) -> None:
     """Persist the retained set's (doc_id, sha256, sig) — the interface
     the next incremental run bands against. Written to a staging dir
-    then swapped, so a crash mid-write leaves the previous state intact."""
+    then swapped via :func:`_swap_state`."""
     from jsl_engine.text_ops_arrow import minhash_signatures_arrow
 
     sigs = minhash_signatures_arrow(retained_docs)
@@ -67,9 +93,7 @@ def _write_state(spark, retained_docs, state_dir: Path) -> None:
     ).join(sigs, "doc_id")
     staging = state_dir.parent / "_staging"
     rows.write.mode("overwrite").parquet(str(staging))
-    if state_dir.exists():
-        shutil.rmtree(state_dir)
-    staging.rename(state_dir)
+    _swap_state(staging, state_dir)
 
 
 def _incremental(spark, docs, docs_in, args, out_dir, state_dir: Path, t0) -> int:
@@ -139,8 +163,7 @@ def _incremental(spark, docs, docs_in, args, out_dir, state_dir: Path, t0) -> in
     merged = state.select("doc_id", "sha256", "sig").unionByName(new_rows)
     staging = state_dir.parent / "_staging"
     merged.write.mode("overwrite").parquet(str(staging))
-    shutil.rmtree(state_dir)
-    staging.rename(state_dir)
+    _swap_state(staging, state_dir)
 
     seconds = round(time.time() - t0, 3)
     print(json.dumps({
@@ -206,7 +229,17 @@ def main() -> int:
     docs_in = docs.count()
 
     state_dir = Path(args.state) / "retained" if args.state else None
+    if state_dir is not None:
+        _recover_state(state_dir)
     if state_dir is not None and (state_dir / "_SUCCESS").exists():
+        if args.exact_verify or args.embeddings:
+            ap.error(
+                "--exact-verify / --embeddings are not supported in "
+                "incremental mode: the retained-set store holds "
+                "signatures only (no text, no vectors), so neither the "
+                "exact-Jaccard re-check nor embedding edges can be "
+                "computed against retained documents"
+            )
         return _incremental(spark, docs, docs_in, args, out_dir, state_dir, t0)
 
     # localCheckpoint: survivors feeds three actions (count, signature

@@ -124,14 +124,25 @@ def global_distinct_docs(
 
 
 def content_sig_expr(key_cols: tuple[str, ...], hash_col: str = "content_sha256"):
-    """THE per-partition exact-signature aggregate —
-    ``bit_xor(xxhash64(*key_cols, hash_col))`` — defined once: the
+    """THE per-partition exact-signature aggregate, defined once: the
     incremental prune compares the job-side value
     (:func:`run_validation_job`'s metrics) against the snapshot-side
     value (:func:`partition_signatures`), and any formula drift between
     the two sites would silently disable pruning forever (signatures
-    never match → everything always "changed")."""
-    return F.expr("bit_xor(xxhash64(" + ", ".join([*key_cols, hash_col]) + "))")
+    never match → everything always "changed").
+
+    Formula: ``xxhash64(bit_xor(h), sum(pmod(h, 1e9+7)))`` over
+    ``h = xxhash64(*key_cols, hash_col)``. The xor term alone cancels
+    even-multiplicity duplicate rows ({A, X, X} and {A, Y, Y} would
+    collide), so the modular-sum term makes the signature
+    multiplicity-sensitive; the modulus keeps the sum overflow-safe
+    under ANSI arithmetic (< 2^30 per row → safe past 2^33 rows per
+    partition). Formula v2 — manifests written by v1 re-validate once."""
+    h = "xxhash64(" + ", ".join([*key_cols, hash_col]) + ")"
+    return F.xxhash64(
+        F.expr(f"bit_xor({h})"),
+        F.expr(f"sum(pmod({h}, 1000000007))"),
+    )
 
 
 def partition_signatures(
@@ -272,10 +283,14 @@ def run_validation_job(
     """
     if schemas is not None and curate:
         raise ValueError("registry mode and the fused curate pass are exclusive")
+    # the curate flag is part of the resume identity: a curate run resumed
+    # over non-curate commits (or vice versa) would silently skip work and
+    # leave ONE sink with two schemas — same invariant that gives registry
+    # mode its own fingerprint
     fingerprint = (
         registry_fingerprint(schemas, default_schema)
         if schemas is not None
-        else schema.fingerprint()
+        else schema.fingerprint() + ("+curate" if curate else "")
     )
     manifest_path = f"{output_root}/manifest"
     job_id = uuid.uuid4().hex[:12]

@@ -414,12 +414,28 @@ def ivfpq_topk(
         for m in range(m_sub_)
     )
     id_name = pruned.schema[0].name
+    n_keep = max(k, refine)
     scored = encoded.join(probe, "cell").select(
-        "query_id", id_name, F.round(score, 6).alias("adc_sim")
+        "query_id", F.col("cell"), F.col(id_name),
+        F.round(score, 6).alias("adc_sim"),
+    )
+    # two-stage top-k: per-(query, cell) first — the window partitions
+    # on n_queries × n_probe keys, so no single reducer ever sees a
+    # cell's full population, let alone the probed fraction of the
+    # corpus — then a global window over ≤ n_probe × n_keep rows per
+    # query. Both windows order by the SAME (rounded score, id) total
+    # order, so per-cell top-n_keep provably contains the global top.
+    w_cell = Window.partitionBy("query_id", "cell").orderBy(
+        F.desc("adc_sim"), F.asc(id_name)
+    )
+    local = (
+        scored.withColumn("__r", F.row_number().over(w_cell))
+        .where(F.col("__r") <= n_keep)
+        .drop("__r", "cell")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("adc_sim"), F.asc(id_name))
-    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= max(k, refine)
+    ranked = local.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= n_keep
     )
     if refine <= 0:
         return ranked.where(F.col("rank") <= k)

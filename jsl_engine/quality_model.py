@@ -56,9 +56,14 @@ def quality_features(
 
     ``dup_line_share`` = fraction of line instances that are duplicates
     of another line in the SAME document (the strongest single Gopher
-    repetition signal), computed with array HOFs off one split."""
+    repetition signal), computed with array HOFs off one split.
+
+    NULL text scores as the empty document (all-zero features) — a NULL
+    feature would otherwise abort the whole pyspark.ml job at the
+    VectorAssembler (handleInvalid='error')."""
     from jsl_engine.text_ops import text_profile
 
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     prof = text_profile(df, text_col, id_col, keep_cols=(text_col,) + keep_cols)
     lines = F.split(F.col(text_col), "\n", -1)
     n_lines = F.size(lines)

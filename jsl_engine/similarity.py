@@ -446,6 +446,10 @@ def ivf_topk(
     scales with the corpus instead of a fixed driver sample); the default
     keeps the bounded driver-sample trainer.
     """
+    if train not in ("driver", "distributed"):
+        raise ValueError(
+            f"train must be 'driver' or 'distributed', got {train!r}"
+        )
     if centroids is None:
         if train == "distributed":
             centroids = train_ivf_centroids_distributed(

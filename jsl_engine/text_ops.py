@@ -284,6 +284,22 @@ def minhash_near_duplicates(
     )
 
 
+def _sig_est_jaccard(a: str = "sig_a", b: str = "sig_b"):
+    """Estimated Jaccard between two MinHash signature columns —
+    matching-position fraction, rounded to the 6-dp grid every verify
+    threshold compares on. Defined ONCE: the self-join, cross-corpus and
+    incremental pipelines all compare against the same estimate."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.size(a),
+        6,
+    )
+
+
 def near_duplicates_from_signatures(
     sigs: DataFrame,
     id_col: str,
@@ -301,18 +317,7 @@ def near_duplicates_from_signatures(
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.round(
-                F.aggregate(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                    F.lit(0),
-                    lambda acc, v: acc + v,
-                ).cast("double")
-                / F.size("sig_a"),
-                6,
-            ),
-        )
+        .withColumn("est_jaccard", _sig_est_jaccard())
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -376,18 +381,7 @@ def cross_corpus_near_dups_from_signatures(
     )
     return (
         cands.join(bsig, "bench_id")
-        .withColumn(
-            "est_jaccard",
-            F.round(
-                F.aggregate(
-                    F.zip_with("sig_c", "sig_b", lambda x, y: (x == y).cast("int")),
-                    F.lit(0),
-                    lambda acc, v: acc + v,
-                ).cast("double")
-                / F.size("sig_c"),
-                6,
-            ),
-        )
+        .withColumn("est_jaccard", _sig_est_jaccard("sig_c", "sig_b"))
         .where(F.col("est_jaccard") >= threshold)
         .select(F.col("doc_id_c").alias(id_col), "bench_id", "est_jaccard")
     )
@@ -1842,13 +1836,17 @@ def frequent_lines(
     North-rule context: engine-level addition (the reference validates
     single documents; reference scope src/lib.rs:114-118)."""
     lines = df.select(
+        F.col(id_col),
         F.explode(
             F.array_distinct(F.split(F.col(text_col), "\n"))
-        ).alias("line")
+        ).alias("line"),
     ).where(F.col("line") != "")
+    # count DISTINCT documents (the docstring's contract): a doc_id
+    # appearing in several input rows (re-ingested snapshot) must not
+    # count twice and push its unique lines over min_docs
     return (
         lines.groupBy("line")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .agg(F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"))
         .where(F.col("n_docs") >= F.lit(min_docs))
     )
 
@@ -1969,8 +1967,8 @@ def incremental_near_dup_pairs(
     dominates the join exactly as the corpus does there, and the
     at-least-one-new predicate prunes the quadratic retained×retained
     bulk before the shuffle output materializes."""
-    su = state_sigs.select(id_col, "sig").withColumn("is_new", F.lit(False))
-    nu = new_sigs.select(id_col, "sig").withColumn("is_new", F.lit(True))
+    su = state_sigs.select(id_col, "sig")
+    nu = new_sigs.select(id_col, "sig")
     allsigs = su.unionByName(nu)
     # band each side separately so the is_new flag rides the banded rows
     # as a literal (map-side; no id-keyed rejoin to recover it)
@@ -2010,18 +2008,7 @@ def incremental_near_dup_pairs(
     return (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.round(
-                F.aggregate(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                    F.lit(0),
-                    lambda acc, v: acc + v,
-                ).cast("double")
-                / F.size("sig_a"),
-                6,
-            ),
-        )
+        .withColumn("est_jaccard", _sig_est_jaccard())
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "a_is_new", "b_is_new", "est_jaccard")
     )

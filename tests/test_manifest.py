@@ -364,3 +364,39 @@ def test_registry_null_route_does_not_poison_summary_or_resume(spark, tmp_path):
     # a later single-schema run with the DEFAULT schema sees nothing
     s2 = run_validation_job(spark, source, default, output_root=out)
     assert s2["partitions_committed"] == 0 and s2["docs"] == 60
+
+
+def test_curate_flag_is_part_of_resume_identity(spark, corpus, tmp_path):
+    """A curate run over a root committed by a NON-curate run must NOT
+    resume-skip: the fingerprints differ, so every partition re-runs and
+    the verdicts sink never mixes two schemas."""
+    root = str(tmp_path / "curate_resume")
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    r1 = run_validation_job(spark, corpus, schema, output_root=root)
+    assert r1["partitions_pending"] > 0 and r1["partitions_committed"] == 0
+    r2 = run_validation_job(spark, corpus, schema, output_root=root, curate=True)
+    assert r2["partitions_pending"] == r1["partitions_pending"]
+    assert r2["partitions_committed"] == 0
+    # and the curate fingerprint resumes against itself
+    r3 = run_validation_job(spark, corpus, schema, output_root=root, curate=True)
+    assert r3["partitions_pending"] == 0
+
+
+def test_content_sig_multiplicity_sensitive(spark):
+    """{A, X, X} vs {A, Y, Y}: a pure bit_xor signature cancels the
+    even-multiplicity rows and collides; the v2 formula (xor + modular
+    sum) must distinguish them."""
+    from pyspark.sql import Row
+
+    from jsl_engine.manifest import content_sig_expr
+
+    def sig(rows):
+        df = spark.createDataFrame(rows)
+        [r] = df.agg(content_sig_expr(("k",), "h").alias("s")).collect()
+        return r["s"]
+
+    a = [Row(k="p", h="A"), Row(k="p", h="X"), Row(k="p", h="X")]
+    b = [Row(k="p", h="A"), Row(k="p", h="Y"), Row(k="p", h="Y")]
+    assert sig(a) != sig(b)
+    # and stays order/partitioning-invariant
+    assert sig(a) == sig(list(reversed(a)))

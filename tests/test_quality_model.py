@@ -75,3 +75,14 @@ def test_scoring_deterministic_and_filter_returns_rows(spark, labeled):
     assert set(kept.columns) == set(labeled.columns)
     ids = {r.doc_id for r in kept.collect()}
     assert all(i < 100 for i in ids) and len(ids) >= 36
+
+
+def test_null_text_scores_as_empty_not_crash(spark, labeled):
+    """NULL text must flow through the assembler as the all-zero
+    feature row (scored), not abort the job."""
+    model = train_quality_model(labeled)
+    df = spark.createDataFrame(
+        [(999, None)], "doc_id long, text string"
+    )
+    out = score_quality(df, model).collect()
+    assert len(out) == 1 and 0.0 <= out[0].p_good <= 1.0

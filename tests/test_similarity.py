@@ -279,3 +279,10 @@ def test_distributed_trainer_recall_on_clustered_corpus(spark):
         assert np.allclose(np.array(cents), np.array(again), atol=1e-6)
     finally:
         df.unpersist()
+
+
+def test_ivf_topk_rejects_unknown_trainer(spark, vectors):
+    df, _ = vectors
+    queries = df.where("vec_id = 0").selectExpr("vec_id as query_id", "embedding")
+    with pytest.raises(ValueError, match="train must be"):
+        S.ivf_topk(df, queries, k=3, train="distrbuted")

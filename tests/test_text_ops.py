@@ -1434,3 +1434,43 @@ def test_dedup_job_incremental_state(spark, tmp_path):
     st = spark.read.parquet(f"{state}/retained")
     ids = {r.doc_id for r in st.select("doc_id").collect()}
     assert ids == ({i for i in range(10)} | {100, 102, 210, 220})
+
+
+def test_frequent_lines_counts_distinct_docs_not_rows(spark):
+    """A doc_id re-ingested as two rows must count once: its unique
+    line must NOT reach min_docs=2 via row duplication."""
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="only in doc one\nfiller a"),
+        Row(doc_id=1, text="only in doc one\nfiller a"),   # duplicate row
+        Row(doc_id=2, text="unrelated content line"),
+    ])
+    freq = {r.line for r in T.frequent_lines(docs).collect()}
+    assert freq == set()
+
+
+def test_dedup_state_swap_crash_recovery(tmp_path):
+    """Crash between the two renames (live state moved to backup, new
+    state not yet in place) must be recoverable — the next run restores
+    the backup instead of silently rebuilding from one batch."""
+    from jobs.dedup_job import _recover_state, _swap_state
+
+    state = tmp_path / "retained"
+    state.mkdir()
+    (state / "_SUCCESS").write_text("")
+    (state / "data").write_text("old")
+    staging = tmp_path / "_staging"
+    staging.mkdir()
+    (staging / "_SUCCESS").write_text("")
+    (staging / "data").write_text("new")
+
+    # normal swap: new state live, backup gone
+    _swap_state(staging, state)
+    assert (state / "data").read_text() == "new"
+    assert not (tmp_path / "_backup").exists()
+
+    # simulated crash window: state was renamed to backup, no live state
+    state.rename(tmp_path / "_backup")
+    assert not state.exists()
+    _recover_state(state)
+    assert (state / "data").read_text() == "new"
+    assert (state / "_SUCCESS").exists()
