@@ -416,7 +416,9 @@ def q_bloom_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFra
     """Benchmark decontamination behind a Bloom prefilter (same
     doc_id%20==7 benchmark split as the other contamination variants) —
     the bounded-memory tier above the sorted-hash-array broadcast of
-    `contamination_documents`: ~14.4 bits/gram at fp=1e-3 instead of 64,
+    `contamination_documents`: ~28.8 bits/gram at fp=1e-6 instead of 64
+    (the per-GRAM rate compounds per document — g·fp false candidacy —
+    so the default targets ~0.1% of 1000-gram clean docs in the tail),
     for decontamination lists (10^8-10^9 grams) past the comfortable
     broadcast ceiling. The filter is built distributed (per-partition
     bitmaps OR-combined via treeAggregate), the full-corpus pass is
@@ -1647,35 +1649,49 @@ def _pq_topk_oracle_sql() -> str:
 
 
 def _embedding_near_dup_oracle_sql() -> str:
-    """DuckDB re-derivation of SRP-bucketed embedding near-dup: the
-    seeded hyperplanes come from the same ``_random_planes(64, 12, 42)``
-    call the Spark operator uses, embedded as literals, so bucketing, the
-    oversized-bucket guard (``QUALIFY count <= max_bucket``) and the
-    exact-cosine re-rank replicate bit-for-bit."""
+    """DuckDB re-derivation of BANDED-SRP embedding near-dup: the seeded
+    hyperplanes come from the same ``_random_planes(64, 12*8, 42)`` call
+    the Spark operator uses, embedded as literals per band, so per-band
+    bucketing, the per-(band, bucket) oversized guard (``QUALIFY count
+    <= max_bucket``), cross-band candidate dedup and the exact-cosine
+    verify replicate bit-for-bit."""
     from jsl_engine.similarity import _random_planes
 
-    planes = _random_planes(64, 12, 42)
+    n_planes, n_bands = 12, 8
+    planes = _random_planes(64, n_planes * n_bands, 42)
 
     def arr(p):
         return "[" + ", ".join(repr(float(x)) for x in p) + "]"
 
-    bucket = "\n               + ".join(
-        f"(CASE WHEN list_dot_product(e, {arr(p)}) >= 0 THEN {2**i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
+    band_selects = []
+    for bd in range(n_bands):
+        bucket = "\n               + ".join(
+            f"(CASE WHEN list_dot_product(e, {arr(p)}) >= 0 THEN {2**i} ELSE 0 END)"
+            for i, p in enumerate(planes[bd * n_planes:(bd + 1) * n_planes])
+        )
+        band_selects.append(
+            f"SELECT vec_id, {bd} AS band,\n               {bucket} AS bucket\n              FROM v"
+        )
+    banded = "\n              UNION ALL ".join(band_selects)
     return f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        b AS (SELECT vec_id, e,
-               {bucket} AS bucket
-              FROM v),
+        b AS ({banded}),
         g AS (SELECT * FROM b
-              QUALIFY COUNT(*) OVER (PARTITION BY bucket) <= 1024)
+              QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1024),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+            FROM g a JOIN g bb
+              ON a.band = bb.band AND a.bucket = bb.bucket
+             AND a.vec_id < bb.vec_id
+        )
         SELECT id_a, id_b, cos_sim FROM (
-            SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
-                   ROUND(list_dot_product(a.e, bb.e)
-                         / (sqrt(list_dot_product(a.e, a.e))
-                            * sqrt(list_dot_product(bb.e, bb.e))), 6) AS cos_sim
-            FROM g a JOIN g bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+            SELECT c.id_a, c.id_b,
+                   ROUND(list_dot_product(va.e, vb.e)
+                         / (sqrt(list_dot_product(va.e, va.e))
+                            * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos_sim
+            FROM cands c
+            JOIN v va ON va.vec_id = c.id_a
+            JOIN v vb ON vb.vec_id = c.id_b
         ) WHERE cos_sim >= 0.2
     """
 

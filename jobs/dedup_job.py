@@ -81,19 +81,29 @@ def _recover_state(state_dir: Path) -> None:
         backup.rename(state_dir)
 
 
-def _write_state(spark, retained_docs, state_dir: Path) -> None:
-    """Persist the retained set's (doc_id, sha256, sig) — the interface
-    the next incremental run bands against. Written to a staging dir
-    then swapped via :func:`_swap_state`."""
-    from jsl_engine.text_ops_arrow import minhash_signatures_arrow
-
-    sigs = minhash_signatures_arrow(retained_docs)
-    rows = retained_docs.select(
-        "doc_id", F.sha2("text", 256).alias("sha256")
-    ).join(sigs, "doc_id")
+def _replace_state(rows, state_dir: Path) -> None:
+    """Write (doc_id, sha256, sig) rows to staging, then crash-safe swap
+    — the ONE state-write path for both the full and incremental runs."""
     staging = state_dir.parent / "_staging"
     rows.write.mode("overwrite").parquet(str(staging))
     _swap_state(staging, state_dir)
+
+
+def _write_state(spark, retained_docs, state_dir: Path, sigs=None) -> None:
+    """Persist the retained set's (doc_id, sha256, sig) — the interface
+    the next incremental run bands against. Pass ``sigs`` when the
+    near-dup stage already computed the signature table (the estimate
+    path does): re-running the shingle+hash kernel over the retained
+    set would be a second full corpus pass of the job's most expensive
+    kernel."""
+    if sigs is None:
+        from jsl_engine.text_ops_arrow import minhash_signatures_arrow
+
+        sigs = minhash_signatures_arrow(retained_docs)
+    rows = retained_docs.select(
+        "doc_id", F.sha2("text", 256).alias("sha256")
+    ).join(sigs, "doc_id")
+    _replace_state(rows, state_dir)
 
 
 def _incremental(spark, docs, docs_in, args, out_dir, state_dir: Path, t0) -> int:
@@ -122,6 +132,20 @@ def _incremental(spark, docs, docs_in, args, out_dir, state_dir: Path, t0) -> in
         .localCheckpoint()
     )
     n_after_cross_exact = survivors.count()
+
+    # doc_id collisions across batches would join one id against two
+    # signatures (dropping innocent neighbors) and duplicate state rows —
+    # refuse loudly instead of corrupting silently
+    n_collide = survivors.join(
+        state.select("doc_id"), "doc_id", "left_semi"
+    ).count()
+    if n_collide:
+        raise RuntimeError(
+            f"{n_collide} doc_id(s) in the new batch collide with retained "
+            "documents carrying DIFFERENT content — ids must be globally "
+            "unique across batches (identical re-deliveries are dropped by "
+            "the sha check and never reach this guard)"
+        )
 
     new_sigs = minhash_signatures_arrow(survivors).localCheckpoint()
     pairs = incremental_near_dup_pairs(
@@ -161,9 +185,7 @@ def _incremental(spark, docs, docs_in, args, out_dir, state_dir: Path, t0) -> in
         "doc_id", F.sha2("text", 256).alias("sha256")
     ).join(new_sigs, "doc_id")
     merged = state.select("doc_id", "sha256", "sig").unionByName(new_rows)
-    staging = state_dir.parent / "_staging"
-    merged.write.mode("overwrite").parquet(str(staging))
-    _swap_state(staging, state_dir)
+    _replace_state(merged, state_dir)
 
     seconds = round(time.time() - t0, 3)
     print(json.dumps({
@@ -249,14 +271,26 @@ def main() -> int:
     survivors = dedup_exact(docs).localCheckpoint()
     n_after_exact = survivors.count()
 
-    near_fn = (
-        minhash_near_duplicates_exact_arrow
-        if args.exact_verify
-        else minhash_near_duplicates_arrow
-    )
-    pairs = near_fn(
-        survivors, threshold=args.threshold
-    ).select("id_a", "id_b").localCheckpoint()
+    job_sigs = None
+    if args.exact_verify:
+        pairs = minhash_near_duplicates_exact_arrow(
+            survivors, threshold=args.threshold
+        ).select("id_a", "id_b").localCheckpoint()
+    elif state_dir is not None:
+        # signatures are needed twice (pair stage + state write): compute
+        # the table once instead of letting the near-dup entry point
+        # rebuild it internally and the state writer re-run the kernel
+        from jsl_engine.text_ops import near_duplicates_from_signatures
+        from jsl_engine.text_ops_arrow import minhash_signatures_arrow
+
+        job_sigs = minhash_signatures_arrow(survivors).localCheckpoint()
+        pairs = near_duplicates_from_signatures(
+            job_sigs, "doc_id", args.threshold, bands=16, num_hashes=64
+        ).select("id_a", "id_b").localCheckpoint()
+    else:
+        pairs = minhash_near_duplicates_arrow(
+            survivors, threshold=args.threshold
+        ).select("id_a", "id_b").localCheckpoint()
     n_pairs_text = pairs.count()
     n_pairs_emb = 0
     if args.embeddings:
@@ -291,7 +325,7 @@ def main() -> int:
     docs_out = spark.read.parquet(f"{out_dir}/documents").count()
     if state_dir is not None:
         _write_state(spark, spark.read.parquet(f"{out_dir}/documents"),
-                     state_dir)
+                     state_dir, sigs=job_sigs)
     seconds = round(time.time() - t0, 3)
 
     print(json.dumps({

@@ -7,9 +7,17 @@ MB), but production decontamination lists grow far past that: "every
 published benchmark plus every known leaked eval plus a copyright
 blocklist" reaches 10^8–10^9 distinct grams, where the sorted-array
 broadcast is 0.8–8 GB per executor — past the comfortable broadcast
-ceiling. A Bloom filter at ~14.4 bits/gram (fp_rate=1e-3) is 5.5× smaller
-at identical decision quality *for this pipeline*, because the filter's
-false positives are removed by an exact verify tail:
+ceiling. A Bloom filter at ~28.8 bits/gram (fp_rate=1e-6) is 2.2×
+smaller at identical decision quality *for this pipeline*, because the
+filter's false positives are removed by an exact verify tail.
+
+**The false-positive rate is per GRAM and compounds per document**: a
+clean document with ``g`` distinct grams becomes a verify-tail
+candidate with probability ≈ ``g·fp_rate`` (union bound) — at the old
+1e-3 default a 1000-gram document was a candidate 63% of the time,
+silently turning the "tiny" verify tail into most of the corpus. The
+1e-6 default keeps false candidacy ≈ 0.1% for 1000-gram documents;
+size ``fp_rate ≲ target_candidacy / typical_grams_per_doc``.
 
 1. **Build** (two passes over the benchmark, which is small relative to
    the corpus): a sizing pass sums per-partition distinct-gram counts
@@ -65,7 +73,7 @@ _MIN_BITS = 1024
 #: Bitmaps at or below this collect one row per partition from an Arrow
 #: pass and OR on the driver (driver ingress = partitions × bytes);
 #: above it the executor-side treeAggregate path takes over. 16 MB ≈
-#: a 10^7-gram filter at fp 1e-3.
+#: a 4.6M-gram filter at the fp 1e-6 default.
 _COLLECT_BITMAP_BYTES = 16 << 20
 
 
@@ -112,7 +120,7 @@ def build_gram_bloom(
     *,
     text_col: str = "text",
     n: int = 3,
-    fp_rate: float = 1e-3,
+    fp_rate: float = 1e-6,
     expected_grams: int | None = None,
     tree_depth: int = 2,
 ) -> tuple[np.ndarray, int, int]:
@@ -202,7 +210,7 @@ def bloom_contamination(
     id_col: str = "doc_id",
     n: int = 3,
     min_hits: int = 1,
-    fp_rate: float = 1e-3,
+    fp_rate: float = 1e-6,
     expected_grams: int | None = None,
 ) -> DataFrame:
     """Exact benchmark decontamination behind a Bloom prefilter — the

@@ -100,7 +100,9 @@ def classify_text(text: str) -> tuple[str, int]:
     counts = np.bincount(t["script_id"][cp], minlength=len(t["order"]) + 1)
     nchars = int(t["non_ws"][cp].sum())
 
-    lowered = text.lower() if not _needs_map(text, t) else text.translate(t["lower"])
+    # ASCII text: Python str.lower() equals the JVM map; otherwise route
+    # through the JVM-extracted translate table
+    lowered = text.lower() if text.isascii() else text.translate(t["lower"])
     cp2 = np.frombuffer(lowered.encode("utf-32-le"), dtype=np.uint32)
     mask = t["lm"][cp2]
     # maximal letter/mark runs = tokens (the two-regex normalize chain
@@ -119,12 +121,6 @@ def classify_text(text: str) -> tuple[str, int]:
             return lang, c
     hits, best_lang = _best(tokens & t["latin_vocab"], t["latin"])
     return (best_lang if hits > 0 else "und"), hits
-
-
-def _needs_map(text: str, t: dict) -> bool:
-    """Python str.lower() matches the JVM map for ASCII; route any
-    non-ASCII text through the JVM-extracted translate map."""
-    return not text.isascii()
 
 
 def language_id_arrow(

@@ -88,6 +88,53 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
 
+def _check_divisible(dim: int, m_sub: int) -> None:
+    """Every entry point that splits dimensions must refuse a
+    non-divisible split — silently truncating trailing dimensions (the
+    integer-division alternative) degrades similarity with no signal."""
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+
+
+def _check_int_query_ids(q_ids) -> None:
+    """The scoring kernels emit query ids as int64; fail fast with a
+    clear message instead of an opaque executor-side numpy error."""
+    for q in q_ids:
+        if not isinstance(q, (int, np.integer)):
+            raise TypeError(
+                f"query ids must be integers (got {type(q).__name__}); "
+                "map non-integer ids to a dense int key before pq_topk/"
+                "ivfpq_topk"
+            )
+
+
+def _exact_refine(vectors, queries, cand, *, id_name, vec_col, query_id_col, k):
+    """Shared exact-cosine refine tail: candidate ids broadcast back
+    onto the vectors (no corpus shuffle), broadcast query vectors,
+    re-rank by ROUND(cos, 6) with the id tie-break."""
+    from jsl_engine.similarity import cosine
+
+    q_vec_df = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__q_vec"),
+        )
+    )
+    rescored = (
+        vectors.select(F.col(id_name), F.col(vec_col))
+        .join(F.broadcast(cand.select("query_id", id_name, "adc_sim")), id_name)
+        .join(q_vec_df, "query_id")
+        .select(
+            "query_id", id_name, "adc_sim",
+            F.round(cosine(F.col(vec_col), F.col("__q_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_name))
+    return rescored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def _assign_codes(x: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """(rows, m_sub) int32 codes: per subspace, argmax of
     ``<x_m, c> - 0.5·<c, c>`` (= argmin L2, ties to the smallest code —
@@ -177,10 +224,17 @@ def pq_topk(
     code resolution bounds *candidate recall* only; within-cluster
     ordering comes from the exact tail, which is why recall climbs with
     R while the scan still reads only the code table."""
+    if refine > 0 and not normalize:
+        raise ValueError(
+            "refine re-ranks by exact cosine, which answers a different "
+            "query than inner-product ADC (normalize=False); use "
+            "normalize=True with refine, or refine=0 for pure ADC"
+        )
     spark = vectors.sparkSession
     q_rows = queries.select(query_id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("queries DataFrame is empty")
+    _check_int_query_ids([r[0] for r in q_rows])
     qx = np.array([r[1] for r in q_rows], dtype=np.float64)
     if normalize:
         qx = _normalize_rows(qx)
@@ -188,6 +242,7 @@ def pq_topk(
         codebooks = make_random_codebooks(
             qx.shape[1], m_sub=m_sub, k_codes=k_codes, seed=seed
         )
+    _check_divisible(qx.shape[1], codebooks.shape[0])
     m_sub_, k_codes_, sub = codebooks.shape
     # LUT[q, m, j] = <q_m, c_mj> — one table per query, built once
     luts = np.empty((qx.shape[0], m_sub_, k_codes_), dtype=np.float64)
@@ -258,34 +313,9 @@ def pq_topk(
     )
     if refine <= 0:
         return adc_ranked.where(F.col("rank") <= k)
-
-    from jsl_engine.similarity import cosine
-
-    q_vec_df = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("__q_vec"),
-        )
-    )
-    cand_slim = F.broadcast(
-        adc_ranked.select("query_id", id_field.name, "adc_sim")
-    )
-    rescored = (
-        vectors.select(F.col(id_col), F.col(vec_col))
-        .join(cand_slim, id_field.name)
-        .join(q_vec_df, "query_id")
-        .select(
-            "query_id",
-            id_field.name,
-            "adc_sim",
-            F.round(cosine(F.col(vec_col), F.col("__q_vec")), 6).alias("cos_sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc(id_field.name)
-    )
-    return rescored.withColumn("rank", F.row_number().over(w2)).where(
-        F.col("rank") <= k
+    return _exact_refine(
+        vectors, queries, adc_ranked, id_name=id_field.name,
+        vec_col=vec_col, query_id_col=query_id_col, k=k,
     )
 
 
@@ -341,6 +371,7 @@ def ivfpq_topk(
     q_rows = queries.select(query_id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("queries DataFrame is empty")
+    _check_int_query_ids([r[0] for r in q_rows])
     qx = _normalize_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
     dim = qx.shape[1]
     if centroids is None:
@@ -358,6 +389,7 @@ def ivfpq_topk(
             codebooks = make_random_codebooks(
                 dim, m_sub=m_sub, k_codes=k_codes, seed=seed
             )
+    _check_divisible(dim, codebooks.shape[0])
     m_sub_, k_codes_, sub = codebooks.shape
 
     # --- index: one Arrow pass -> (id, cell, codes) ---
@@ -439,27 +471,9 @@ def ivfpq_topk(
     )
     if refine <= 0:
         return ranked.where(F.col("rank") <= k)
-
-    from jsl_engine.similarity import cosine
-
-    q_vec_df = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("__q_vec"),
-        )
-    )
-    rescored = (
-        vectors.select(F.col(id_col), F.col(vec_col))
-        .join(F.broadcast(ranked.select("query_id", id_name, "adc_sim")), id_name)
-        .join(q_vec_df, "query_id")
-        .select(
-            "query_id", id_name, "adc_sim",
-            F.round(cosine(F.col(vec_col), F.col("__q_vec")), 6).alias("cos_sim"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_name))
-    return rescored.withColumn("rank", F.row_number().over(w2)).where(
-        F.col("rank") <= k
+    return _exact_refine(
+        vectors, queries, ranked, id_name=id_name,
+        vec_col=vec_col, query_id_col=query_id_col, k=k,
     )
 
 
@@ -473,6 +487,7 @@ def _init_codebooks(
     """Deterministic init shared by both trainers: per subspace, pick
     ``k_codes`` sample subvectors by counter hash (the IVF init
     contract, jsl_engine/similarity.py)."""
+    _check_divisible(x.shape[1], m_sub)
     sub = x.shape[1] // m_sub
     idx = sorted(
         range(len(x)),

@@ -286,3 +286,27 @@ def test_ivf_topk_rejects_unknown_trainer(spark, vectors):
     queries = df.where("vec_id = 0").selectExpr("vec_id as query_id", "embedding")
     with pytest.raises(ValueError, match="train must be"):
         S.ivf_topk(df, queries, k=3, train="distrbuted")
+
+
+def test_embedding_near_dup_banded_recall(spark):
+    """50 planted pairs at cosine ≈ 0.98: banded SRP (8 × 12 defaults)
+    must recover ≥ 90% (a single 12-bit bucket catches only ~45% — the
+    round-4 review finding this pins)."""
+    rng = np.random.default_rng(77)
+    rows, want = [], set()
+    for i in range(50):
+        base = rng.normal(size=32)
+        base /= np.linalg.norm(base)
+        # a controlled-angle partner: cos ≈ 0.98
+        noise = rng.normal(size=32)
+        noise -= (noise @ base) * base
+        noise /= np.linalg.norm(noise)
+        partner = 0.98 * base + np.sqrt(1 - 0.98**2) * noise
+        rows.append(Row(vec_id=2 * i, embedding=[float(x) for x in base]))
+        rows.append(Row(vec_id=2 * i + 1, embedding=[float(x) for x in partner]))
+        want.add((2 * i, 2 * i + 1))
+    df = spark.createDataFrame(rows)
+    got = {(r.id_a, r.id_b)
+           for r in S.embedding_near_duplicates(df, threshold=0.97).collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
