@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jsl_engine import table_checks as tc
+from jsl_engine.sampling import (
+    SALT_MIXTURE as _SALT_MIXTURE,
+    SALT_SHUFFLE as _SALT_SHUFFLE,
+    SALT_SPLIT as _SALT_SPLIT,
+    SALT_STRATIFIED as _SALT_STRATIFIED,
+)
 from jsl_engine.schema import compile_schema
 from jsl_engine.spark_validate import validate_df, verdicts, violations
 
@@ -1417,6 +1423,17 @@ def _secret_scan_oracle_sql() -> str:
     """
 
 
+def _order_hash_sql(col: str, salt: int) -> str:
+    """DuckDB replica of :func:`jsl_engine.sampling.order_hash` —
+    generated from the SAME constants, so the two sides can only diverge
+    on logic (and a drift hash-mismatches every sampling query)."""
+    from jsl_engine.sampling import _KNUTH, _KNUTH2, _MOD, _SALT_STRIDE
+
+    a = f"((({col} % {_MOD}) + {salt * _SALT_STRIDE}) * {_KNUTH}) % {_MOD}"
+    g = f"xor({a}, ({a}) >> 15)"
+    return f"((({g}) * {_KNUTH2}) % {_MOD})"
+
+
 def _line_dedup_oracle_sql() -> str:
     """DuckDB re-derivation of corpus-level line dedup over the planted
     boilerplate: distinct-per-doc line counts, a >= 2-doc frequent set
@@ -2101,22 +2118,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
             ) WHERE change_type IS NOT NULL
         """,
-        "shuffle_export_documents": """
+        "shuffle_export_documents": f"""
             SELECT doc_id,
                    (h % 8)::INT AS bucket,
                    (ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1)::BIGINT AS pos
             FROM (
                 SELECT doc_id,
-                       ((doc_id % 2147483648) * 2654435761) % 2147483648 AS h
+                       {_order_hash_sql("doc_id", _SALT_SHUFFLE)} AS h
                 FROM documents
             )
         """,
-        "pack_sequences_documents": """
+        "pack_sequences_documents": f"""
             WITH t AS (
                 SELECT doc_id,
                        len(regexp_split_to_array(
                            trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))::BIGINT AS n_tok,
-                       ((doc_id % 2147483648) * 2654435761) % 2147483648 AS h
+                       {_order_hash_sql("doc_id", _SALT_SHUFFLE)} AS h
                 FROM documents
             ),
             c AS (
@@ -2130,20 +2147,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS pack_id
             FROM c
         """,
-        "stratified_sample_documents": """
+        "stratified_sample_documents": f"""
             SELECT doc_id, lang FROM (
                 SELECT doc_id, lang,
                        ROW_NUMBER() OVER (
                            PARTITION BY lang
-                           ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648, doc_id
+                           ORDER BY {_order_hash_sql("doc_id", _SALT_STRATIFIED)}, doc_id
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 5
         """,
-        "mixture_sample_documents": """
+        "mixture_sample_documents": f"""
             SELECT source, COUNT(*)::BIGINT AS n_kept FROM (
                 SELECT source,
-                       (((doc_id % 2147483648) * 2654435761) % 2147483648) % 1000 AS frac,
+                       {_order_hash_sql("doc_id", _SALT_MIXTURE)} % 1000 AS frac,
                        CASE WHEN source = 'src0' THEN 1000.0
                             WHEN source = 'src1' THEN 500.0
                             WHEN source = 'src2' THEN 250.0
@@ -2151,9 +2168,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE frac < rate GROUP BY source
         """,
-        "hash_split_documents": """
+        "hash_split_documents": f"""
             SELECT lang,
-                   CASE WHEN (((doc_id % 2147483648) * 2654435761) % 2147483648) % 1000 < 50
+                   CASE WHEN {_order_hash_sql("doc_id", _SALT_SPLIT)} % 1000 < 50
                         THEN 'eval' ELSE 'train' END AS split,
                    COUNT(*)::BIGINT AS n
             FROM documents GROUP BY 1, 2

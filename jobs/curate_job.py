@@ -141,6 +141,14 @@ def main() -> int:
         if not sep or not src or not r:
             ap.error(f"--rate expects SRC=RATE, got {spec!r}")
         rates[src] = float(r)
+    # validate the invocation BEFORE the filter pipeline runs: at scale
+    # the stages ahead are minutes-to-hours of Spark work, and burning
+    # them before rejecting conflicting flags is hostile
+    if args.temperature is not None:
+        if rates:
+            ap.error("--temperature and --rate are mutually exclusive")
+        if args.temperature <= 0:
+            ap.error(f"--temperature must be > 0, got {args.temperature}")
     langs = [l for l in args.langs.split(",") if l]
     licenses = [l for l in args.licenses.split(",") if l]
 
@@ -264,10 +272,9 @@ def main() -> int:
     if args.temperature is not None:
         from jsl_engine.sampling import temperature_rates
 
-        if rates:
-            ap.error("--temperature and --rate are mutually exclusive")
         # rates from the SURVIVOR distribution: the recipe balances what
-        # actually enters the mix, not the pre-filter corpus
+        # actually enters the mix, not the pre-filter corpus (flag
+        # conflicts were rejected at parse time, before the pipeline ran)
         rates = temperature_rates(survivors, temperature=args.temperature)
     mixed = mixture_sample(survivors, rates, default_rate=args.default_rate)
     n_mixed = mixed.count()

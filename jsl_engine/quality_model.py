@@ -65,7 +65,11 @@ def quality_features(
 
     df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     prof = text_profile(df, text_col, id_col, keep_cols=(text_col,) + keep_cols)
-    lines = F.split(F.col(text_col), "\n", -1)
+    # non-empty lines only: blank paragraph separators are formatting,
+    # not repetition — counting them would teach the classifier that
+    # double-spaced prose (disproportionately the GOOD reference set)
+    # looks like spam (same exclusion as repetition_profile)
+    lines = F.filter(F.split(F.col(text_col), "\n", -1), lambda x: x != "")
     n_lines = F.size(lines)
     dup_share = F.round(
         (n_lines - F.size(F.array_distinct(lines)))

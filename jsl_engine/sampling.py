@@ -17,17 +17,48 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 #: Knuth multiplicative constant (2^32 / phi, odd) — portable BIGINT math.
 _KNUTH = 2654435761
+#: Second-round multiplier (xxhash PRIME32_2, odd).
+_KNUTH2 = 2246822519
+#: Salt spreading stride (prime) — consecutive salts land far apart.
+_SALT_STRIDE = 1_000_003
 _MOD = 2**31
 
+#: Per-purpose salts: every operator that buckets or orders by the id
+#: hash uses its OWN salt, so their selections are statistically
+#: independent. One shared hash made mixture_sample and hash_split
+#: select the SAME permille bucket — a source down-sampled to rate R
+#: kept exactly the ids whose bucket < 1000R, and with eval_permille=50
+#: every kept doc of an R<=0.05 source landed in "eval", leaving the
+#: train split empty for that source (round-4 review finding; the
+#: independence is pinned by test_sampling_salts_are_independent).
+SALT_STRATIFIED = 1
+SALT_MIXTURE = 2
+SALT_SPLIT = 3
+SALT_SHUFFLE = 4  # shared by shuffle_export + pack_sequences (one layout)
+SALT_TRAIN_SAMPLE = 5  # similarity.py train_permille quantizer sampling
 
-def order_hash(id_col):
-    """Deterministic pseudo-random ordering key from an integer id:
-    ``((id mod 2^31) * 2654435761) mod 2^31`` — identical arithmetic in
-    every SQL engine (no engine-specific hash function). The id is
-    reduced mod 2^31 *before* the multiply so the product stays below
-    2^62: no signed-64-bit overflow (ANSI mode would crash, and engines
-    disagree on wrap semantics) for any id up to the full BIGINT range."""
-    return F.pmod(F.pmod(F.col(id_col), F.lit(_MOD)) * F.lit(_KNUTH), F.lit(_MOD))
+
+def order_hash(id_col, salt: int = 0):
+    """Deterministic pseudo-random ordering key from an integer id —
+    identical arithmetic in every SQL engine (no engine-specific hash
+    function)::
+
+        x = id mod 2^31
+        a = ((x + salt·1000003) · 2654435761) mod 2^31
+        g = a XOR (a >> 15)
+        h = (g · 2246822519) mod 2^31
+
+    The xor-shift between the two multiplicative rounds is what makes
+    distinct salts *independent*: affine maps with a shared multiplier
+    differ only by a constant, so their buckets stay perfectly
+    correlated at any granularity (measured: P(bucket₂<50 | bucket₁<50)
+    = 0 for the affine-only form vs 0.0496 ≈ 5% here). Every
+    intermediate stays below 2^31 before a multiply, so products stay
+    below 2^62: no signed-64-bit overflow under ANSI for any BIGINT id."""
+    x = F.pmod(F.col(id_col), F.lit(_MOD))
+    a = F.pmod((x + F.lit(salt * _SALT_STRIDE)) * F.lit(_KNUTH), F.lit(_MOD))
+    g = a.bitwiseXOR(F.shiftright(a, 15))
+    return F.pmod(g * F.lit(_KNUTH2), F.lit(_MOD))
 
 
 def stratified_sample(
@@ -50,7 +81,7 @@ def stratified_sample(
     contract; the pre-filter composes without changing results.
     """
     w = Window.partitionBy(*strata_cols).orderBy(
-        order_hash(id_col), F.col(id_col)
+        order_hash(id_col, SALT_STRATIFIED), F.col(id_col)
     )
     return (
         df.withColumn("__rk", F.row_number().over(w))
@@ -79,7 +110,7 @@ def mixture_sample(
     # rounding (0.29*1000 = 290.000...6 would keep one extra bucket;
     # 0.57*1000 = 569.999...9 would drop one), so the keep-probability
     # contract and any integer-literal oracle SQL use int(round(...))
-    frac = F.pmod(order_hash(id_col), F.lit(1000))
+    frac = F.pmod(order_hash(id_col, SALT_MIXTURE), F.lit(1000))
     rate_expr = F.lit(int(round(float(default_rate) * 1000)))
     for src, rate in sorted(rates.items()):
         rate_expr = F.when(
@@ -111,7 +142,7 @@ def shuffle_export(
     export is ``repartition(n_buckets, 'bucket') .sortWithinPartitions
     ('pos')`` over this frame — one shuffle, one local sort, shards land
     pre-shuffled."""
-    h = order_hash(id_col)
+    h = order_hash(id_col, SALT_SHUFFLE)
     w = Window.partitionBy("bucket").orderBy(F.col("__h"), F.col(id_col))
     return (
         df.withColumn("__h", h)
@@ -148,7 +179,7 @@ def pack_sequences(
     driver state); buckets are independent training shards. Pathological
     token-count skew does not break the math — a doc longer than
     ``budget`` simply spans multiple cuts, as in the real pipeline."""
-    h = order_hash(id_col)
+    h = order_hash(id_col, SALT_SHUFFLE)
     w = (
         Window.partitionBy("bucket")
         .orderBy(F.col("__h"), F.col(id_col))
@@ -184,7 +215,7 @@ def hash_split(
     arrival (a document's split never changes as the corpus grows) —
     the property seed-based ``randomSplit`` cannot give. Pure projection:
     no shuffle, whole-stage codegen."""
-    frac = F.pmod(order_hash(id_col), F.lit(1000))
+    frac = F.pmod(order_hash(id_col, SALT_SPLIT), F.lit(1000))
     return df.withColumn(
         split_col,
         F.when(frac < F.lit(eval_permille), F.lit("eval")).otherwise(
@@ -232,5 +263,10 @@ def temperature_rates(
     for src, n in sorted(counts.items()):
         rate = max_rate * (n / n_min) ** (temperature - 1.0)
         rate = min(max_rate, rate)
-        out[src] = round(min(1.0, rate) * 1000) / 1000.0
+        # permille floor: a computed rate below 0.0005 would ROUND to
+        # 0.0 and silently eliminate the largest source from the mix —
+        # under the recipe it should contribute the most absolute
+        # documents of any source. One permille is the selection grid's
+        # smallest representable nonzero rate.
+        out[src] = max(0.001, round(min(1.0, rate) * 1000) / 1000.0)
     return out

@@ -285,10 +285,11 @@ def train_ivf_centroids_distributed(
         ).alias(vec_col),
     )
     if train_permille < 1000:
-        from jsl_engine.sampling import order_hash
+        from jsl_engine.sampling import SALT_TRAIN_SAMPLE, order_hash
 
         base = base.where(
-            F.pmod(order_hash(id_col), F.lit(1000)) < F.lit(int(train_permille))
+            F.pmod(order_hash(id_col, SALT_TRAIN_SAMPLE), F.lit(1000))
+            < F.lit(int(train_permille))
         )
     base = base.cache()
     base.count()  # eager: every iteration re-reads the normalized sample

@@ -222,7 +222,13 @@ def lsh_candidate_pairs(
     Pass ``num_hashes`` (the signature length) to keep plan construction
     action-free; if omitted it is probed with a one-row job.
     """
-    n = num_hashes if num_hashes is not None else signatures.select(F.size("sig")).first()[0]
+    if num_hashes is not None:
+        n = num_hashes
+    else:
+        row = signatures.select(F.size("sig")).first()
+        # empty signature table (e.g. an incremental batch with zero
+        # survivors): any n yields the correct empty pair frame
+        n = row[0] if row is not None else bands
     banded = band_rows(signatures, id_col, bands, n).drop("sig")
     # boilerplate guard FIRST: windowed bucket size, oversized rows dropped
     # before any pair exists
@@ -789,8 +795,15 @@ def repetition_profile(
     words = F.split(normalized(F.col(text_col)), " ")
     base_cols = [F.col(id_col), F.size(words).cast("long").alias("n_words")]
     if with_lines:
-        lines = F.split(F.col(text_col), "\n")
-        n_lines = F.size(lines)
+        all_lines = F.split(F.col(text_col), "\n")
+        n_lines = F.size(all_lines)
+        # duplicate metrics run over NON-EMPTY lines only: blank
+        # paragraph separators are structure, not repetition — counting
+        # them makes ordinary double-spaced prose (P paragraphs →
+        # P-2 "duplicate" empties) trip the Gopher thresholds (same
+        # exclusion remove_frequent_lines documents)
+        lines = F.filter(all_lines, lambda x: x != "")
+        nn = F.size(lines)
         n_distinct = F.size(F.array_distinct(lines))
         dup_chars = F.aggregate(
             F.filter(
@@ -806,7 +819,7 @@ def repetition_profile(
         base_cols += [
             n_lines.cast("long").alias("n_lines"),
             F.round(
-                (n_lines - n_distinct) / F.greatest(n_lines, F.lit(1)).cast("double"),
+                (nn - n_distinct) / F.greatest(nn, F.lit(1)).cast("double"),
                 6,
             ).alias("dup_line_frac"),
             F.round(

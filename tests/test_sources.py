@@ -69,3 +69,43 @@ def test_temperature_rates(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_rates(df, temperature=0.0)
+
+
+def test_sampling_salts_are_independent(spark):
+    """THE round-4 regression: mixture_sample and hash_split formerly
+    selected on the identical permille bucket, so a source down-sampled
+    to rate <= eval_permille/1000 landed ENTIRELY in the eval split
+    (empty train). With per-purpose salts, the eval fraction among kept
+    docs must track eval_permille for any rate."""
+    from pyspark.sql import Row
+
+    from jsl_engine.sampling import hash_split, mixture_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="web") for i in range(20_000)]
+    )
+    kept = mixture_sample(df, {"web": 0.05})
+    n_kept = kept.count()
+    assert 800 <= n_kept <= 1200  # ~5% of 20k
+    split = hash_split(kept, eval_permille=50)
+    n_eval = split.where("split = 'eval'").count()
+    # ~5% of kept, NOT 100% (the correlated-bucket failure) or 0%
+    assert 0 < n_eval < 0.2 * n_kept, (n_eval, n_kept)
+    assert split.where("split = 'train'").count() > 0.8 * n_kept
+
+
+def test_temperature_rates_floor_keeps_huge_sources(spark):
+    """A rate that would permille-round to zero floors at 0.001: the
+    LARGEST source must never be silently eliminated from the mix."""
+    from pyspark.sql import Row
+
+    from jsl_engine.sampling import temperature_rates
+
+    rows = [Row(doc_id=i, source="huge") for i in range(100_000)]
+    rows += [Row(doc_id=10_000_000 + i, source="tiny") for i in range(10)]
+    df = spark.createDataFrame(rows)
+    t = temperature_rates(df, temperature=0.3)
+    # (1e4)^(0.3-1) = 1.6e-3 rounds fine; push harder via T=0.1
+    t2 = temperature_rates(df, temperature=0.1)
+    assert t["huge"] >= 0.001 and t2["huge"] >= 0.001
+    assert t["tiny"] == 1.0

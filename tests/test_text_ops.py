@@ -571,10 +571,10 @@ def test_mixture_sample_non_dyadic_rate_exact_permille(spark):
     from pyspark.sql import functions as F
 
     from jsl_engine import sampling as S
-    from jsl_engine.sampling import order_hash
+    from jsl_engine.sampling import SALT_MIXTURE, order_hash
 
     df = spark.createDataFrame([Row(doc_id=i, source="s0") for i in range(20000)])
-    frac = F.pmod(order_hash("doc_id"), F.lit(1000))
+    frac = F.pmod(order_hash("doc_id", SALT_MIXTURE), F.lit(1000))
     for rate in (0.29, 0.57):
         want = df.where(frac < int(round(rate * 1000))).count()
         got = S.mixture_sample(df, {"s0": rate}).count()
@@ -1116,10 +1116,12 @@ def test_repetition_profile_hand_computed(spark):
         out = {r.doc_id: r for r in
                T.repetition_profile(docs, bigram_path=path).collect()}
         r1 = out[1]
-        # lines: ['a b', 'a b', 'c d e', ''] -> 4 lines, 3 distinct
+        # raw lines: ['a b', 'a b', 'c d e', ''] -> n_lines counts all 4;
+        # duplicate metrics run over the 3 NON-EMPTY lines (blank
+        # separators are structure, not repetition): 3 lines, 2 distinct
         assert r1.n_lines == 4
-        assert r1.dup_line_frac == 0.25
-        # duplicated-line chars 3+3 of 11 total
+        assert r1.dup_line_frac == round(1 / 3, 6)
+        # duplicated-line chars 3+3 of 11 non-empty total
         assert r1.dup_line_char_frac == round(6 / 11, 6)
         # normalized words [a b a b c d e] -> bigrams
         # [a b, b a, a b, b c, c d, d e]: top 'a b' = 2/6
