@@ -303,8 +303,11 @@ def q_simhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsl_engine.text_ops_arrow import simhash_arrow
 
     docs = _t(spark, sf_dir, "documents")
-    h = simhash_arrow(docs, "text", "doc_id", 3).cache()
-    h.count()  # eager: truth + banded branches both consume it
+    # localCheckpoint, not cache: both branches reuse the stored blocks,
+    # and the ContextCleaner reclaims them once the frame is unreferenced
+    # (a cache would pin executor storage for the whole session — one
+    # leak per registry run)
+    h = simhash_arrow(docs, "text", "doc_id", 3).localCheckpoint()
     emitted = simhash_pairs_from_hashes(
         h, "doc_id", max_hamming=3, max_bucket=1 << 30
     ).select("id_a", "id_b")

@@ -59,9 +59,19 @@ def incremental_validate(
     """Return ``(merged_verdicts, diff)`` for the new snapshot.
 
     ``old_verdicts`` must carry the key columns; snapshots carry keys +
-    ``content``. The kernel runs only over added/changed documents."""
-    o = old_snapshot.withColumn("content_sha256", F.sha2("content", 256))
-    n = new_snapshot.withColumn("content_sha256", F.sha2("content", 256))
+    ``content``. The kernel runs only over added/changed documents. A
+    snapshot already carrying ``content_sha256`` (ingestion writes it
+    alongside content — the row-invariant contract) is used as-is: at
+    10^12 files re-hashing the unchanged old corpus every run would be a
+    full content scan that defeats the incremental cost ratio."""
+
+    def _with_sha(df):
+        if "content_sha256" in df.columns:
+            return df
+        return df.withColumn("content_sha256", F.sha2("content", 256))
+
+    o = _with_sha(old_snapshot)
+    n = _with_sha(new_snapshot)
     diff = snapshot_diff(o, n, keys)
     todo = new_snapshot.join(
         diff.where(F.col("change_type") != "removed").select(keys),
@@ -82,9 +92,13 @@ def incremental_validate_pruned(
     *,
     keys: list[str] = KEYS,
     part_col: str = "part_key",
-) -> tuple[DataFrame, list[str], list[str]]:
+) -> tuple[DataFrame, list[str], list[str], list[str]]:
     """Partition-level incremental fast path, composed with the manifest:
-    returns ``(fresh_verdicts, changed_parts, skipped_parts)``.
+    returns ``(fresh_verdicts, changed_parts, skipped_parts,
+    removed_parts)`` — ``removed_parts`` are partitions committed in the
+    manifest but ABSENT from the new snapshot; their verdict outputs are
+    stale and the caller must delete or tombstone them (the sink would
+    otherwise keep serving verdicts for documents that no longer exist).
 
     1. signature pass: read ONLY (part_key, keys, content_sha256) of the
        new snapshot (column-pruned — ingestion writes the sha alongside
@@ -103,18 +117,31 @@ def incremental_validate_pruned(
     At 10^12 files this prunes *scans*, not just kernel work: the
     signature pass reads two narrow columns, and the expensive content
     read + kernel touch only churned partitions."""
-    from jsl_engine.manifest import partition_signatures, unchanged_partitions
+    from jsl_engine.manifest import (
+        committed_partitions,
+        partition_signatures,
+        unchanged_partitions,
+    )
 
     new_meta = spark.read.parquet(new_root).select(
         part_col, *keys, "content_sha256"
     )
-    sigs = partition_signatures(new_meta, tuple(keys), part_col=part_col)
+    # one signature pass: the aggregate feeds BOTH the manifest compare
+    # and the all-parts set — unmaterialized it would re-scan the narrow
+    # columns (the dominant cost of the fast path) once per consumer
+    sigs = partition_signatures(new_meta, tuple(keys), part_col=part_col
+                                ).localCheckpoint()
     skip = unchanged_partitions(spark, manifest_path, fingerprint, sigs)
     all_parts = {r[part_col] for r in sigs.select(part_col).collect()}
     changed = sorted(all_parts - skip)
+    done = {
+        r.part_key
+        for r in committed_partitions(spark, manifest_path, fingerprint).collect()
+    }
+    removed = sorted(done - all_parts)
     pruned = spark.read.parquet(new_root).where(F.col(part_col).isin(changed))
     fresh = validate_df(pruned, schema, key_cols=(part_col, *keys))
-    return fresh, changed, sorted(skip)
+    return fresh, changed, sorted(skip), removed
 
 
 def main() -> int:
@@ -138,16 +165,14 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     schema = compile_schema(CODE_FILE_SCHEMA)
 
+    if not 0.0 <= args.churn <= 1.0:
+        ap.error(f"--churn must be in [0, 1], got {args.churn}")
     old = generate_corpus(spark, args.rows, seed=42, defect_rate=0.02,
                           partitions=args.cpus * 2).localCheckpoint()
-    churn_mod = max(2, int(1 / args.churn)) if args.churn > 0 else 0
-    new = old.withColumn(
-        "content",
-        F.when(
-            (F.xxhash64(*KEYS) % churn_mod == 0) if churn_mod else F.lit(False),
-            F.concat(F.col("content"), F.lit(" ")),
-        ).otherwise(F.col("content")),
-    ).localCheckpoint()
+    # permille predicate honors ANY churn rate exactly (the old
+    # max(2, int(1/churn)) modulus silently clamped churn > 0.5 to 0.5)
+    churn_permille = int(round(args.churn * 1000))
+    is_churned = F.pmod(F.xxhash64(*KEYS), F.lit(1000)) < F.lit(churn_permille)
 
     if args.partition_prune:
         import tempfile
@@ -155,16 +180,14 @@ def main() -> int:
         from jsl_engine.manifest import run_validation_job
 
         root = tempfile.mkdtemp(prefix="jsl_incr_")
-        run_validation_job(spark, old, schema, output_root=root)
+        summary = run_validation_job(spark, old, schema, output_root=root)
         new_root = f"{root}/new_snapshot"
         # churn confined to one repo prefix: the realistic shape where the
         # partition fast path pays (append-mostly corpora churn locally)
         new = old.withColumn(
             "content",
             F.when(
-                F.col("repo").startswith("org3")
-                & ((F.xxhash64(*KEYS) % churn_mod == 0) if churn_mod
-                   else F.lit(False)),
+                F.col("repo").startswith("org3") & is_churned,
                 F.concat(F.col("content"), F.lit(" ")),
             ).otherwise(F.col("content")),
         )
@@ -173,19 +196,30 @@ def main() -> int:
         ).write.partitionBy("part_key").parquet(new_root)
 
         t0 = time.time()
-        fresh, changed, skipped = incremental_validate_pruned(
-            spark, f"{root}/manifest", schema.fingerprint(), new_root, schema
+        # the manifest commits under the JOB fingerprint (schema + job
+        # config), which the summary reports — not the bare schema one
+        fresh, changed, skipped, removed = incremental_validate_pruned(
+            spark, f"{root}/manifest", summary["fingerprint"], new_root, schema
         )
         n_fresh = fresh.count()
         print(json.dumps({
             "rows": args.rows,
             "partitions_changed": len(changed),
             "partitions_skipped": len(skipped),
+            "partitions_removed": len(removed),
             "validated_docs": n_fresh,
             "seconds": round(time.time() - t0, 3),
         }))
         return 0
 
+    # the churned snapshot is built (and materialized) only on this
+    # branch — the prune branch writes its own prefix-confined snapshot
+    new = old.withColumn(
+        "content",
+        F.when(
+            is_churned, F.concat(F.col("content"), F.lit(" "))
+        ).otherwise(F.col("content")),
+    ).localCheckpoint()
     base_verdicts = validate_df(old, schema).localCheckpoint()
 
     t0 = time.time()

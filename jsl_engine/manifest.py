@@ -27,6 +27,7 @@ from __future__ import annotations
 import time
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -208,11 +209,17 @@ def unchanged_partitions(
 
 
 def read_manifest(spark: SparkSession, manifest_path: str) -> DataFrame:
-    """The manifest table, or an empty frame if no run has committed yet."""
+    """The manifest table, or an empty frame if no run has committed yet.
+
+    Only the missing-path case maps to "nothing committed" — a corrupt or
+    unreadable manifest must SURFACE, not silently re-validate the whole
+    corpus and append a second commit log on top of the bad one."""
     try:
         return spark.read.schema(MANIFEST_SCHEMA).parquet(manifest_path)
-    except Exception:
-        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return spark.createDataFrame([], MANIFEST_SCHEMA)
+        raise
 
 
 def committed_partitions(
@@ -283,20 +290,36 @@ def run_validation_job(
     """
     if schemas is not None and curate:
         raise ValueError("registry mode and the fused curate pass are exclusive")
-    # the curate flag is part of the resume identity: a curate run resumed
-    # over non-curate commits (or vice versa) would silently skip work and
-    # leave ONE sink with two schemas — same invariant that gives registry
-    # mode its own fingerprint
+    # EVERY flag that changes verdict semantics or sink layout is part of
+    # the resume identity: a run resumed under a different strict mode,
+    # key set, content column, partition-prefix width or curate flag
+    # would silently skip work and leave ONE sink with mixed semantics
+    # (or, for a prefix change, duplicate every document under new
+    # part_key values) — same invariant that gives registry mode its own
+    # fingerprint
+    job_conf = (
+        f"|k={','.join(key_cols)}|c={content_col}|p={part_prefix_len}"
+        f"|s={int(strict_instance_semantics)}"
+    )
     fingerprint = (
         registry_fingerprint(schemas, default_schema)
         if schemas is not None
         else schema.fingerprint() + ("+curate" if curate else "")
-    )
+    ) + job_conf
     manifest_path = f"{output_root}/manifest"
     job_id = uuid.uuid4().hex[:12]
 
+    # NULL first-key rows get a sentinel partition instead of a NULL
+    # part_key (which would crash the non-nullable manifest append after
+    # the whole validation pass, and break the sorted() resume set) —
+    # dirty corpora flow through and surface as a visible "__null__"
+    # partition in the manifest
     keyed = source.withColumn(
-        "part_key", F.substring(F.col(key_cols[0]), 1, part_prefix_len)
+        "part_key",
+        F.coalesce(
+            F.substring(F.col(key_cols[0]), 1, part_prefix_len),
+            F.lit("__null__"),
+        ),
     )
     # part_key cardinality is bounded by construction (fixed-width prefix),
     # so the pending set is collected to the driver and applied as an isin
@@ -373,7 +396,13 @@ def run_validation_job(
         f"{output_root}/validated"
     )
 
-    done_data = spark.read.parquet(f"{output_root}/validated")
+    try:
+        done_data = spark.read.parquet(f"{output_root}/validated")
+    except AnalysisException:
+        # an empty source's write leaves only _SUCCESS (no footers to
+        # infer a schema from): a scheduled job over a not-yet-populated
+        # table must no-op cleanly, not crash after the write
+        done_data = spark.createDataFrame([], validated.schema)
     if pending_keys is not None:
         done_data = done_data.where(F.col("part_key").isin(pending_keys))
 

@@ -54,7 +54,10 @@ def order_hash(id_col, salt: int = 0):
     correlated at any granularity (measured: P(bucket₂<50 | bucket₁<50)
     = 0 for the affine-only form vs 0.0496 ≈ 5% here). Every
     intermediate stays below 2^31 before a multiply, so products stay
-    below 2^62: no signed-64-bit overflow under ANSI for any BIGINT id."""
+    below 2^62: no signed-64-bit overflow under ANSI for any BIGINT id.
+    Ids are assumed NON-NEGATIVE (every generator in this engine emits
+    row-number-derived ids): Spark's ``pmod`` and SQL ``%`` agree only
+    there — a negative id would hash differently in the DuckDB oracle."""
     x = F.pmod(F.col(id_col), F.lit(_MOD))
     a = F.pmod((x + F.lit(salt * _SALT_STRIDE)) * F.lit(_KNUTH), F.lit(_MOD))
     g = a.bitwiseXOR(F.shiftright(a, 15))

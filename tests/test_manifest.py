@@ -61,7 +61,7 @@ def test_resume_from_partial_manifest(spark, corpus, tmp_path):
         spark, subset, schema, output_root=root, part_prefix_len=4
     )
     committed_before = committed_partitions(
-        spark, f"{root}/manifest", schema.fingerprint()
+        spark, f"{root}/manifest", r1["fingerprint"]
     ).count()
     assert committed_before == r1["partitions_pending"]
 
@@ -208,7 +208,8 @@ def test_registry_job_manifest_and_resume(spark, tmp_path):
         schemas=registry, route_col="lang", default_schema=full,
     )
     assert s1["docs"] == 900
-    assert s1["fingerprint"] == registry_fingerprint(registry, full)
+    # job fingerprint = registry fingerprint + the job-config suffix
+    assert s1["fingerprint"].startswith(registry_fingerprint(registry, full))
 
     validated = spark.read.parquet(f"{out}/validated")
     assert "schema_key" in validated.columns
@@ -281,11 +282,12 @@ def test_partition_prune_skips_unchanged_partitions(spark, tmp_path):
         "content_sha256", F.sha2("content", 256)
     ).write.partitionBy("part_key").parquet(new_root)
 
-    fresh, changed, skipped = incremental_validate_pruned(
-        spark, f"{out}/manifest", schema.fingerprint(), new_root, schema
+    fresh, changed, skipped, removed = incremental_validate_pruned(
+        spark, f"{out}/manifest", s1["fingerprint"], new_root, schema
     )
     assert changed == ["org3"]
     assert set(skipped) == {f"org{i}" for i in range(7)} - {"org3"}
+    assert removed == []
 
     # merged = prior sink for skipped partitions + fresh for changed
     prior = spark.read.parquet(f"{out}/validated").where(
@@ -400,3 +402,46 @@ def test_content_sig_multiplicity_sensitive(spark):
     assert sig(a) != sig(b)
     # and stays order/partitioning-invariant
     assert sig(a) == sig(list(reversed(a)))
+
+
+def test_strict_flag_is_part_of_resume_identity(spark, corpus, tmp_path):
+    """Resuming under a different strict mode must re-validate, never
+    skip — one sink must not mix two verdict semantics."""
+    root = str(tmp_path / "strict_resume")
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    r1 = run_validation_job(spark, corpus, schema, output_root=root)
+    r2 = run_validation_job(spark, corpus, schema, output_root=root,
+                            strict_instance_semantics=True)
+    assert r2["partitions_pending"] == r1["partitions_pending"]
+    assert r2["partitions_committed"] == 0
+
+
+def test_null_first_key_lands_in_sentinel_partition(spark, tmp_path):
+    """A NULL repo row flows into the visible __null__ partition instead
+    of crashing the manifest append (non-nullable part_key) after the
+    validation pass."""
+    src = generate_corpus(spark, 200, seed=3, defect_rate=0.0, partitions=2)
+    src = src.withColumn(
+        "repo",
+        F.when(F.xxhash64("path", "commit") % 10 == 0, F.lit(None)).otherwise(
+            F.col("repo")
+        ),
+    )
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    root = str(tmp_path / "nullkey")
+    r = run_validation_job(spark, src, schema, output_root=root)
+    assert r["docs"] == 200
+    parts = {row.part_key for row in
+             spark.read.parquet(f"{root}/manifest").select("part_key").collect()}
+    assert "__null__" in parts
+
+
+def test_empty_source_first_run_is_clean_noop(spark, tmp_path):
+    """A scheduled job over a not-yet-populated table returns docs=0
+    instead of crashing on the schemaless empty sink."""
+    src = generate_corpus(spark, 100, seed=5, defect_rate=0.0,
+                          partitions=2).where(F.lit(False))
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    r = run_validation_job(spark, src, schema,
+                           output_root=str(tmp_path / "empty"))
+    assert r["docs"] == 0
