@@ -9,8 +9,10 @@ Spark-first design:
 
 * dot products / norms are ``F.aggregate``/``F.zip_with`` array expressions
   — JVM-evaluated, no Python in the row loop;
-* brute-force top-k broadcasts the (small) query set and turns ranking
-  into one pass + ``TakeOrderedAndProject`` per query via a window top-k;
+* brute-force top-k broadcasts the (small) query set, scores in one
+  codegen pass, and cuts to ≤ k rows per (query, Arrow batch) map-side
+  (:func:`_local_topk_prune` — lossless by total order) before the tiny
+  per-query ranking window, so the shuffle never carries the corpus;
 * the SRP variant buckets vectors by the sign pattern of ``n_planes``
   random projections (seeded, deterministic): candidate generation is an
   equi-join on the bucket key, exact cosine re-ranks within buckets.
@@ -57,6 +59,75 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _local_topk_prune(
+    scored: DataFrame, k: int, id_col: str, score_col: str = "cos_sim"
+) -> DataFrame:
+    """Batch-local exact top-``k``-per-query cut applied BEFORE the
+    global per-query ranking window — the piece that makes the exact
+    top-k arms survive scale. Without it, every scored ``(query, id,
+    score)`` row shuffles into ONE reducer per query (at 10^12 vectors ×
+    20 queries: 20 reducers × 10^12 rows each); with it the map side
+    keeps only ≤ k rows per (query, Arrow batch), so the window's
+    shuffle input is O(batches × queries × k) — independent of corpus
+    row count. Same idea as ``pq_topk``'s batch-local ADC cut
+    (jsl_engine/pq.py), but with NO rounding band needed:
+
+    **Lossless by total order.** The cut sorts each batch by the
+    IDENTICAL total order the downstream window uses — (``score_col``
+    desc, ``id_col`` asc) within each query, on the ALREADY-ROUNDED
+    score column — and a row in the global top-k is in the top-k of
+    every subset containing it (at most k−1 rows precede it anywhere).
+    No arithmetic is performed here: scores were computed and rounded
+    JVM-side upstream, this pass only *selects* rows, so the result is
+    bit-for-bit the unpruned window's output, stable under any
+    repartitioning (pinned in tests/test_similarity.py).
+
+    Ordering corner cases match Spark: descending doubles place NaN
+    first and NULL last in both Spark and Arrow sort semantics."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    schema = scored.schema
+    names = schema.fieldNames()
+
+    def prune(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            if n <= k:
+                yield batch
+                continue
+            tbl = pa.Table.from_batches([batch])
+            order = pc.sort_indices(
+                tbl,
+                sort_keys=[
+                    ("query_id", "ascending"),
+                    (score_col, "descending"),
+                    (id_col, "ascending"),
+                ],
+            ).to_numpy(zero_copy_only=False)
+            q = tbl.column("query_id").to_numpy(zero_copy_only=False)[order]
+            starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+            ends = np.r_[starts[1:], q.size]
+            keep = np.concatenate(
+                [order[s : min(s + k, e)] for s, e in zip(starts, ends)]
+            )
+            yield from tbl.take(pa.array(np.sort(keep))).to_batches()
+
+    return scored.mapInArrow(prune, schema).select(*names)
+
+
+def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Shared tail of the exact top-k arms: batch-local lossless cut,
+    then the (now tiny) global per-query ranking window."""
+    pruned = _local_topk_prune(scored, k, id_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return pruned.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -70,10 +141,11 @@ def brute_force_topk(
 
         query_id, vec_id, cos_sim, rank   (rank 1..k, ties by vec_id)
 
-    The query set is broadcast (small side); the corpus is scanned once.
-    One shuffle for the per-query window top-k — at scale prefer
-    aggregating ``min_by``-style partial top-k, but the window keeps exact
-    rank semantics and AQE coalesces the tiny shuffle.
+    The query set is broadcast (small side); the corpus is scanned once
+    and scored in whole-stage codegen. A batch-local lossless top-k cut
+    (:func:`_local_topk_prune`) runs map-side, so the per-query ranking
+    window's shuffle input is O(batches × queries × k), never O(rows) —
+    the corpus is never shuffled into per-query reducers.
     """
     q = F.broadcast(
         queries.select(
@@ -89,13 +161,7 @@ def brute_force_topk(
             F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _ranked_topk(scored, k, id_col)
 
 
 def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -183,8 +249,10 @@ def lsh_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    # multi-probe needs no dedup: the probed buckets (bucket ⊕ one-bit
+    # flips) are pairwise distinct and each vector holds ONE bucket, so
+    # a (query, vector) pair joins at most once
+    return _ranked_topk(scored, k, id_col)
 
 
 def train_ivf_centroids(
@@ -497,8 +565,7 @@ def ivf_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _ranked_topk(scored, k, id_col)
 
 
 def embedding_near_duplicates(

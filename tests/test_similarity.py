@@ -310,3 +310,101 @@ def test_embedding_near_dup_banded_recall(spark):
            for r in S.embedding_near_duplicates(df, threshold=0.97).collect()}
     recall = len(want & got) / len(want)
     assert recall >= 0.9, recall
+
+
+# ---------------------------------------------------------------------------
+# batch-local lossless top-k prune (the scale path of the exact arms)
+# ---------------------------------------------------------------------------
+
+def _windowed_reference_topk(scored, k, id_col="vec_id"):
+    """The pre-prune implementation: global per-query window straight
+    over the scored rows — the correctness reference the pruned arm
+    must reproduce bit-for-bit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def test_prune_matches_unpruned_window_bit_for_bit(spark, vectors):
+    df, _ = vectors
+    queries = df.where("vec_id in (0, 7, 13)").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    got = sorted(
+        map(tuple, S.brute_force_topk(df, queries, k=7).collect())
+    )
+    # reference: identical scoring expression, NO prune
+    from pyspark.sql import functions as F
+
+    q = F.broadcast(queries.selectExpr("query_id", "embedding as q_vec"))
+    scored = df.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(S.cosine(F.col("embedding"), F.col("q_vec")), 6).alias("cos_sim"),
+    )
+    want = sorted(map(tuple, _windowed_reference_topk(scored, 7).collect()))
+    assert got == want
+
+
+def test_prune_stable_under_repartition(spark, vectors):
+    """Ties and batch boundaries must not move the answer: any
+    repartitioning of the corpus yields the identical ranked table."""
+    df, _ = vectors
+    queries = df.where("vec_id in (0, 7)").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    base = sorted(map(tuple, S.brute_force_topk(df, queries, k=9).collect()))
+    for nparts in (1, 3, 13):
+        got = sorted(
+            map(
+                tuple,
+                S.brute_force_topk(df.repartition(nparts), queries, k=9).collect(),
+            )
+        )
+        assert got == base
+
+
+def test_prune_window_input_is_o_partitions_not_o_rows(spark, vectors):
+    """The row-count gate from the round-4 verdict: the ranking window's
+    input (the pruned frame) must carry ≤ queries × k × batches rows —
+    with maxRecordsPerBatch ≥ partition size, batches == partitions."""
+    from pyspark.sql import functions as F
+
+    df, _ = vectors
+    n_parts, k, n_queries = 5, 4, 3
+    queries = df.where("vec_id in (0, 7, 13)").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    q = F.broadcast(queries.selectExpr("query_id", "embedding as q_vec"))
+    corpus = df.repartition(n_parts)
+    scored = corpus.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(S.cosine(F.col("embedding"), F.col("q_vec")), 6).alias("cos_sim"),
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
+    try:
+        pruned_rows = S._local_topk_prune(scored, k, "vec_id").count()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    total = corpus.count() * n_queries
+    assert pruned_rows <= n_queries * k * n_parts
+    assert pruned_rows < total  # it actually cut something
+
+
+def test_prune_handles_small_batches_and_duplicate_scores(spark):
+    """Batches smaller than k pass through; exact score ties break by
+    vec_id ascending, same as the window."""
+    from pyspark.sql import Row
+
+    rows = [Row(query_id=1, vec_id=i, cos_sim=1.0) for i in range(6)]
+    scored = spark.createDataFrame(rows).repartition(4)
+    out = _windowed_reference_topk(S._local_topk_prune(scored, 3, "vec_id"), 3)
+    got = sorted((r.rank, r.vec_id) for r in out.collect())
+    assert got == [(1, 0), (2, 1), (3, 2)]
