@@ -22,19 +22,21 @@ size ``fp_rate ≲ target_candidacy / typical_grams_per_doc``.
 1. **Build** (two passes over the benchmark, which is small relative to
    the corpus): a sizing pass sums per-partition distinct-gram counts
    (cross-partition duplicates overcount, which only oversizes the
-   filter and lowers the false-positive rate), then a build pass ORs
-   per-partition bitmaps via ``RDD.treeReduce`` — the driver never sees
-   per-gram data, only ``depth``-ary combined bitmaps.
+   filter and lowers the false-positive rate), then one ``mapInArrow``
+   pass emits a bitmap row per partition; rows OR-combine on the driver
+   (small filters) or executor-side in a depth-ary tree (big filters) —
+   the driver never sees per-gram data.
 2. **Probe** (the one full-corpus pass, map-only): each document's
    distinct gram hashes are tested against the broadcast bitmap with
    vectorized double hashing; ``bloom_hits`` counts grams with all ``k``
    bits set. Blooms have **no false negatives**, so ``bloom_hits >= 1``
    is a superset of the documents with any true benchmark hit.
-3. **Exact verify tail** (candidates only): candidate ids are broadcast
-   back onto the corpus (semi-join — no corpus shuffle), and the
-   candidates' string grams are joined against the benchmark's distinct
-   string grams with a *shuffle* join — the tail is where the
-   benchmark-sized work lives, but it is joined against a candidate set
+3. **Exact verify tail** (candidates only): candidate texts ride the
+   probe pass's own output (NULL for clean rows), so the tail reads the
+   checkpointed probe frame — no join back onto the corpus, no
+   candidate-id broadcast job. The candidates' string grams are joined
+   against the benchmark's distinct string grams — the tail is where
+   the benchmark-sized work lives, but it runs against a candidate set
    sized by true contamination + m·fp_rate, not by the corpus.
 
 The result is therefore **exact** (bit-for-bit the output of
@@ -135,13 +137,18 @@ def build_gram_bloom(
     sizing** (the verify tail scrubs false positives whatever the
     realized rate); sizing only trades bitmap bytes against tail volume.
 
-    Build path switches on bitmap size: small bitmaps (≤
-    ``_COLLECT_BITMAP_BYTES``) collect one per-partition bitmap row from
-    a ``mapInArrow`` pass and OR on the driver — staying on the Arrow
-    worker pool, no second (pickle-serialized) Python worker pool to
-    spin up; big bitmaps OR-combine executor-side via
-    ``RDD.treeAggregate(depth=tree_depth)``, so driver ingress is
-    ``depth``-ary combined bitmaps, not one per partition.
+    ONE build shape for every bitmap size: a ``mapInArrow`` pass emits a
+    single OR-combined bitmap row per partition (documents only ever
+    touch the Arrow worker pool). What differs is the combine tier:
+    small bitmaps (≤ ``_COLLECT_BITMAP_BYTES``) collect the partition
+    rows and OR on the driver (ingress = partitions × bytes); big
+    bitmaps tree-OR the same partition rows executor-side via
+    ``RDD.treeAggregate(depth=tree_depth)`` — the RDD layer carries one
+    bitmap row per partition, never per-document data, so driver ingress
+    is ``depth``-ary combined bitmaps. Per-task memory is one bitmap
+    (``m/8`` bytes); filters past executor memory would shard the bit
+    range across passes, which this engine does not need below ~10^10
+    grams.
     """
     texts = benchmark.select(text_col)
 
@@ -166,36 +173,40 @@ def build_gram_bloom(
     m, k = bloom_params(expected_grams, fp_rate)
     n_words = m // 64
 
-    if n_words * 8 <= _COLLECT_BITMAP_BYTES:
-        def build_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            local = np.zeros(n_words, dtype=np.uint64)
-            got = False
-            for batch in batches:
-                for t in batch.column(0).to_pylist():
-                    if t is not None:
-                        g = np.unique(_shingle_hashes(t, n))
-                        _set_bits(local, _probe_matrix(g, k, m))
-                        got = True
-            if got:
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array([local.tobytes()], type=pa.binary())], names=["b"]
-                )
+    def build_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        local = np.zeros(n_words, dtype=np.uint64)
+        got = False
+        for batch in batches:
+            for t in batch.column(0).to_pylist():
+                if t is not None:
+                    g = np.unique(_shingle_hashes(t, n))
+                    _set_bits(local, _probe_matrix(g, k, m))
+                    got = True
+        if got:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([local.tobytes()], type=pa.binary())], names=["b"]
+            )
 
-        schema = StructType([StructField("b", BinaryType(), False)])
-        rows = texts.mapInArrow(build_part, schema).collect()
+    schema = StructType([StructField("b", BinaryType(), False)])
+    parts = texts.mapInArrow(build_part, schema)
+
+    if n_words * 8 <= _COLLECT_BITMAP_BYTES:
         bitmap = np.zeros(n_words, dtype=np.uint64)
-        for r in rows:
+        for r in parts.collect():
             bitmap |= np.frombuffer(r["b"], dtype=np.uint64)
         return bitmap, m, k
 
-    def seq_op(local: np.ndarray, row) -> np.ndarray:
-        t = row[0]
-        if t is not None:
-            g = np.unique(_shingle_hashes(t, n))
-            _set_bits(local, _probe_matrix(g, k, m))
-        return local
+    # big bitmaps: SAME Arrow pass, but the per-partition bitmap rows
+    # (rows = partitions, never documents) OR-combine executor-side in a
+    # depth-ary tree — driver ingress is `depth`-ary combined bitmaps.
+    # The RDD layer only ever carries one bitmap row per partition; no
+    # document is pickled through a Python worker twice.
+    def seq_op(acc: np.ndarray, row) -> np.ndarray:
+        return np.bitwise_or(
+            acc, np.frombuffer(row[0], dtype=np.uint64), out=acc
+        )
 
-    bitmap = texts.rdd.treeAggregate(
+    bitmap = parts.rdd.treeAggregate(
         np.zeros(n_words, dtype=np.uint64), seq_op, np.bitwise_or,
         depth=tree_depth,
     )
@@ -220,12 +231,16 @@ def bloom_contamination(
 
         doc_id, n_grams, n_hits, hit_rate, contaminated
 
-    Plan shape: one map-only full-corpus pass (bitmap probe), then an
-    exact string-gram verify join restricted to the Bloom candidates
-    (no-false-negative guarantee makes the restriction lossless). The
-    kernel output is ``localCheckpoint``-ed so the candidate and clean
-    branches don't re-run the probe pass (the plan-branch dedup pattern
-    measured on the near-dup verify tails, BENCH/ANALYSIS.md round 4).
+    Plan shape: one map-only full-corpus pass (bitmap probe, emitting
+    candidate texts alongside the counts), then an exact string-gram
+    verify join restricted to the Bloom candidates (no-false-negative
+    guarantee makes the restriction lossless). The kernel output is
+    ``localCheckpoint``-ed so the candidate and clean branches don't
+    re-run the probe pass (the plan-branch dedup pattern measured on the
+    near-dup verify tails, BENCH/ANALYSIS.md round 4). Whole-operator
+    action count: ONE build job + ONE output job when
+    ``expected_grams`` is given (a third for the sizing pass otherwise)
+    — gated in tests/test_bloom.py.
     """
     spark = df.sparkSession
     bitmap, m, k = build_gram_bloom(
@@ -235,15 +250,23 @@ def bloom_contamination(
     bc = spark.sparkContext.broadcast(bitmap)
 
     pruned = df.select(id_col, text_col)
+    text_field = pruned.schema[text_col]
     out_schema = StructType(
         [
             pruned.schema[id_col],
             StructField("n_grams", LongType(), False),
             StructField("bloom_hits", LongType(), False),
+            # candidate docs carry their text through (NULL for the
+            # clean majority), so the exact verify tail reads the
+            # checkpointed probe output directly — no join back onto the
+            # corpus, no candidate-id broadcast job
+            StructField(text_col, text_field.dataType, True),
         ]
     )
 
     def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
         bits = bc.value
         for batch in batches:
             rows = batch.num_rows
@@ -256,17 +279,24 @@ def bloom_contamination(
                 g = np.unique(_shingle_hashes(t or "", n))
                 n_grams[i] = g.size
                 hits[i] = int(_test_all_k(bits, _probe_matrix(g, k, m)).sum())
+            cand_text = pc.if_else(
+                pa.array(hits >= 1),
+                batch.column(1),
+                pa.scalar(None, type=batch.schema.field(1).type),
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(0),
                     pa.array(n_grams, type=pa.int64()),
                     pa.array(hits, type=pa.int64()),
+                    cand_text,
                 ],
                 schema=pa.schema(
                     [
                         batch.schema.field(0),
                         pa.field("n_grams", pa.int64(), False),
                         pa.field("bloom_hits", pa.int64(), False),
+                        pa.field(text_col, batch.schema.field(1).type, True),
                     ]
                 ),
             )
@@ -276,16 +306,16 @@ def bloom_contamination(
     # n_hits == 0 — but a doc with 0 < exact < min_hits must still report
     # its exact n_hits to stay bit-for-bit with contamination().
     probed = pruned.mapInArrow(probe, out_schema).localCheckpoint(eager=False)
-    cand_ids = probed.where(F.col("bloom_hits") >= 1).select(id_col)
 
     # exact verify tail: string grams of candidate docs vs the
     # benchmark's distinct string grams. The candidate side is tiny
-    # (true positives + n·fp_rate), so the shuffle is benchmark-sized
-    # once — not per-corpus-doc work.
+    # (true positives + n·fp_rate) and its text rides the checkpointed
+    # probe output, so the tail launches no extra job and never touches
+    # the corpus again — the shuffle is benchmark-sized once, not
+    # per-corpus-doc work.
     from jsl_engine.text_ops import shingles
 
-    cand_docs = df.join(F.broadcast(cand_ids), id_col).select(id_col, text_col)
-    cand_grams = cand_docs.select(
+    cand_grams = probed.where(F.col("bloom_hits") >= 1).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
     )

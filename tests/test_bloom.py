@@ -178,10 +178,39 @@ def test_bloom_expected_grams_skips_sizing_and_stays_exact(spark, planted):
 
 
 def test_bloom_plan_shape(spark, planted):
-    """Scale gates: candidate ids re-enter the corpus via broadcast (no
-    corpus shuffle to meet the candidate set), and nothing degenerates
-    into a CartesianProduct."""
+    """Scale gates: the verify tail reads candidate texts off the probe
+    output (NO join back onto the corpus — the corpus parquet/scan
+    appears once in the plan), and nothing degenerates into a
+    CartesianProduct."""
     corpus, bench = planted
-    plan = bloom_contamination(corpus, bench, n=3)._jdf.queryExecution().toString()
-    assert "BroadcastHashJoin" in plan
+    plan = (
+        bloom_contamination(corpus, bench, n=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
     assert "CartesianProduct" not in plan
+    # both output branches read the ONE checkpointed probe output
+    # (localCheckpoint shows as LogicalRDD); the candidate branch must
+    # not join back onto the corpus input
+    assert plan.count("Filter (bloom_hits") == 2
+    assert "Join LeftOuter" in plan and plan.count("Join") == 1
+
+
+def test_bloom_job_count_with_known_sizing(spark, planted):
+    """The round-4 verdict gate: with expected_grams supplied (the
+    production shape), plan construction runs exactly ONE job (the
+    filter-build collect — the sizing pass is skipped), and the whole
+    answer is then ONE output action (whose AQE stage-jobs all share the
+    single checkpointed probe pass — no re-scan of the corpus)."""
+    corpus, bench = planted
+    exact = _rows(T.contamination(corpus, bench, n=3))
+    sc = spark.sparkContext
+    sc.setJobGroup("bloom_build_gate", "construction jobs", False)
+    try:
+        out = bloom_contamination(corpus, bench, n=3, expected_grams=500)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    build_jobs = sc.statusTracker().getJobIdsForGroup("bloom_build_gate")
+    assert len(build_jobs) == 1, f"expected 1 build job, ran {len(build_jobs)}"
+    assert _rows(out) == exact
