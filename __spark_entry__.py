@@ -257,11 +257,48 @@ def q_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document text metrics over the documents table (token counting,
-    quality signals, normalized fingerprint)."""
-    from jsl_engine.text_ops import text_profile
+    """Per-document text metrics over the documents table (quality
+    signals, normalized fingerprint) MERGED with the BPE-ish token
+    counting that was the standalone ``token_counts_documents`` row
+    until round 5 (registry rotation: the merge is a single map-only
+    scan — both operators are pure projections chained through
+    ``keep_cols`` — and frees one of the 50 correctness slots for
+    ``repetition_logprob_documents``)."""
+    from jsl_engine.text_ops import text_profile, token_counts
 
-    return text_profile(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    profile_cols = (
+        "n_tokens", "n_lines", "punct_ratio", "digit_ratio",
+        "upper_ratio", "avg_token_len", "fingerprint",
+    )
+    # token_counts' own n_chars (long) is the one emitted; text_profile's
+    # int twin is simply not carried through
+    return token_counts(
+        text_profile(docs, keep_cols=("text",)), keep_cols=profile_cols
+    )
+
+
+def q_repetition_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-line fractions,
+    top-bigram share) joined on doc_id with the CCNet-style unigram
+    log-probability quality score (self-scored reference model) — the
+    two quality scorers promoted from pytest-only to the hard oracle
+    gate in round 5 (slot freed by merging token_counts into
+    ``text_profile_documents``). One row per document::
+
+        doc_id, n_words, n_lines, dup_line_frac, dup_line_char_frac,
+        top_bigram_share, n_tokens, mean_logprob
+
+    Scale shape is the operators' own: repetition's bigram shuffle
+    carries (doc, bigram) counts, logprob's model shuffle carries the
+    vocabulary; the join key is the document id both already group on.
+    """
+    from jsl_engine.text_ops import repetition_profile, unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = repetition_profile(docs)
+    lp = unigram_logprob_score(docs)
+    return rep.join(lp, "doc_id")
 
 
 def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,14 +584,6 @@ def q_embedding_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting (letter runs / digit runs / punctuation) plus
-    whitespace tokens — the same RE2-compatible pattern runs in DuckDB."""
-    from jsl_engine.text_ops import token_counts
-
-    return token_counts(_t(spark, sf_dir, "documents"))
-
-
 def q_winnow_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing overlap, headline on the Arrow fingerprint kernel with an
     exact-verified contract: fingerprint-sharing pairs (min_shared=1 —
@@ -611,14 +640,26 @@ def q_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (the compressed-domain ANN scan:
     encode once into m_sub small codes per vector, score queries by
     codebook lookup-table sums — at 10^12 embeddings the scan reads the
-    ~64×-smaller code table, not the vectors). Run with the
+    ~64×-smaller code table, not the vectors), BOTH engines in one
+    oracled query (round-5 promotion, same merge pattern as
+    ``topk_cosine_embeddings``): the flat ADC scan
+    (``variant='pq'``) unioned with IVF-PQ run at **full probe**
+    (``variant='ivfpq'``, n_probe = n_cells) — where the entire IVF-PQ
+    pipeline (Arrow coarse-assign + encode index pass, broadcast probe
+    table with per-query flattened LUT arrays, codegen-side
+    ``element_at`` ADC sum, two-stage window) must reproduce the flat
+    ADC table bit-for-bit, because probing every cell makes the answer
+    centroid-independent. One generated DuckDB ADC oracle replays both
+    arms with the same codebook as SQL literals. Run with the
     deterministic data-independent codebook so the FULL pipeline —
     normalize, per-subspace argmin-L2 encode, ADC LUT scoring, rounded
-    rank, tie-break — is replayed bit-for-bit by generated DuckDB SQL
-    with the same centroids as literals; a real hash oracle, not a
-    property gate. Trained-codebook quality (driver + distributed Lloyd)
-    and the exact-refine tail are pytest-gated on planted clusters."""
-    from jsl_engine.pq import make_random_codebooks, pq_topk
+    rank, tie-break — is a real hash oracle, not a property gate.
+    Trained-codebook quality (driver + distributed Lloyd), residual
+    IVF-PQ, and the exact-refine tail are pytest-gated on planted
+    clusters (the *approximate* n_probe < n_cells regime has no SQL
+    analogue, as with IVF-Flat)."""
+    from jsl_engine.pq import ivfpq_topk, make_random_codebooks, pq_topk
+    from jsl_engine.similarity import _random_planes
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id").isin(0, 1, 2)).select(
@@ -628,7 +669,17 @@ def q_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = make_random_codebooks(
         c["dim"], m_sub=c["m_sub"], k_codes=c["k_codes"], seed=c["seed"]
     )
-    return pq_topk(emb, queries, k=c["k"], codebooks=cb)
+    pq = pq_topk(emb, queries, k=c["k"], codebooks=cb).withColumn(
+        "variant", F.lit("pq")
+    )
+    # fixed seeded centroids keep plan construction training-free; at
+    # full probe the centroids cannot affect the answer
+    cents = _random_planes(c["dim"], 4, seed=11)
+    ivfpq = ivfpq_topk(
+        emb, queries, k=c["k"], n_cells=4, n_probe=4, codebooks=cb,
+        centroids=cents,
+    ).withColumn("variant", F.lit("ivfpq"))
+    return pq.unionByName(ivfpq)
 
 
 def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1025,7 +1076,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``drift_report_events``), ``ngram_jaccard`` (its verify tail runs
     inside the minhash/winnow headline queries with the identical
     oracle machinery), and the per-lang token rollup (a two-line
-    composition of oracled ``text_profile``)."""
+    composition of oracled ``text_profile``).
+
+    Round-5 rotation (verdict item 6): ``token_counts_documents``
+    merged INTO ``text_profile_documents`` (both pure projections —
+    one scan, one row, every column still hash-checked), freeing the
+    slot for ``repetition_logprob_documents`` (repetition_profile +
+    unigram_logprob_score, both formerly pytest-only); and
+    ``pq_topk_embeddings`` now unions the full-probe IVF-PQ arm under a
+    ``variant`` column (the ``topk_cosine_embeddings`` merge pattern),
+    promoting ``ivfpq_topk`` to the hash gate without a new slot."""
     return {
         # flagship JSL validation surface
         "jsl_validate_events": q_jsl_validate_events,
@@ -1054,11 +1114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_documents": q_text_profile_documents,
         "quality_score_documents": q_quality_score_documents,
         "language_id_documents": q_language_id_documents,
-        "token_counts_documents": q_token_counts_documents,
         "vocab_topk_documents": q_vocab_topk_documents,
         "curation_report_documents": q_curation_report_documents,
         "secret_scan_documents": q_secret_scan_documents,
         "line_dedup_documents": q_line_dedup_documents,
+        "repetition_logprob_documents": q_repetition_logprob_documents,
         "license_scan_documents": q_license_scan_documents,
         "license_rollup_documents": q_license_rollup_documents,
         "code_profile_documents": q_code_profile_documents,
@@ -1663,8 +1723,11 @@ def _pq_topk_oracle_sql() -> str:
                                       ORDER BY adc_sim DESC, vec_id ASC) AS rank
             FROM s
         )
-        SELECT query_id, vec_id, adc_sim, rank::INT AS rank
-        FROM r WHERE rank <= {c["k"]}
+        -- both engine arms (flat ADC / full-probe IVF-PQ) must equal
+        -- this one ADC table
+        SELECT query_id, vec_id, adc_sim, rank::INT AS rank, v.variant
+        FROM r CROSS JOIN (VALUES ('pq'), ('ivfpq')) v(variant)
+        WHERE rank <= {c["k"]}
     """
 
 
@@ -1937,25 +2000,109 @@ def oracle_sql() -> dict[str, str]:
         "text_profile_documents": """
             WITH p AS (
                 SELECT doc_id, text,
-                       LENGTH(text) AS n_chars,
+                       LENGTH(text) AS n_chars_i,
                        CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                            ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+                            ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+                       len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]'))::BIGINT AS n_sub
                 FROM documents
             )
             SELECT doc_id,
-                   n_chars,
+                   n_tokens::BIGINT AS n_ws_tokens,
+                   n_sub AS n_subword_tokens,
+                   LENGTH(text)::BIGINT AS n_chars,
+                   ROUND(LENGTH(text) / CAST(GREATEST(n_sub, 1) AS DOUBLE), 6) AS chars_per_token,
                    n_tokens,
                    len(string_split(text, chr(10)))::INT AS n_lines,
                    ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
-                         / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS punct_ratio,
+                         / CAST(GREATEST(n_chars_i, 1) AS DOUBLE), 6) AS punct_ratio,
                    ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
-                         / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS digit_ratio,
+                         / CAST(GREATEST(n_chars_i, 1) AS DOUBLE), 6) AS digit_ratio,
                    ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')))
-                         / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS upper_ratio,
+                         / CAST(GREATEST(n_chars_i, 1) AS DOUBLE), 6) AS upper_ratio,
                    ROUND(LENGTH(regexp_replace(text, '\\s+', '', 'g'))
                          / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 6) AS avg_token_len,
                    sha256(TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM p
+        """,
+        "repetition_logprob_documents": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents
+            ),
+            lns AS (
+                SELECT doc_id,
+                       len(string_split(text, chr(10))) AS n_lines,
+                       list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+                FROM base
+            ),
+            line_grp AS (
+                SELECT doc_id, l, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(ls) AS l FROM lns)
+                GROUP BY doc_id, l
+            ),
+            line_stats AS (
+                SELECT doc_id,
+                       SUM(c) AS nn,
+                       COUNT(*) AS nd,
+                       SUM(CASE WHEN c > 1 THEN c * LENGTH(l) ELSE 0 END) AS dup_chars,
+                       SUM(c * LENGTH(l)) AS tot_chars
+                FROM line_grp GROUP BY doc_id
+            ),
+            bgc AS (
+                SELECT doc_id, b, COUNT(*) AS c FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, GREATEST(len(w) - 1, 1)),
+                               i -> concat_ws(' ', w[i], w[i + 1]))) AS b
+                    FROM base
+                ) GROUP BY doc_id, b
+            ),
+            bgs AS (
+                SELECT doc_id, MAX(c) AS top, SUM(c) AS n_bg FROM bgc GROUP BY doc_id
+            ),
+            tok AS (
+                SELECT doc_id, token FROM (
+                    SELECT doc_id, unnest(w) AS token FROM base
+                ) WHERE token <> ''
+            ),
+            cnts AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+            vocab AS (
+                SELECT token, c FROM cnts ORDER BY c DESC, token ASC LIMIT 65536
+            ),
+            denom AS (
+                SELECT COALESCE(SUM(c), 0) + 0.5 * (LEAST(COUNT(*), 65536) + 1) AS d
+                FROM cnts
+            ),
+            model AS (
+                SELECT token, ln((c + 0.5) / d) AS logp FROM vocab CROSS JOIN denom
+            ),
+            scored AS (
+                SELECT t.doc_id, COALESCE(m.logp, ln(0.5 / denom.d)) AS logp
+                FROM tok t LEFT JOIN model m ON t.token = m.token
+                CROSS JOIN denom
+            ),
+            per_doc AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+                       ROUND(AVG(logp), 6) AS mean_logprob
+                FROM scored GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   len(b.w)::BIGINT AS n_words,
+                   l.n_lines::BIGINT AS n_lines,
+                   ROUND((COALESCE(s.nn, 0) - COALESCE(s.nd, 0))
+                         / CAST(GREATEST(COALESCE(s.nn, 0), 1) AS DOUBLE), 6) AS dup_line_frac,
+                   ROUND(COALESCE(s.dup_chars, 0)
+                         / CAST(GREATEST(COALESCE(s.tot_chars, 0), 1) AS DOUBLE), 6) AS dup_line_char_frac,
+                   ROUND(g.top / CAST(GREATEST(g.n_bg, 1) AS DOUBLE), 6) AS top_bigram_share,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   p.mean_logprob AS mean_logprob
+            FROM base b
+            JOIN lns l USING (doc_id)
+            LEFT JOIN line_stats s USING (doc_id)
+            LEFT JOIN bgs g USING (doc_id)
+            LEFT JOIN per_doc p USING (doc_id)
         """,
         "quality_score_documents": f"""
             WITH {_quality_cte_sql("documents")}
@@ -2185,20 +2332,6 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_docs,
                    MIN(doc_id)::BIGINT AS keep_id
             FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1
-        """,
-        "token_counts_documents": """
-            WITH t AS (
-                SELECT doc_id, text,
-                       len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]'))::BIGINT AS n_sub
-                FROM documents
-            )
-            SELECT doc_id,
-                   (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                         ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END)::BIGINT AS n_ws_tokens,
-                   n_sub AS n_subword_tokens,
-                   LENGTH(text)::BIGINT AS n_chars,
-                   ROUND(LENGTH(text) / CAST(GREATEST(n_sub, 1) AS DOUBLE), 6) AS chars_per_token
-            FROM t
         """,
         "topk_cosine_embeddings": """
             WITH q AS (

@@ -65,14 +65,10 @@ def main() -> int:
                     help="schema-registry mode: per-lang schema map "
                          "(python/rust/go strict, java/c lax, js via the "
                          "default fallback), one broadcast + one pass; "
-                         "manifest gains per-route detail rows")
+                         "manifest gains per-route detail rows; combine "
+                         "with --curate for riders in the same scan")
     ap.add_argument("--keep-output", action="store_true")
     args = ap.parse_args()
-    if args.schemas and args.curate:
-        # mirror the engine-level exclusivity: silently running registry
-        # mode without curation while reporting curate:true would lie
-        ap.error("--schemas and --curate are mutually exclusive "
-                 "(the fused curation pass is single-schema)")
 
     spark = get_spark(
         master=f"local[{args.cpus}]",
@@ -117,6 +113,10 @@ def main() -> int:
             schemas=registry,
             route_col="lang",
             default_schema=schema,
+            # --schemas --curate composes: riders fuse into the same
+            # registry-dispatch scan (validate_and_curate_multi)
+            curate=args.curate,
+            lang_engine=args.lang_engine,
         )
     else:
         summary = run_validation_job(

@@ -288,8 +288,9 @@ def run_validation_job(
 
     Returns a summary dict with partition and document counts.
     """
-    if schemas is not None and curate:
-        raise ValueError("registry mode and the fused curate pass are exclusive")
+    # registry mode and the fused curate pass COMPOSE (round 5): the
+    # per-route dispatch and the rider scorers share the one content
+    # scan via validate_and_curate_multi
     # EVERY flag that changes verdict semantics or sink layout is part of
     # the resume identity: a run resumed under a different strict mode,
     # key set, content column, partition-prefix width or curate flag
@@ -304,8 +305,8 @@ def run_validation_job(
     fingerprint = (
         registry_fingerprint(schemas, default_schema)
         if schemas is not None
-        else schema.fingerprint() + ("+curate" if curate else "")
-    ) + job_conf
+        else schema.fingerprint()
+    ) + ("+curate" if curate else "") + job_conf
     manifest_path = f"{output_root}/manifest"
     job_id = uuid.uuid4().hex[:12]
 
@@ -354,7 +355,21 @@ def run_validation_job(
 
         todo = repartition_salted(todo, repartition, cols=key_cols)
 
-    if schemas is not None:
+    if schemas is not None and curate:
+        from jsl_engine.spark_validate import validate_and_curate_multi
+
+        validated = validate_and_curate_multi(
+            todo,
+            schemas,
+            route_col=route_col,
+            default=default_schema,
+            content_col=content_col,
+            text_col=content_col,
+            key_cols=("part_key",) + key_cols,
+            strict_instance_semantics=strict_instance_semantics,
+            lang_engine=lang_engine,
+        )
+    elif schemas is not None:
         from jsl_engine.spark_validate import validate_multi
 
         validated = validate_multi(

@@ -326,6 +326,37 @@ def validate_and_curate(
     tests/test_lang_arrow.py): the dominant rider becomes a second
     Arrow stage in the same single-scan plan — still zero joins, zero
     shuffles."""
+    k0, rest = key_cols[0], tuple(key_cols[1:])
+    cur = _curation_riders(
+        df, text_col=text_col, content_col=content_col, k0=k0, rest=rest,
+        lang_engine=lang_engine,
+    )
+    return validate_df(
+        cur, schema,
+        content_col=content_col,
+        key_cols=key_cols + ("quality", "lang_id", "n_secrets", "license"),
+        strict_instance_semantics=strict_instance_semantics,
+        max_errors=max_errors, max_depth=max_depth, max_nesting=max_nesting,
+    )
+
+
+def _curation_riders(
+    df: DataFrame,
+    *,
+    text_col: str,
+    content_col: str,
+    k0: str,
+    rest: tuple[str, ...],
+    lang_engine: str,
+    extra_carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """The shared map-only scorer chain (secret scan → quality score →
+    language id → license scan) threaded through each operator's
+    ``keep_cols`` passthrough — ONE implementation feeding both the
+    single-schema fused pass (:func:`validate_and_curate`) and the
+    registry fused pass (:func:`validate_and_curate_multi`), so there is
+    never a fused copy of a scorer to drift. ``extra_carry`` columns
+    (e.g. the registry route column) survive to the final projection."""
     from jsl_engine.code_ops import license_scan
     from jsl_engine.redaction import secret_scan
     from jsl_engine.text_ops import language_id, quality_score
@@ -335,8 +366,6 @@ def validate_and_curate(
     elif lang_engine != "jvm":
         raise ValueError(f"lang_engine must be 'jvm' or 'arrow', got {lang_engine!r}")
 
-    k0, rest = key_cols[0], tuple(key_cols[1:])
-
     def dedup(cols: tuple[str, ...]) -> tuple[str, ...]:
         seen: list[str] = []
         for c in cols:
@@ -344,7 +373,7 @@ def validate_and_curate(
                 seen.append(c)
         return tuple(seen)
 
-    carry = dedup(rest + (text_col, content_col))
+    carry = dedup(rest + extra_carry + (text_col, content_col))
     cur = secret_scan(df, text_col=text_col, id_col=k0, keep_cols=carry).select(
         k0, "n_secrets", *carry
     )
@@ -354,16 +383,59 @@ def validate_and_curate(
     cur = language_id(
         cur, text_col, k0, keep_cols=dedup(("quality", "n_secrets") + carry)
     )
-    cur = license_scan(
+    return license_scan(
         cur, text_col=text_col, id_col=k0,
-        keep_cols=dedup(("lang_id", "quality", "n_secrets") + rest + (content_col,)),
+        keep_cols=dedup(
+            ("lang_id", "quality", "n_secrets")
+            + rest + extra_carry + (content_col,)
+        ),
     )
-    return validate_df(
-        cur, schema,
+
+
+def validate_and_curate_multi(
+    df: DataFrame,
+    schemas: "dict[str, Schema]",
+    *,
+    route_col: str = "lang",
+    default: "Schema | None" = None,
+    content_col: str = "content",
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("doc_id",),
+    strict_instance_semantics: bool = False,
+    max_errors: int = 0,
+    max_depth: int = 32,
+    with_sha256: bool = True,
+    max_nesting: "int | None" = None,
+    lang_engine: str = "jvm",
+) -> DataFrame:
+    """The realistic production job in ONE pass: schema-REGISTRY
+    validation (per-route compiled plans, :func:`validate_multi`) with
+    the map-only curation riders fused into the same scan::
+
+        *key_cols, quality, lang_id, n_secrets, license, schema_key,
+        ok, n_errors, error, content_sha256, violations
+
+    Same fusion contract as :func:`validate_and_curate`: each rider is
+    the exact standalone operator chained through ``keep_cols``
+    (:func:`_curation_riders`), computed in the JVM projection before
+    the one mapInArrow dispatch stage — one scan, zero joins, zero
+    shuffles (plan-gated in tests/test_spark_validate.py). At 10^12
+    files this is the shape that matters: per-language schemas AND
+    curation signals without a second 100 TB read."""
+    k0, rest = key_cols[0], tuple(key_cols[1:])
+    cur = _curation_riders(
+        df, text_col=text_col, content_col=content_col, k0=k0, rest=rest,
+        lang_engine=lang_engine, extra_carry=(route_col,),
+    )
+    return validate_multi(
+        cur, schemas,
+        route_col=route_col,
+        default=default,
         content_col=content_col,
         key_cols=key_cols + ("quality", "lang_id", "n_secrets", "license"),
         strict_instance_semantics=strict_instance_semantics,
-        max_errors=max_errors, max_depth=max_depth, max_nesting=max_nesting,
+        max_errors=max_errors, max_depth=max_depth,
+        with_sha256=with_sha256, max_nesting=max_nesting,
     )
 
 

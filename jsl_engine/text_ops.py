@@ -1254,17 +1254,21 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 *, keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Tokenizer-style counting, all JVM regexps::
 
         id, n_ws_tokens, n_subword_tokens, n_chars, chars_per_token
+        [, *keep_cols]
 
     ``n_ws_tokens`` = whitespace tokens; ``n_subword_tokens`` approximates
     a BPE pre-tokenizer with class runs — letter runs, digit runs, and
     single punctuation marks (``\\p{L}+ | \\p{N}+ | other``) — the unit a
     subword tokenizer would split further, so it upper-bounds words and
     lower-bounds true BPE tokens. The same pattern runs verbatim in
-    DuckDB's RE2 (oracled query ``token_counts_documents``)."""
+    DuckDB's RE2 (oracled inside ``text_profile_documents``).
+    ``keep_cols`` pass through untouched (the map-only chaining contract
+    of :func:`text_profile`)."""
     t = F.col(text_col)
     trimmed = F.trim(t)
     n_ws = F.when(F.length(trimmed) == 0, 0).otherwise(
@@ -1279,6 +1283,7 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.round(
             F.length(t) / F.greatest(n_sub, F.lit(1)).cast("double"), 6
         ).alias("chars_per_token"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

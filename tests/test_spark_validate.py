@@ -509,3 +509,123 @@ def test_validation_job_curate_flag(spark, tmp_path):
     b = {tuple(r) for r in cur.select("repo", "path", "commit", "ok",
                                       "n_errors", "content_sha256").collect()}
     assert a == b
+
+
+def test_validate_and_curate_multi_single_pass_and_matches_surfaces(spark, tmp_path):
+    """The registry+curation composition (round 5) must (a) stay ONE
+    stage — one parquet scan, zero joins, zero Exchanges — and (b) equal
+    the two existing surfaces column-for-column: verdicts+schema_key ==
+    validate_multi alone, riders == the standalone scorers (the fusion
+    chains the real operators through keep_cols)."""
+    from pyspark.sql import Row
+
+    from jsl_engine.redaction import secret_scan
+    from jsl_engine.spark_validate import (
+        validate_and_curate_multi,
+        validate_multi,
+    )
+    from jsl_engine.text_ops import language_id, quality_score
+
+    langs = ["python", "java", "js"]  # js is unmapped -> no_schema
+    rows = []
+    for i in range(120):
+        text = ("the quick brown fox " * 8 + f"doc{i}. "
+                + ("contact admin@example.com " if i % 7 == 0 else ""))
+        content = '{"k": %d}' % i if i % 3 else '{"k": "bad"}'
+        rows.append(Row(doc_id=i, lang=langs[i % 3], text=text, content=content))
+    src = str(tmp_path / "multi_fuse_src")
+    spark.createDataFrame(rows).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    strict = compile_schema({"properties": {"k": {"type": "uint32"}}})
+    lax = compile_schema({})
+    registry = {"python": strict, "java": lax}
+
+    fused = validate_and_curate_multi(
+        df, registry, route_col="lang", key_cols=("doc_id",)
+    ).drop("violations")
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+    got = {r.doc_id: r for r in fused.collect()}
+    assert len(got) == 120
+
+    vm = {
+        r.doc_id: (r.schema_key, r.ok, r.n_errors, r.error, r.content_sha256)
+        for r in validate_multi(
+            df, registry, route_col="lang", key_cols=("doc_id",)
+        ).collect()
+    }
+    q = {r.doc_id: r.quality for r in quality_score(df).collect()}
+    l = {r.doc_id: r.lang_id for r in language_id(df).collect()}
+    s = {r.doc_id: r.n_secrets for r in secret_scan(df).collect()}
+    for i, r in got.items():
+        assert (r.schema_key, r.ok, r.n_errors, r.error, r.content_sha256) == vm[i]
+        assert r.quality == q[i]
+        assert r.lang_id == l[i]
+        assert r.n_secrets == s[i]
+    # every surface is exercised: strict failures, lax passes, no_schema
+    assert any(r.error == "no_schema" for r in got.values())
+    assert any(not r.ok and r.schema_key == "python" for r in got.values())
+    assert all(r.ok for r in got.values() if r.schema_key == "java")
+    assert any(r.n_secrets > 0 for r in got.values())
+
+
+def test_validation_job_schemas_and_curate_compose(spark, tmp_path):
+    """run_validation_job(schemas=..., curate=True): the registry job's
+    validated sink gains the rider columns with identical verdict totals
+    and the same per-route manifest detail rows as the plain registry
+    job — and the curate flag is part of the resume identity."""
+    from jsl_engine.corpus import CODE_FILE_SCHEMA, generate_corpus
+    from jsl_engine.manifest import run_validation_job
+
+    source = generate_corpus(spark, 600, seed=17, defect_rate=0.1, partitions=4)
+    schema = compile_schema(CODE_FILE_SCHEMA)
+    lax = compile_schema({})
+    registry = {"python": schema, "rust": schema, "go": schema,
+                "java": lax, "c": lax}
+
+    out_plain = str(tmp_path / "reg_plain")
+    out_cur = str(tmp_path / "reg_curated")
+    s1 = run_validation_job(
+        spark, source, None, output_root=out_plain,
+        schemas=registry, route_col="lang", default_schema=schema,
+    )
+    s2 = run_validation_job(
+        spark, source, None, output_root=out_cur,
+        schemas=registry, route_col="lang", default_schema=schema,
+        curate=True,
+    )
+    assert s1["docs"] == s2["docs"] == 600
+
+    plain = spark.read.parquet(f"{out_plain}/validated")
+    cur = spark.read.parquet(f"{out_cur}/validated")
+    for c in ("quality", "lang_id", "n_secrets", "license"):
+        assert c in cur.columns and c not in plain.columns
+    a = {tuple(r) for r in plain.select("repo", "path", "commit", "schema_key",
+                                        "ok", "n_errors",
+                                        "content_sha256").collect()}
+    b = {tuple(r) for r in cur.select("repo", "path", "commit", "schema_key",
+                                      "ok", "n_errors",
+                                      "content_sha256").collect()}
+    assert a == b
+
+    # resume identity: rerunning the composed job over the same root is
+    # a no-op (same fingerprint), while the plain registry job sees a
+    # DIFFERENT fingerprint (the +curate marker) and would start fresh
+    s3 = run_validation_job(
+        spark, source, None, output_root=out_cur,
+        schemas=registry, route_col="lang", default_schema=schema,
+        curate=True,
+    )
+    assert s3["partitions_pending"] == 0 and s3["docs"] == 0
+
+    # per-route detail rows survive the composition
+    man = spark.read.parquet(f"{out_cur}/manifest")
+    routes = {r.schema_key for r in man.select("schema_key").collect()}
+    assert None in routes  # summary rows
+    assert {"python", "rust", "go", "java", "c"} <= {
+        r for r in routes if r is not None
+    }
