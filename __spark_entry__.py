@@ -287,18 +287,28 @@ def q_repetition_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFram
     ``text_profile_documents``). One row per document::
 
         doc_id, n_words, n_lines, dup_line_frac, dup_line_char_frac,
-        top_bigram_share, n_tokens, mean_logprob
+        top_bigram_share, n_tokens, mean_logprob, n_spans, n_dup_spans,
+        dup_span_frac
 
-    Scale shape is the operators' own: repetition's bigram shuffle
-    carries (doc, bigram) counts, logprob's model shuffle carries the
-    vocabulary; the join key is the document id both already group on.
+    Includes the span-level exact-dedup measurement
+    (:func:`jsl_engine.text_ops.duplicate_spans` — the Lee et al. 2022
+    repeated-13-gram signal) joined on the same key. Scale shape is the
+    operators' own: repetition's bigram shuffle carries (doc, bigram)
+    counts, logprob's model shuffle carries the vocabulary, span dedup
+    folds instances into per-(doc, span) counts before its window; the
+    join key is the document id all three already group on.
     """
-    from jsl_engine.text_ops import repetition_profile, unigram_logprob_score
+    from jsl_engine.text_ops import (
+        duplicate_spans,
+        repetition_profile,
+        unigram_logprob_score,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     rep = repetition_profile(docs)
     lp = unigram_logprob_score(docs)
-    return rep.join(lp, "doc_id")
+    sp = duplicate_spans(docs, span_tokens=13)
+    return rep.join(lp, "doc_id").join(sp, "doc_id")
 
 
 def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2087,6 +2097,21 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
                        ROUND(AVG(logp), 6) AS mean_logprob
                 FROM scored GROUP BY doc_id
+            ),
+            spc AS (
+                SELECT doc_id, span, COUNT(*) AS cd FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, GREATEST(len(w) - 12, 1)),
+                               i -> array_to_string(w[i:i+12], ' '))) AS span
+                    FROM base
+                ) GROUP BY doc_id, span
+            ),
+            spg AS (SELECT span, SUM(cd) AS c FROM spc GROUP BY span),
+            spd AS (
+                SELECT s.doc_id, SUM(s.cd)::BIGINT AS n_spans,
+                       SUM(CASE WHEN g.c >= 2 THEN s.cd ELSE 0 END)::BIGINT AS n_dup_spans
+                FROM spc s JOIN spg g USING (span) GROUP BY s.doc_id
             )
             SELECT b.doc_id,
                    len(b.w)::BIGINT AS n_words,
@@ -2097,12 +2122,17 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(GREATEST(COALESCE(s.tot_chars, 0), 1) AS DOUBLE), 6) AS dup_line_char_frac,
                    ROUND(g.top / CAST(GREATEST(g.n_bg, 1) AS DOUBLE), 6) AS top_bigram_share,
                    COALESCE(p.n_tokens, 0) AS n_tokens,
-                   p.mean_logprob AS mean_logprob
+                   p.mean_logprob AS mean_logprob,
+                   d.n_spans AS n_spans,
+                   d.n_dup_spans AS n_dup_spans,
+                   ROUND(d.n_dup_spans
+                         / CAST(GREATEST(d.n_spans, 1) AS DOUBLE), 6) AS dup_span_frac
             FROM base b
             JOIN lns l USING (doc_id)
             LEFT JOIN line_stats s USING (doc_id)
             LEFT JOIN bgs g USING (doc_id)
             LEFT JOIN per_doc p USING (doc_id)
+            LEFT JOIN spd d USING (doc_id)
         """,
         "quality_score_documents": f"""
             WITH {_quality_cte_sql("documents")}

@@ -1960,6 +1960,90 @@ def remove_frequent_lines(
     return pruned.mapInArrow(run, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# span-level exact dedup measurement — the "deduplicating training data"
+# repeated-substring signal (Lee et al. 2022; MassiveText's repeated
+# 13-gram filter), between doc-level exact dedup and line-level
+# boilerplate dedup in granularity
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document repeated-span profile: how much of each document
+    consists of exact ``span_tokens``-word windows that occur at least
+    ``min_count`` times ANYWHERE in the corpus (including repeats inside
+    the same document)::
+
+        <id_col>, n_spans, n_dup_spans, dup_span_frac
+
+    The exact-substring-dedup signal: verbatim boilerplate, templated
+    passages, and cross-document copy-paste that survive doc-level
+    hashing (different documents) and line-level dedup (spans cross line
+    boundaries). Callers filter ``dup_span_frac > bound`` or feed the
+    fraction to the quality classifier; the operator measures.
+
+    Scale shape: ONE explode of stride-1 word windows (the same
+    :func:`shingles` expression the contamination family scans), folded
+    immediately into a ``groupBy(id, span)`` count with map-side
+    partial combine — after that no stage ever carries span *instances*
+    again, only per-(doc, span) count rows. The corpus-wide occurrence
+    count is a ``sum over Window.partitionBy(span)`` on those rows (no
+    join back, no second scan of the explode; the per-span partitions
+    are document counts, so even a boilerplate span in 10^6 documents
+    is one reducer summing 10^6 small rows), and a final
+    ``groupBy(id)`` reassembles the per-document profile. Three
+    data-bearing exchanges total (plus an id-column-pruned second scan
+    whose left join re-attaches documents with no span rows — NULL
+    texts), nothing collected, no driver state. Reference scope:
+    engine-level addition (the reference validates single documents,
+    src/lib.rs:114-118).
+
+    Documents shorter than ``span_tokens`` words collapse to their
+    single token-join (the :func:`shingles` short-doc contract), so they
+    participate as whole-document near-exact matches rather than
+    vanishing; empty texts collapse to the single empty-string span and
+    NULL texts to a single NULL span (``n_spans = 1`` each; the two
+    never match each other, so a lone NULL or empty document reports
+    zero duplication), and the id-pruned left join is belt-and-braces
+    for any upstream that yields no span rows."""
+    spans = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), span_tokens)).alias("span"),
+    )
+    per = spans.groupBy(id_col, "span").agg(F.count(F.lit(1)).alias("__cd"))
+    glob = per.withColumn(
+        "__c", F.sum("__cd").over(Window.partitionBy("span"))
+    )
+    per_doc = (
+        glob.groupBy(id_col)
+        .agg(
+            F.sum("__cd").alias("n_spans"),
+            F.sum(
+                F.when(F.col("__c") >= min_count, F.col("__cd")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(
+                F.col("n_dup_spans")
+                / F.greatest(F.col("n_spans"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left")
+
+
 def incremental_near_dup_pairs(
     state_sigs: DataFrame,
     new_sigs: DataFrame,

@@ -1476,3 +1476,114 @@ def test_dedup_state_swap_crash_recovery(tmp_path):
     _recover_state(state)
     assert (state / "data").read_text() == "new"
     assert (state / "_SUCCESS").exists()
+
+
+# ---------------------------------------------------------------------------
+# span-level exact dedup measurement
+# ---------------------------------------------------------------------------
+
+class TestDuplicateSpans:
+    def test_planted_cross_doc_span(self, spark):
+        from pyspark.sql import Row
+
+        from jsl_engine.text_ops import duplicate_spans
+
+        boiler = " ".join(f"b{i}" for i in range(5))  # 5-word template
+        rows = [
+            Row(doc_id=0, text=f"{boiler} alpha beta gamma"),
+            Row(doc_id=1, text=f"delta {boiler} epsilon"),
+            Row(doc_id=2, text="zeta eta theta iota kappa lam mu nu"),
+        ]
+        out = {
+            r.doc_id: r
+            for r in duplicate_spans(
+                spark.createDataFrame(rows), span_tokens=5
+            ).collect()
+        }
+        # doc 0: 8 words -> 4 spans; exactly the window equal to boiler
+        # (positions 1..5) repeats in doc 1
+        assert out[0].n_spans == 4 and out[0].n_dup_spans == 1
+        assert out[0].dup_span_frac == 0.25
+        assert out[1].n_dup_spans == 1
+        assert out[2].n_dup_spans == 0 and out[2].dup_span_frac == 0.0
+
+    def test_within_doc_repeat_counts(self, spark):
+        """A span repeated inside ONE document is a duplicate (Lee et
+        al. count all occurrences, not distinct documents)."""
+        from pyspark.sql import Row
+
+        from jsl_engine.text_ops import duplicate_spans
+
+        t = "a b c x y a b c"  # "a b c" occurs twice (positions 1, 6)
+        out = duplicate_spans(
+            spark.createDataFrame([Row(doc_id=0, text=t)]), span_tokens=3
+        ).collect()[0]
+        assert out.n_spans == 6
+        assert out.n_dup_spans == 2  # both instances of "a b c"
+        assert out.dup_span_frac == round(2 / 6, 6)
+
+    def test_short_and_null_docs(self, spark):
+        from pyspark.sql import Row
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from jsl_engine.text_ops import duplicate_spans
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("text", StringType(), True),
+            ]
+        )
+        rows = [
+            (0, "tiny doc"),          # < span_tokens words -> 1 span
+            (1, "tiny doc"),          # identical short doc -> both dup
+            (2, None),                # NULL text -> single empty span
+            (3, ""),                  # empty text -> the same empty span
+        ]
+        out = {
+            r.doc_id: r
+            for r in duplicate_spans(
+                spark.createDataFrame(rows, schema), span_tokens=13
+            ).collect()
+        }
+        assert len(out) == 4
+        assert out[0].n_spans == 1 and out[0].n_dup_spans == 1
+        assert out[1].dup_span_frac == 1.0
+        # NULL collapses to a single NULL span, empty to the single
+        # empty-string span — distinct groups, so each lone document
+        # reports zero duplication (but neither vanishes)
+        assert out[2].n_spans == 1 and out[2].n_dup_spans == 0
+        assert out[3].n_spans == 1 and out[3].n_dup_spans == 0
+
+    def test_repartition_invariant_and_plan(self, spark):
+        from pyspark.sql import Row
+
+        from jsl_engine.text_ops import duplicate_spans
+
+        rows = [
+            Row(doc_id=i, text=" ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows)
+        base = sorted(map(tuple, duplicate_spans(df, span_tokens=5).collect()))
+        got = sorted(
+            map(
+                tuple,
+                duplicate_spans(df.repartition(7), span_tokens=5).collect(),
+            )
+        )
+        assert base == got
+        plan = (
+            duplicate_spans(df, span_tokens=5)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # one explode total: span instances are aggregated once and never
+        # re-derived for a join-back
+        assert plan.count("explode") == 1
