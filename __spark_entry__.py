@@ -291,15 +291,17 @@ def q_repetition_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFram
         dup_span_frac
 
     Includes the span-level exact-dedup measurement
-    (:func:`jsl_engine.text_ops.duplicate_spans` — the Lee et al. 2022
-    repeated-13-gram signal) joined on the same key. Scale shape is the
+    (:func:`jsl_engine.text_ops.duplicate_spans_arrow` — the Lee et al.
+    2022 repeated-13-gram signal, Arrow kernel arm; JVM-twin parity is
+    pinned in tests) joined on the same key. Scale shape is the
     operators' own: repetition's bigram shuffle carries (doc, bigram)
     counts, logprob's model shuffle carries the vocabulary, span dedup
-    folds instances into per-(doc, span) counts before its window; the
-    join key is the document id all three already group on.
+    folds instances to 8-byte (hash, count) pairs inside the map before
+    anything shuffles; the join key is the document id all three
+    already group on.
     """
     from jsl_engine.text_ops import (
-        duplicate_spans,
+        duplicate_spans_arrow,
         repetition_profile,
         unigram_logprob_score,
     )
@@ -307,7 +309,7 @@ def q_repetition_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFram
     docs = _t(spark, sf_dir, "documents")
     rep = repetition_profile(docs)
     lp = unigram_logprob_score(docs)
-    sp = duplicate_spans(docs, span_tokens=13)
+    sp = duplicate_spans_arrow(docs, span_tokens=13)
     return rep.join(lp, "doc_id").join(sp, "doc_id")
 
 

@@ -84,6 +84,20 @@ def make_random_codebooks(
     return cb
 
 
+def _batch_matrix(col, n_rows: int, dtype) -> np.ndarray:
+    """Fixed-width list column → ``(n_rows, width)`` numpy matrix via
+    the zero-copy flatten path (no per-row Python objects — the
+    ``assign_cells_arrow`` pattern; measured the dominant cost of the
+    encode kernels at to_pylist). Assumes non-null equal-length lists,
+    which the engine's vector and code columns guarantee. Values are
+    identical to the ``np.array(col.to_pylist())`` form: float32 →
+    float64 widening is exact either way."""
+    flat = col.flatten() if hasattr(col, "flatten") else col.values
+    return np.asarray(
+        flat.to_numpy(zero_copy_only=False), dtype=dtype
+    ).reshape(n_rows, -1)
+
+
 def _normalize_rows(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
 
@@ -174,7 +188,7 @@ def pq_encode(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            x = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+            x = _batch_matrix(batch.column(1), batch.num_rows, np.float64)
             if normalize:
                 x = _normalize_rows(x)
             codes = _assign_codes(x, cb)
@@ -274,7 +288,7 @@ def pq_topk(
             if rows == 0:
                 continue
             vid = batch.column(0)
-            codes = np.array(batch.column(1).to_pylist(), dtype=np.int64)
+            codes = _batch_matrix(batch.column(1), rows, np.int64)
             out_q, out_v, out_s = [], [], []
             for qi, qid in enumerate(ids):
                 lut = tables[qi]
@@ -409,7 +423,7 @@ def ivfpq_topk(
             if batch.num_rows == 0:
                 continue
             x = _normalize_rows(
-                np.array(batch.column(1).to_pylist(), dtype=np.float64)
+                _batch_matrix(batch.column(1), batch.num_rows, np.float64)
             )
             cell = np.argmax(x @ ctr.T, axis=1).astype(np.int32)
             codes = _assign_codes(x - ctr[cell] if residual else x, cb)
@@ -635,7 +649,9 @@ def train_pq_codebooks_distributed(
                 for batch in batches:
                     if batch.num_rows == 0:
                         continue
-                    x = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+                    x = _batch_matrix(
+                        batch.column(1), batch.num_rows, np.float64
+                    )
                     if normalize:
                         x = _normalize_rows(x)
                     codes = _assign_codes(x, cbk)

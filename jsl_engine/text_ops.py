@@ -2017,8 +2017,22 @@ def duplicate_spans(
         F.explode(shingles(F.col(text_col), span_tokens)).alias("span"),
     )
     per = spans.groupBy(id_col, "span").agg(F.count(F.lit(1)).alias("__cd"))
+    return _span_profile_from_counts(df, per, id_col, "span", min_count)
+
+
+def _span_profile_from_counts(
+    df: DataFrame,
+    per: DataFrame,
+    id_col: str,
+    span_col: str,
+    min_count: int,
+) -> DataFrame:
+    """Shared tail of the span-dedup twins: per-(doc, span) count rows →
+    corpus-wide occurrence via a span-partition window (no join-back) →
+    per-document profile, with an id-pruned left join re-attaching
+    documents that produced no count rows."""
     glob = per.withColumn(
-        "__c", F.sum("__cd").over(Window.partitionBy("span"))
+        "__c", F.sum("__cd").over(Window.partitionBy(span_col))
     )
     per_doc = (
         glob.groupBy(id_col)
@@ -2042,6 +2056,38 @@ def duplicate_spans(
         )
     )
     return df.select(id_col).join(per_doc, id_col, "left")
+
+
+def duplicate_spans_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 13,
+    min_count: int = 2,
+) -> DataFrame:
+    """Arrow twin of :func:`duplicate_spans` — identical output contract
+    (``id, n_spans, n_dup_spans, dup_span_frac``; span equality decided
+    by 64-bit fingerprint equality, a 2^-64-per-pair approximation), at
+    the Arrow kernel rate instead of the HOF-interpreter floor.
+
+    The JVM head materializes every stride-1 13-gram as a ~100-byte
+    string through an interpreted ``array_join(slice(...))`` transform
+    and ships the instances into ``groupBy(id, span)``; here
+    :func:`jsl_engine.text_ops_arrow.span_hash_counts_arrow` folds each
+    document's spans to (hash, multiplicity) pairs inside the map, so
+    the first exchange already carries per-(doc, span) count rows keyed
+    by an 8-byte hash — at 10^12 documents that is the difference
+    between shuffling the corpus re-expanded ~13× and shuffling roughly
+    one narrow row per distinct span per document. The tail (span-
+    partition occurrence window → per-document profile → id-pruned
+    re-attach join) is shared with the JVM variant
+    (:func:`_span_profile_from_counts`); NULL/empty/short-document
+    equivalence classes match the JVM path by construction (sentinel +
+    clip contract pinned in tests)."""
+    from jsl_engine.text_ops_arrow import span_hash_counts_arrow
+
+    per = span_hash_counts_arrow(df, text_col, id_col, span_tokens)
+    return _span_profile_from_counts(df, per, id_col, "span_h", min_count)
 
 
 def incremental_near_dup_pairs(

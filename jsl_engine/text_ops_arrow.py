@@ -563,3 +563,77 @@ def fuzzy_contamination_arrow(
         num_hashes=num_hashes,
         max_bucket=max_bucket,
     )
+
+
+#: Span-hash sentinel for NULL texts. The JVM ``shingles(NULL)`` path
+#: collapses to a single NULL span (``split(normalized(NULL))`` is NULL,
+#: ``greatest`` skips the NULL size, and ``array_join`` of a NULL slice
+#: is NULL) — NULL documents group with each other and with nothing
+#: else. A fixed 64-bit constant reproduces exactly that equivalence
+#: class; it cannot collide with ``_shingle_hashes("")`` (the empty
+#: document's single empty-word shingle) or any real span except by the
+#: same 2^-64 chance every distinct span pair already carries.
+_NULL_SPAN = _splitmix64(np.asarray([0x6E756C6C], dtype=np.uint64))
+
+
+def span_hash_counts_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 13,
+) -> DataFrame:
+    """``(id, span_h, __cd)`` — per-document span-hash multiplicities,
+    computed entirely in the map: one :func:`_shingle_hashes` call per
+    document (stride-1 word ``span_tokens``-grams, 64-bit fingerprints)
+    folded by ``np.unique(return_counts=True)``. This is the Arrow twin
+    of the ``explode(shingles) → groupBy(id, span)`` head of
+    :func:`jsl_engine.text_ops.duplicate_spans`: identical counts (span
+    equality ↔ hash equality up to 2^-64 collisions), but no span
+    *instances* ever reach a shuffle — the per-(doc, span) fold happens
+    before the first exchange, and the rows it emits carry an 8-byte
+    hash instead of a ~100-byte string. Short docs collapse to their
+    single all-words shingle (the ``_shingle_hashes`` k<n clip), empty
+    docs to the empty-word shingle, NULL docs to :data:`_NULL_SPAN`."""
+    pruned = df.select(id_col, text_col)
+    out_schema = StructType(
+        [
+            pruned.schema[id_col],
+            StructField("span_h", LongType(), False),
+            StructField("__cd", LongType(), False),
+        ]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_pylist()
+            out_ids: list[np.ndarray] = []
+            out_hs: list[np.ndarray] = []
+            out_cs: list[np.ndarray] = []
+            for i, t in enumerate(texts):
+                if t is None:
+                    uniq, cnt = _NULL_SPAN, np.asarray([1], dtype=np.int64)
+                else:
+                    uniq, cnt = np.unique(
+                        _shingle_hashes(t, span_tokens), return_counts=True
+                    )
+                out_hs.append(uniq)
+                out_cs.append(cnt)
+                out_ids.append(np.full(len(uniq), ids[i]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_ids)),
+                    pa.array(
+                        np.concatenate(out_hs).view(np.int64), pa.int64()
+                    ),
+                    pa.array(
+                        np.concatenate(out_cs).astype(np.int64), pa.int64()
+                    ),
+                ],
+                [id_col, "span_h", "__cd"],
+            )
+
+    return pruned.mapInArrow(run, out_schema)

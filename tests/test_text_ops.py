@@ -1587,3 +1587,80 @@ class TestDuplicateSpans:
         # one explode total: span instances are aggregated once and never
         # re-derived for a join-back
         assert plan.count("explode") == 1
+
+
+class TestDuplicateSpansArrow:
+    def test_parity_with_jvm(self, spark):
+        """The Arrow twin must reproduce the JVM operator's OUTPUT
+        exactly (same profile rows) on a corpus exercising every
+        equivalence-class corner: planted cross-doc boilerplate,
+        within-doc repeats, short docs (< span_tokens words), empty
+        docs, NULL docs, and mixed-whitespace normalization."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from jsl_engine.text_ops import duplicate_spans, duplicate_spans_arrow
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("text", StringType(), True),
+            ]
+        )
+        boiler = " ".join(f"b{i}" for i in range(5))
+        rows = [
+            (0, f"{boiler} alpha beta gamma"),
+            (1, f"delta {boiler} epsilon"),
+            (2, "zeta eta theta iota kappa lam mu nu"),
+            (3, "a b c x y a b c"),       # within-doc repeat
+            (4, "tiny doc"),              # short
+            (5, "tiny doc"),              # identical short
+            (6, None),                    # NULL
+            (7, None),                    # second NULL — must pair with 6
+            (8, ""),                      # empty
+            (9, "  Tiny\t DOC  "),        # normalizes to "tiny doc"
+        ]
+        df = spark.createDataFrame(rows, schema)
+        jvm = sorted(map(tuple, duplicate_spans(df, span_tokens=5).collect()))
+        arw = sorted(
+            map(tuple, duplicate_spans_arrow(df, span_tokens=5).collect())
+        )
+        assert jvm == arw
+        # and the NULL pair really did group: both NULL docs fully dup
+        by_id = {t[0]: t for t in arw}
+        assert by_id[6][2] == 1 and by_id[7][2] == 1
+
+    def test_repartition_invariant_and_plan(self, spark):
+        from pyspark.sql import Row
+
+        from jsl_engine.text_ops import duplicate_spans_arrow
+
+        rows = [
+            Row(doc_id=i, text=" ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows)
+        base = sorted(
+            map(tuple, duplicate_spans_arrow(df, span_tokens=5).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                duplicate_spans_arrow(df.repartition(7), span_tokens=5).collect(),
+            )
+        )
+        assert base == got
+        plan = (
+            duplicate_spans_arrow(df, span_tokens=5)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # the JVM head's explode/HOF never appears: the span fold is
+        # inside the Arrow map, so the plan's only python node is the
+        # mapInArrow evaluation itself
+        assert "explode" not in plan
