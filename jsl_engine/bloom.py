@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
+from jsl_engine.partitioning import fan_out
 from jsl_engine.text_ops_arrow import _shingle_hashes, _splitmix64
 
 #: Domain-separation constant for the second hash of the double-hashing
@@ -125,6 +126,7 @@ def build_gram_bloom(
     fp_rate: float = 1e-6,
     expected_grams: int | None = None,
     tree_depth: int = 2,
+    balance: bool = True,
 ) -> tuple[np.ndarray, int, int]:
     """Distributed Bloom build over the benchmark's distinct word
     ``n``-gram hashes. Returns ``(bitmap uint64[m/64], m, k)``.
@@ -151,6 +153,8 @@ def build_gram_bloom(
     grams.
     """
     texts = benchmark.select(text_col)
+    if balance:
+        texts = fan_out(texts)
 
     if expected_grams is None:
         def count_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -223,6 +227,7 @@ def bloom_contamination(
     min_hits: int = 1,
     fp_rate: float = 1e-6,
     expected_grams: int | None = None,
+    balance: bool = True,
 ) -> DataFrame:
     """Exact benchmark decontamination behind a Bloom prefilter — the
     bounded-memory tier above :func:`contamination_arrow` for benchmark
@@ -245,11 +250,13 @@ def bloom_contamination(
     spark = df.sparkSession
     bitmap, m, k = build_gram_bloom(
         benchmark, text_col=text_col, n=n, fp_rate=fp_rate,
-        expected_grams=expected_grams,
+        expected_grams=expected_grams, balance=balance,
     )
     bc = spark.sparkContext.broadcast(bitmap)
 
     pruned = df.select(id_col, text_col)
+    if balance:
+        pruned = fan_out(pruned)
     text_field = pruned.schema[text_col]
     out_schema = StructType(
         [

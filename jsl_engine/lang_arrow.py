@@ -35,6 +35,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+from jsl_engine.partitioning import fan_out
 from jsl_engine.text_ops import (
     _CYRILLIC_MARKERS,
     _LATIN_MARKERS,
@@ -129,6 +130,7 @@ def language_id_arrow(
     id_col: str = "doc_id",
     *,
     keep_cols: tuple[str, ...] = (),
+    balance: bool = True,
 ) -> DataFrame:
     """Same contract as :func:`jsl_engine.text_ops.language_id` —
     output ``(id_col, lang_id, marker_hits, *keep_cols)`` — on one
@@ -137,6 +139,8 @@ def language_id_arrow(
     ``('und', NULL)`` there; pinned in the parity test — documents with
     NULL content are upstream-filtered in every composed job)."""
     pruned = df.select(id_col, text_col, *keep_cols)
+    if balance:
+        pruned = fan_out(pruned)
     out_schema = StructType(
         [
             pruned.schema[id_col],

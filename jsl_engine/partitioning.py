@@ -57,6 +57,36 @@ ENGINE_CONF = {
 }
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Guarantee an expensive per-row Arrow kernel at least
+    ``defaultParallelism`` input partitions — a NO-OP whenever the scan
+    already splits that wide.
+
+    At the design scale the parquet source yields orders of magnitude
+    more splits than cores and this returns ``df`` untouched (adding a
+    corpus-wide shuffle there would be the bug). The gate exists for
+    the small-input regime — a compact benchmark table, a sampled
+    corpus, sandbox-scale test data — where a single-row-group file
+    arrives as ONE split and would serialize a kernel that costs
+    ~1 ms/doc/core onto one core while 31 idle. The round-robin
+    shuffle it inserts there moves only the pruned kernel input (id +
+    payload column), and every kernel routed through it has
+    repartition-invariance pinned in tests.
+
+    ``df.rdd.getNumPartitions()`` plans the scan but launches no job.
+    Streaming inputs pass through untouched: micro-batch parallelism is
+    the source's concern (``maxFilesPerTrigger`` etc.), and a streaming
+    plan has no ``.rdd`` to inspect.
+    """
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    t = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= t:
+        return df
+    return df.repartition(t)
+
+
 def get_spark(
     master: str | None = None,
     app_name: str = "jsl-engine",

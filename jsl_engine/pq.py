@@ -48,6 +48,8 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from jsl_engine.partitioning import fan_out
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -170,12 +172,22 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     normalize: bool = True,
+    balance: bool = False,
 ) -> DataFrame:
     """One map-only Arrow pass: ``(id, codes array<int>)`` — the narrow
-    compressed table a 10^12-vector deployment persists and scans."""
+    compressed table a 10^12-vector deployment persists and scans.
+
+    ``balance`` defaults OFF here (unlike the per-document text
+    kernels): the encode is a vectorized numpy matmul (~µs/row), so a
+    small under-split input finishes faster on one core than it takes
+    to round-robin-shuffle and schedule 32 tasks — and at real scale
+    the scan's own splits make :func:`~jsl_engine.partitioning.fan_out`
+    a no-op regardless. Opt in for a mid-sized single-file input."""
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
     pruned = vectors.select(id_col, vec_col)
+    if balance:
+        pruned = fan_out(pruned)
     out_schema = StructType(
         [
             pruned.schema[id_col],
@@ -615,6 +627,10 @@ def train_pq_codebooks_distributed(
     agree up to float-summation order (pinned by closeness in pytest);
     empty codes keep their previous centroid."""
     spark = vectors.sparkSession
+    # NOT fan_out: the trainer re-scans `base` every iteration, so an
+    # input-conditioning shuffle would multiply its per-pass task count
+    # (and scheduling floor) by iterations at small scale; at real scale
+    # the source already splits wide and fan_out would be a no-op anyway.
     base = vectors.select(id_col, vec_col).cache()
     base.count()  # eager: every iteration re-reads the projection
 

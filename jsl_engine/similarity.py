@@ -31,6 +31,8 @@ from typing import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from jsl_engine.partitioning import fan_out
 from pyspark.sql.types import IntegerType, StructField, StructType
 
 
@@ -378,8 +380,12 @@ def train_ivf_centroids_distributed(
     ]
     try:
         for _ in range(iterations):
+            # balance=False: `base` is cached — its partitioning is fixed
+            # once above; a per-iteration fan_out would re-shuffle the
+            # cached sample every pass for pure scheduling overhead
             assigned = assign_cells_arrow(
-                base, [[float(v) for v in row] for row in c], vec_col=vec_col
+                base, [[float(v) for v in row] for row in c],
+                vec_col=vec_col, balance=False,
             )
             stats = (
                 assigned.groupBy("cell")
@@ -414,6 +420,7 @@ def assign_cells_arrow(
     vec_col: str = "embedding",
     n_probe: int = 1,
     cell_col: str = "cell",
+    balance: bool = False,
 ) -> DataFrame:
     """Assign every row to its ``n_probe`` best coarse cells by centroid
     dot product — the 10^12-vector path: the centroid matrix is broadcast
@@ -423,6 +430,8 @@ def assign_cells_arrow(
     """
     import numpy as np
 
+    if balance:
+        df = fan_out(df)
     spark = df.sparkSession
     c = np.asarray(centroids, dtype=np.float64).T  # (dim, k)
     bc = spark.sparkContext.broadcast(c)

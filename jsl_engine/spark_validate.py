@@ -362,7 +362,16 @@ def _curation_riders(
     from jsl_engine.text_ops import language_id, quality_score
 
     if lang_engine == "arrow":
-        from jsl_engine.lang_arrow import language_id_arrow as language_id  # noqa: F811
+        # balance=False: the fused pass's contract is ONE scan with zero
+        # Exchanges (plan-gated) — input conditioning for small inputs
+        # is the CALLER's concern here, not the rider's
+        import functools
+
+        from jsl_engine.lang_arrow import language_id_arrow
+
+        language_id = functools.partial(  # noqa: F811
+            language_id_arrow, balance=False
+        )
     elif lang_engine != "jvm":
         raise ValueError(f"lang_engine must be 'jvm' or 'arrow', got {lang_engine!r}")
 

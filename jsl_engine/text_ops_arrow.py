@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+from jsl_engine.partitioning import fan_out
+
 #: ASCII flag: Java regex \s (the JVM kernels' normalizer) matches only
 #: ASCII whitespace, while Python's default \s is Unicode-aware — without
 #: the flag, documents containing NBSP/U+2028/U+0085 would shingle
@@ -109,6 +111,7 @@ def minhash_signatures_arrow(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 5,
+    balance: bool = True,
 ) -> DataFrame:
     """``id, sig: array<bigint>`` — numpy MinHash over Arrow batches.
 
@@ -121,6 +124,8 @@ def minhash_signatures_arrow(
     seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
     bc = spark.sparkContext.broadcast(seeds)
     pruned = df.select(id_col, text_col)
+    if balance:
+        pruned = fan_out(pruned)
     out_schema = StructType(
         [
             pruned.schema[id_col],
@@ -157,6 +162,7 @@ def simhash_arrow(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    balance: bool = True,
 ) -> DataFrame:
     """``id, simhash: bigint`` — numpy SimHash over Arrow batches.
 
@@ -165,6 +171,8 @@ def simhash_arrow(
     bits. Output shape matches :func:`jsl_engine.text_ops.simhash`.
     """
     pruned = df.select(id_col, text_col)
+    if balance:
+        pruned = fan_out(pruned)
     out_schema = StructType(
         [pruned.schema[id_col], StructField("simhash", LongType(), False)]
     )
@@ -199,6 +207,7 @@ def winnow_flat_arrow(
     id_col: str = "doc_id",
     k: int = 4,
     window: int = 4,
+    balance: bool = True,
 ) -> DataFrame:
     """``(id, fp)`` rows of winnowing-selected k-gram hashes, computed
     entirely in the map: numpy ``sliding_window_view(...).min(axis=1)``
@@ -207,6 +216,8 @@ def winnow_flat_arrow(
     per-document window shuffle — the only remaining shuffle in an
     overlap-detection pipeline is the fingerprint equi-join itself."""
     pruned = df.select(id_col, text_col)
+    if balance:
+        pruned = fan_out(pruned)
     out_schema = StructType(
         [pruned.schema[id_col], StructField("fp", LongType(), False)]
     )
@@ -444,6 +455,7 @@ def contamination_arrow(
     id_col: str = "doc_id",
     n: int = 3,
     min_hits: int = 1,
+    balance: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination on the Arrow kernel — the 10^12-doc
     path for :func:`jsl_engine.text_ops.contamination`: the benchmark's
@@ -453,8 +465,10 @@ def contamination_arrow(
     membership test inside ``mapInArrow``. Output schema matches the JVM
     variant exactly.
 
-    ZERO joins and ZERO shuffles: the whole operator is one map-only
-    pass (the JVM variant broadcast-joins exploded gram strings and
+    ZERO joins and ZERO operator-added shuffles: the whole operator is
+    one map-only pass (``balance=True`` may insert ONE input-conditioning
+    round-robin exchange when the scan under-splits — a no-op at scale,
+    see :func:`jsl_engine.partitioning.fan_out`) (the JVM variant broadcast-joins exploded gram strings and
     re-aggregates — its shuffle is small, but its shingle HOF runs in
     Spark's expression interpreter; measured 5.4s → ~1s at sf0.1).
     Counts equal the JVM variant's absent a 64-bit hash collision
@@ -477,6 +491,8 @@ def contamination_arrow(
     bc = spark.sparkContext.broadcast(bench_hashes)
 
     pruned = df.select(id_col, text_col)
+    if balance:
+        pruned = fan_out(pruned)
     # the kernel emits only the counts; hit_rate/contaminated are Spark
     # expressions on top so rounding (F.round = HALF_UP, matching the JVM
     # variant and DuckDB) stays engine-identical — np.round is HALF_EVEN
@@ -581,6 +597,7 @@ def span_hash_counts_arrow(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_tokens: int = 13,
+    balance: bool = True,
 ) -> DataFrame:
     """``(id, span_h, __cd)`` — per-document span-hash multiplicities,
     computed entirely in the map: one :func:`_shingle_hashes` call per
@@ -595,6 +612,8 @@ def span_hash_counts_arrow(
     single all-words shingle (the ``_shingle_hashes`` k<n clip), empty
     docs to the empty-word shingle, NULL docs to :data:`_NULL_SPAN`."""
     pruned = df.select(id_col, text_col)
+    if balance:
+        pruned = fan_out(pruned)
     out_schema = StructType(
         [
             pruned.schema[id_col],

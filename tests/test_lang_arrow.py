@@ -111,9 +111,12 @@ def test_keep_cols_passthrough_and_plan(spark):
     )
     out = language_id_arrow(df, keep_cols=("source",)).collect()
     assert out[0].source == "s1" and out[0].lang_id == "en"
-    plan = (language_id_arrow(df)._jdf.queryExecution()
+    plan = (language_id_arrow(df, balance=False)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan
+    # default balance=True fans small inputs out to every core
+    assert (language_id_arrow(df).rdd.getNumPartitions()
+            == df.sparkSession.sparkContext.defaultParallelism)
 
 
 def test_null_text_is_und(spark):

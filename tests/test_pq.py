@@ -80,8 +80,14 @@ def test_pq_encode_matches_numpy_argmin(spark, gaussian):
 def test_pq_encode_map_only_plan(spark, gaussian):
     df, _ = gaussian
     cb = P.make_random_codebooks(32, m_sub=4, k_codes=16, seed=7)
-    plan = P.pq_encode(df, cb)._jdf.queryExecution().executedPlan().toString()
+    plan = (P.pq_encode(df, cb, balance=False)
+            ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+    # balance=True (opt-in for the vectorized kernels) fans a
+    # 1-partition input out to every core
+    assert (P.pq_encode(df.coalesce(1), cb, balance=True)
+            .rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
 
 
 def test_pq_topk_matches_numpy_adc(spark, gaussian):

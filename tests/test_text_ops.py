@@ -937,8 +937,9 @@ def test_contamination_arrow_matches_jvm(spark):
                        contamination_arrow(corpus, bench, n=3).collect()))
     assert arrow == jvm
 
-    # zero-shuffle gate: the Arrow plan has no Exchange at all
-    plan = (contamination_arrow(corpus, bench, n=3)
+    # zero-shuffle gate (balance=False): the operator itself adds no
+    # Exchange; the default balance=True only conditions small inputs
+    plan = (contamination_arrow(corpus, bench, n=3, balance=False)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
 
