@@ -323,20 +323,19 @@ def q_repetition_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFram
     (:func:`jsl_engine.text_ops.duplicate_spans_arrow` — the Lee et al.
     2022 repeated-13-gram signal, Arrow kernel arm; JVM-twin parity is
     pinned in tests) joined on the same key. Scale shape is the
-    operators' own: repetition's bigram shuffle carries (doc, bigram)
-    counts, logprob's model shuffle carries the vocabulary, span dedup
+    operators' own: repetition is a pure map (every Gopher signal is
+    per-document — the Arrow arm computes them with zero exchanges;
+    JVM-twin parity incl. the rounding-boundary regime pinned in
+    tests), logprob's model shuffle carries the vocabulary, span dedup
     folds instances to 8-byte (hash, count) pairs inside the map before
     anything shuffles; the join key is the document id all three
     already group on.
     """
-    from jsl_engine.text_ops import (
-        duplicate_spans_arrow,
-        repetition_profile,
-        unigram_logprob_score,
-    )
+    from jsl_engine.text_ops import duplicate_spans_arrow, unigram_logprob_score
+    from jsl_engine.text_ops_arrow import repetition_profile_arrow
 
     docs = _t(spark, sf_dir, "documents")
-    rep = repetition_profile(docs)
+    rep = repetition_profile_arrow(docs)
     lp = unigram_logprob_score(docs)
     sp = duplicate_spans_arrow(docs, span_tokens=13)
     return rep.join(lp, "doc_id").join(sp, "doc_id")

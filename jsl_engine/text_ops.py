@@ -832,7 +832,13 @@ def repetition_profile(
     k = F.greatest(F.size(words) - 1, F.lit(1))
     bigrams = F.transform(
         F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+        # try_element_at, not element_at: the 1-word clip keeps one
+        # bigram slot (k = max(n-1, 1)), whose second word is absent —
+        # ANSI element_at throws there, try_element_at yields NULL and
+        # concat_ws drops it (the intended single-word bigram)
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(words, i + 1), F.try_element_at(words, i + 2)
+        ),
     )
     out_cols = [c for c in
                 (id_col, "n_words", "n_lines", "dup_line_frac",

@@ -656,3 +656,109 @@ def span_hash_counts_arrow(
             )
 
     return pruned.mapInArrow(run, out_schema)
+
+
+def _round6(x: float) -> float:
+    """Spark ``F.round(col, 6)`` double semantics: HALF_UP over the
+    SHORTEST decimal representation (Java ``BigDecimal.valueOf``, which
+    routes through ``Double.toString`` — pinned empirically against the
+    JVM: 3/640 → 0.004688, where exact-binary-expansion HALF_UP and
+    Python's banker's round both give 0.004687)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def repetition_profile_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow twin of :func:`jsl_engine.text_ops.repetition_profile`
+    (lines + bigrams arms) — identical output contract::
+
+        id, n_words, n_lines, dup_line_frac, dup_line_char_frac,
+        top_bigram_share
+
+    Every Gopher repetition signal is a PER-DOCUMENT statistic, so none
+    of it needs an exchange: one Counter pass per document replaces the
+    JVM arm's interpreted O(lines²) duplicate-char HOF and its bigram
+    ``explode → groupBy(id, bigram) → groupBy(id)`` two-level shuffle —
+    at 10^12 documents that drops the largest shuffle of the repetition
+    pass entirely (the JVM arm stays for plan-free SQL composition).
+    Parity contract (pinned in tests): same normalization as the JVM
+    chain (ASCII-``\\s`` collapse + lower + space-trim), raw-text
+    ``\\n`` line splitting with empty lines excluded from duplicate
+    metrics, the 1-word bigram clip (``concat_ws`` drops the missing
+    second word), NULL text → all-NULL metrics, and Spark's
+    shortest-repr HALF_UP rounding (:func:`_round6`)."""
+    from collections import Counter
+
+    from pyspark.sql.types import DoubleType
+
+    pruned = df.select(id_col, text_col)
+    pruned = fan_out(pruned)
+    out_schema = StructType(
+        [
+            pruned.schema[id_col],
+            StructField("n_words", LongType(), True),
+            StructField("n_lines", LongType(), True),
+            StructField("dup_line_frac", DoubleType(), True),
+            StructField("dup_line_char_frac", DoubleType(), True),
+            StructField("top_bigram_share", DoubleType(), True),
+        ]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            nw = np.empty(n, dtype=object)
+            nl = np.empty(n, dtype=object)
+            dlf = np.empty(n, dtype=object)
+            dlcf = np.empty(n, dtype=object)
+            tbs = np.empty(n, dtype=object)
+            for i, t in enumerate(texts):
+                if t is None:
+                    nw[i] = nl[i] = dlf[i] = dlcf[i] = tbs[i] = None
+                    continue
+                words = _WS.sub(" ", t.lower()).strip(" ").split(" ")
+                k = len(words)
+                nw[i] = k
+                all_lines = t.split("\n")
+                nl[i] = len(all_lines)
+                cnt = Counter(l for l in all_lines if l != "")
+                nn = sum(cnt.values())
+                dup_chars = tot_chars = 0
+                for line, c in cnt.items():
+                    ln = len(line) * c
+                    tot_chars += ln
+                    if c > 1:
+                        dup_chars += ln
+                dlf[i] = _round6((nn - len(cnt)) / max(nn, 1))
+                dlcf[i] = _round6(dup_chars / max(tot_chars, 1))
+                if k >= 2:
+                    bg = Counter(zip(words, words[1:]))
+                    tbs[i] = _round6(max(bg.values()) / (k - 1))
+                else:
+                    # JVM clip: k = max(n_words - 1, 1) bigram slots and
+                    # concat_ws drops the absent second word — a 1-word
+                    # doc has exactly its own word as its single bigram
+                    tbs[i] = 1.0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(list(nw), type=pa.int64()),
+                    pa.array(list(nl), type=pa.int64()),
+                    pa.array(list(dlf), type=pa.float64()),
+                    pa.array(list(dlcf), type=pa.float64()),
+                    pa.array(list(tbs), type=pa.float64()),
+                ],
+                names=[batch.schema.field(0).name, "n_words", "n_lines",
+                       "dup_line_frac", "dup_line_char_frac",
+                       "top_bigram_share"],
+            )
+
+    return pruned.mapInArrow(run, out_schema)

@@ -1665,3 +1665,66 @@ class TestDuplicateSpansArrow:
         # inside the Arrow map, so the plan's only python node is the
         # mapInArrow evaluation itself
         assert "explode" not in plan
+
+
+class TestRepetitionProfileArrow:
+    def test_parity_with_jvm(self, spark):
+        """The Arrow twin must reproduce the JVM repetition profile
+        row-for-row, including the rounding-boundary regime (a share of
+        3/640 sits exactly on the 7th decimal digit 5, where Spark's
+        shortest-repr HALF_UP, exact-binary HALF_UP and banker's
+        rounding all disagree) and every structural corner: duplicate
+        and blank lines, 1-word and empty docs, NULL text, whitespace
+        normalization."""
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from jsl_engine.text_ops import repetition_profile
+        from jsl_engine.text_ops_arrow import repetition_profile_arrow
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("text", StringType(), True),
+            ]
+        )
+        # 641 words, top bigram "x x" occurring 3 times -> share 3/640
+        boundary = " ".join(
+            ["x", "x", "x", "x"] + [f"w{i}" for i in range(637)]
+        )
+        rows = [
+            (0, "spam line\nspam line\nunique one\n\nspam line"),
+            (1, "a b a b a b"),                  # top bigram repeats
+            (2, "single"),                        # 1-word clip
+            (3, ""),                              # empty
+            (4, None),                            # NULL
+            (5, "  Mixed\t WS   doc \n Mixed\t WS   doc "),
+            (6, boundary),
+        ]
+        df = spark.createDataFrame(rows, schema)
+        jvm = sorted(map(tuple, repetition_profile(df).collect()))
+        arw = sorted(map(tuple, repetition_profile_arrow(df).collect()))
+        assert jvm == arw
+        by_id = {t[0]: t for t in arw}
+        assert by_id[6][5] == 0.004688  # the HALF_UP shortest-repr pin
+
+    def test_zero_shuffle_plan(self, spark):
+        from pyspark.sql import Row
+
+        from jsl_engine.text_ops_arrow import repetition_profile_arrow
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text="a b c\na b c") for i in range(40)]
+        )
+        plan = (
+            repetition_profile_arrow(df)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        # no explode, no aggregation, no join — the whole profile is one
+        # map (the only exchange anywhere is fan_out's input conditioning)
+        for frag in ("explode", "Aggregate", "Join"):
+            assert frag not in plan
