@@ -177,7 +177,12 @@ def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps in `percentile_approx` — shipped and property-gated as
     :func:`q_quantiles_lineitem_approx` (same quantile set, GK sketch,
     one pass, bounded memory)."""
-    df = _t(spark, sf_dir, "lineitem")
+    from jsl_engine.partitioning import fan_out
+
+    # fan_out is float-safe here unlike col_stats: exact percentile
+    # aggregates value->count maps (long addition, order-free merge),
+    # so the result is bit-identical under any partitioning
+    df = fan_out(_t(spark, sf_dir, "lineitem"))
     # one percentile(col, array(...)) call: the value buffer is built once
     # for all four quantiles instead of once per quantile
     agg = df.agg(
