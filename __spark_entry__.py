@@ -420,8 +420,11 @@ def q_curation_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup a data owner reads before a training run): document counts,
     mean quality, secret incidence — over the secret-injected corpus so
     the secret columns are value-bearing. The scorers CHAIN through
-    keep_cols passthrough — one scan, zero joins, the only shuffle is
-    the final tiny groupBy (plan-gated in tests/test_redaction.py).
+    keep_cols passthrough — one scan, zero joins; the operator chain
+    itself shuffles only for the final tiny groupBy (plan-gated in
+    tests/test_redaction.py). At sandbox scale ``_t`` adds one
+    caller-side fan_out exchange to condition the single-split input —
+    a no-op at production split counts.
     Fully oracled (quality + PATTERNS SQL shared with the standalone
     queries)."""
     from jsl_engine.redaction import secret_scan
@@ -488,7 +491,9 @@ def q_contamination_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct word trigrams appear in that benchmark) — headline on the
     Arrow kernel, the 10^12-doc path: benchmark gram hashes broadcast as
     a sorted numpy array, per-doc membership via vectorized searchsorted
-    in mapInArrow — zero joins, zero shuffles. Fully oracled via the
+    in mapInArrow — zero joins, zero operator-added shuffles (the
+    caller-side ``_t`` fan_out conditions the single-split sandbox
+    input; no-op at production split counts). Fully oracled via the
     string-gram DuckDB SQL (64-bit gram hashing makes counts equal to
     string grams absent a ~1e-6-probability collision); the JVM
     broadcast-join variant (:func:`jsl_engine.text_ops.contamination`)
@@ -905,8 +910,10 @@ def q_curate_fused_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused single-scan curation pass
     (:func:`jsl_engine.spark_validate.validate_and_curate`): JSL verdicts
     + quality + language id + secret counts + license classification in
-    ONE stage — one scan, zero joins, zero shuffles (plan-gated in
-    pytest). Documents carry the planted license headers (doc_id%9),
+    ONE stage — one scan, zero joins, zero operator-added shuffles
+    (plan-gated in pytest on raw input; at sandbox scale the
+    caller-side ``_t`` fan_out adds one input-conditioning exchange,
+    a no-op at production split counts). Documents carry the planted license headers (doc_id%9),
     secret suffixes (doc_id%10) and the JSON defect corpus (doc_id%7)
     so every fused column is value-bearing. Fully oracled: the DuckDB
     side composes the same generated quality/language/secret/license SQL

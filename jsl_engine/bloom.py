@@ -155,6 +155,13 @@ def build_gram_bloom(
     texts = benchmark.select(text_col)
     if balance:
         texts = fan_out(texts)
+        if expected_grams is None:
+            # the sizing pass and the build pass are two jobs over the
+            # same plan — without this, the fan_out round-robin shuffle
+            # (and the benchmark scan under it) would execute twice;
+            # the lazy checkpoint materializes the conditioned input in
+            # the first job and the build pass reads the blocks
+            texts = texts.localCheckpoint(eager=False)
 
     if expected_grams is None:
         def count_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -94,7 +94,7 @@ def _batch_matrix(col, n_rows: int, dtype) -> np.ndarray:
     which the engine's vector and code columns guarantee. Values are
     identical to the ``np.array(col.to_pylist())`` form: float32 →
     float64 widening is exact either way."""
-    flat = col.flatten() if hasattr(col, "flatten") else col.values
+    flat = col.flatten()
     return np.asarray(
         flat.to_numpy(zero_copy_only=False), dtype=dtype
     ).reshape(n_rows, -1)

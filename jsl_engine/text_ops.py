@@ -786,12 +786,11 @@ def repetition_profile(
     # scan-split guard: a corpus arriving in fewer splits than cores
     # (one small parquet file, a coalesced upstream) would evaluate the
     # interpreter-bound bigram HOF + explode on one core (measured 7.8s
-    # -> 1.1s at sf0.1); the repartition moves only bytes a one-core
-    # explode would serialize anyway. Wide corpora (splits >= cores, the
-    # 100-TB case) keep their scan partitioning untouched.
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
+    # -> 1.1s at sf0.1). fan_out is the one shared implementation of
+    # that policy (no-op at production split counts, streaming-safe).
+    from jsl_engine.partitioning import fan_out
+
+    df = fan_out(df)
     words = F.split(normalized(F.col(text_col)), " ")
     base_cols = [F.col(id_col), F.size(words).cast("long").alias("n_words")]
     if with_lines:

@@ -673,6 +673,7 @@ def repetition_profile_arrow(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    balance: bool = True,
 ) -> DataFrame:
     """Arrow twin of :func:`jsl_engine.text_ops.repetition_profile`
     (lines + bigrams arms) — identical output contract::
@@ -697,7 +698,8 @@ def repetition_profile_arrow(
     from pyspark.sql.types import DoubleType
 
     pruned = df.select(id_col, text_col)
-    pruned = fan_out(pruned)
+    if balance:
+        pruned = fan_out(pruned)
     out_schema = StructType(
         [
             pruned.schema[id_col],

@@ -115,7 +115,9 @@ def test_keep_cols_passthrough_and_plan(spark):
             .executedPlan().toString())
     assert "Exchange" not in plan
     # default balance=True fans small inputs out to every core
-    assert (language_id_arrow(df).rdd.getNumPartitions()
+    # (coalesce(1) first: createDataFrame already parallelizes, which
+    # would make the assertion vacuous)
+    assert (language_id_arrow(df.coalesce(1)).rdd.getNumPartitions()
             == df.sparkSession.sparkContext.defaultParallelism)
 
 

@@ -1728,3 +1728,27 @@ class TestRepetitionProfileArrow:
         # map (the only exchange anywhere is fan_out's input conditioning)
         for frag in ("explode", "Aggregate", "Join"):
             assert frag not in plan
+
+
+def test_round6_matches_spark_round_sweep(spark):
+    """_round6 claims Spark's round(col, 6) double semantics (HALF_UP
+    over BigDecimal.valueOf's rendering). Java's Double.toString is only
+    guaranteed SHORTEST-repr from JDK 19 (JDK-4511638), while _round6
+    uses Python repr (always shortest) — so pin equality against the
+    RUNNING JVM over every fraction p/q that the repetition metrics can
+    produce at realistic document sizes, plus a dense boundary band.
+    Any JDK whose rendering diverges on a reachable value fails here."""
+    from pyspark.sql import functions as F
+
+    from jsl_engine.text_ops_arrow import _round6
+
+    vals = sorted(
+        {p / q for q in range(1, 1300) for p in range(0, q + 1)}
+        | {i / 1e7 for i in range(0, 120)}       # 0 .. 1.2e-5 boundary band
+        | {0.0015625, 0.0046875, 1 / 512, 3 / 640, 7 / 640}
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.r for r in df.select(F.round("x", 6).alias("r")).collect()]
+    want = [_round6(v) for v in vals]
+    bad = [(v, g, w) for v, g, w in zip(vals, got, want) if g != w]
+    assert not bad, f"{len(bad)} diverging values, first: {bad[:3]}"
