@@ -692,7 +692,14 @@ def repetition_profile_arrow(
     ``\\n`` line splitting with empty lines excluded from duplicate
     metrics, the 1-word bigram clip (``concat_ws`` drops the missing
     second word), NULL text → all-NULL metrics, and Spark's
-    shortest-repr HALF_UP rounding (:func:`_round6`)."""
+    shortest-repr HALF_UP rounding (:func:`_round6`). Known-divergence
+    class (same as :mod:`jsl_engine.lang_arrow`'s final-sigma note):
+    Python ``str.lower`` and the JVM's locale-independent
+    ``UTF8String.toLowerCase`` can disagree on exotic case mappings
+    (dotted-I etc.) — identical on ASCII, where the parity is pinned;
+    char-fraction metrics count code points (= the DuckDB oracle's
+    LENGTH) where Java ``length`` counts UTF-16 units, differing only
+    on astral-plane characters."""
     from collections import Counter
 
     from pyspark.sql.types import DoubleType
