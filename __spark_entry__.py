@@ -2143,12 +2143,19 @@ def oracle_sql() -> dict[str, str]:
                        ROUND(AVG(logp), 6) AS mean_logprob
                 FROM scored GROUP BY doc_id
             ),
+            -- NULL text: the engine's span kernel emits ONE sentinel
+            -- span per NULL doc (NULL docs group with each other and
+            -- with nothing else — jsl_engine/text_ops_arrow.py
+            -- _NULL_SPAN); COALESCE to a chr(0) sentinel no real
+            -- space-joined-word span can equal reproduces that here
+            -- (GREATEST ignores the NULL len, so the series is [1])
             spc AS (
                 SELECT doc_id, span, COUNT(*) AS cd FROM (
                     SELECT doc_id,
-                           unnest(list_transform(
+                           COALESCE(unnest(list_transform(
                                generate_series(1, GREATEST(len(w) - 12, 1)),
-                               i -> array_to_string(w[i:i+12], ' '))) AS span
+                               i -> array_to_string(w[i:i+12], ' '))),
+                               chr(0) || 'null') AS span
                     FROM base
                 ) GROUP BY doc_id, span
             ),
@@ -2158,14 +2165,21 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CASE WHEN g.c >= 2 THEN s.cd ELSE 0 END)::BIGINT AS n_dup_spans
                 FROM spc s JOIN spg g USING (span) GROUP BY s.doc_id
             )
+            -- NULL text: the engine's repetition kernel emits NULL for
+            -- every metric (text_ops_arrow.py repetition_profile_arrow)
+            -- — the COALESCE(...) fallbacks only cover the no-nonempty-
+            -- line case of REAL text, so each fraction is NULL-guarded
             SELECT b.doc_id,
                    len(b.w)::BIGINT AS n_words,
                    l.n_lines::BIGINT AS n_lines,
+                   CASE WHEN b.text IS NULL THEN NULL ELSE
                    ROUND((COALESCE(s.nn, 0) - COALESCE(s.nd, 0))
-                         / CAST(GREATEST(COALESCE(s.nn, 0), 1) AS DOUBLE), 6) AS dup_line_frac,
+                         / CAST(GREATEST(COALESCE(s.nn, 0), 1) AS DOUBLE), 6) END AS dup_line_frac,
+                   CASE WHEN b.text IS NULL THEN NULL ELSE
                    ROUND(COALESCE(s.dup_chars, 0)
-                         / CAST(GREATEST(COALESCE(s.tot_chars, 0), 1) AS DOUBLE), 6) AS dup_line_char_frac,
-                   ROUND(g.top / CAST(GREATEST(g.n_bg, 1) AS DOUBLE), 6) AS top_bigram_share,
+                         / CAST(GREATEST(COALESCE(s.tot_chars, 0), 1) AS DOUBLE), 6) END AS dup_line_char_frac,
+                   CASE WHEN b.text IS NULL THEN NULL ELSE
+                   ROUND(g.top / CAST(GREATEST(g.n_bg, 1) AS DOUBLE), 6) END AS top_bigram_share,
                    COALESCE(p.n_tokens, 0) AS n_tokens,
                    p.mean_logprob AS mean_logprob,
                    d.n_spans AS n_spans,

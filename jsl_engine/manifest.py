@@ -302,11 +302,15 @@ def run_validation_job(
         f"|k={','.join(key_cols)}|c={content_col}|p={part_prefix_len}"
         f"|s={int(strict_instance_semantics)}"
     )
+    # the curate riders' lang_id column is engine-dependent (jvm vs
+    # arrow diverge on exotic case mappings — the round-5 caveat), so
+    # the engine choice is part of the resume identity whenever the
+    # riders are in the sink; without curate it never reaches the sink
     fingerprint = (
         registry_fingerprint(schemas, default_schema)
         if schemas is not None
         else schema.fingerprint()
-    ) + ("+curate" if curate else "") + job_conf
+    ) + (f"+curate|le={lang_engine}" if curate else "") + job_conf
     manifest_path = f"{output_root}/manifest"
     job_id = uuid.uuid4().hex[:12]
 

@@ -73,12 +73,21 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     payload column), and every kernel routed through it has
     repartition-invariance pinned in tests.
 
-    ``df.rdd.getNumPartitions()`` plans the scan but launches no job.
-    Streaming inputs pass through untouched: micro-batch parallelism is
-    the source's concern (``maxFilesPerTrigger`` etc.), and a streaming
-    plan has no ``.rdd`` to inspect.
+    The probe only runs on shuffle-free plans: for a scan-rooted plan
+    ``df.rdd.getNumPartitions()`` is job-free, but under AQE ``.rdd``
+    on a plan containing an Exchange EXECUTES the upstream shuffle
+    stages (and the real action then re-runs them as a new execution).
+    A plan that already shuffles leaves the exchange with
+    ``spark.sql.shuffle.partitions`` output partitions, so the fan-out
+    gate has nothing to add there — such inputs pass through untouched,
+    probe never taken. Streaming inputs also pass through: micro-batch
+    parallelism is the source's concern (``maxFilesPerTrigger`` etc.),
+    and a streaming plan has no ``.rdd`` to inspect.
     """
     if df.isStreaming:
+        return df
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan or "AdaptiveSparkPlan" in plan:
         return df
     sc = df.sparkSession.sparkContext
     t = target or sc.defaultParallelism

@@ -84,8 +84,15 @@ def _local_topk_prune(
     bit-for-bit the unpruned window's output, stable under any
     repartitioning (pinned in tests/test_similarity.py).
 
-    Ordering corner cases match Spark: descending doubles place NaN
-    first and NULL last in both Spark and Arrow sort semantics."""
+    Ordering corner cases match Spark by construction: Spark's
+    descending double order places NaN FIRST and NULL last, while
+    Arrow's descending sort places NaN after every number (verified:
+    ``[0.5, NaN, 0.9, NULL]`` desc-sorts to ``0.9, 0.5, NaN, NULL``) —
+    so the cut sorts on an explicit ``is_nan`` flag key ahead of the
+    score, reproducing Spark's NaN-first total order; NaN-vs-NaN ties
+    fall through to ``id_col`` asc exactly as Spark's ordering (which
+    treats NaN = NaN) does. Pinned in tests/test_similarity.py with a
+    NaN-scored corpus row."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -101,10 +108,14 @@ def _local_topk_prune(
                 yield batch
                 continue
             tbl = pa.Table.from_batches([batch])
+            nan_flag = pc.cast(
+                pc.fill_null(pc.is_nan(tbl.column(score_col)), False), pa.int8()
+            )
             order = pc.sort_indices(
-                tbl,
+                tbl.append_column("__nan", nan_flag),
                 sort_keys=[
                     ("query_id", "ascending"),
+                    ("__nan", "descending"),
                     (score_col, "descending"),
                     (id_col, "ascending"),
                 ],

@@ -65,3 +65,28 @@ def test_verified_jaccard_tail_plan_shape(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:3000]
     assert "RoundRobinPartitioning" in plan, plan[:3000]
     assert out.count() == 50
+
+
+def test_fan_out_probes_only_shuffle_free_plans(spark, tmp_path):
+    """fan_out's partition probe (.rdd.getNumPartitions) is job-free
+    ONLY on scan-rooted plans — under AQE, .rdd on a plan containing an
+    Exchange EXECUTES the upstream shuffle stages, which the real
+    action then re-runs. So: a shuffled input must pass through
+    IDENTICALLY (no probe, no repartition), while a single-split scan
+    still fans out to defaultParallelism."""
+    from pyspark.sql import functions as F
+
+    from jsl_engine.partitioning import fan_out
+
+    path = str(tmp_path / "one_split.parquet")
+    spark.range(100).selectExpr("id", "repeat('x', 10) as text") \
+        .coalesce(1).write.parquet(path)
+    scan = spark.read.parquet(path)
+    assert (fan_out(scan).rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism)
+
+    shuffled = scan.groupBy("text").agg(F.count("*").alias("c"))
+    assert fan_out(shuffled) is shuffled
+    # broadcast-join plans carry a BroadcastExchange — also skipped
+    joined = scan.join(F.broadcast(spark.range(100)), "id")
+    assert fan_out(joined) is joined

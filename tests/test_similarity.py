@@ -391,11 +391,52 @@ def test_prune_window_input_is_o_partitions_not_o_rows(spark, vectors):
     try:
         pruned_rows = S._local_topk_prune(scored, k, "vec_id").count()
     finally:
+        # conf.get(key, None) returns None for an UNSET key (it does not
+        # surface the ConfigEntry default), so restore means unset here —
+        # a bare skip would leak 1M-row Arrow batches into every later
+        # test on the shared session
         if old is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     total = corpus.count() * n_queries
     assert pruned_rows <= n_queries * k * n_parts
     assert pruned_rows < total  # it actually cut something
+
+
+def test_prune_nan_scores_match_window_nan_first_order(spark):
+    """Spark's descending double order ranks NaN FIRST (above every
+    number) while Arrow's descending sort places NaN after the numbers
+    — the prune must reproduce Spark's order or a NaN-scored row the
+    window ranks #1 gets cut map-side. Regression for the round-5
+    review finding: batches larger than k, more than k non-NaN rows,
+    several NaN rows (NaN-vs-NaN ties break by vec_id asc, since Spark
+    treats NaN = NaN)."""
+    from pyspark.sql import Row
+
+    nan = float("nan")
+    rows = [Row(query_id=1, vec_id=i, cos_sim=1.0 - i / 100.0) for i in range(20)]
+    rows += [Row(query_id=1, vec_id=100 + i, cos_sim=nan) for i in range(3)]
+    scored = spark.createDataFrame(rows).coalesce(1)  # one batch > k, mixed
+    k = 4
+    want = sorted(
+        map(tuple, _windowed_reference_topk(scored, k).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            _windowed_reference_topk(S._local_topk_prune(scored, k, "vec_id"), k)
+            .collect(),
+        )
+    )
+
+    def norm(t):
+        return tuple("nan" if x != x else x for x in t)
+
+    assert [norm(t) for t in got] == [norm(t) for t in want]
+    # and the window really does rank the NaN rows first: 100,101,102
+    top = {(r.rank, r.vec_id) for r in _windowed_reference_topk(scored, 3).collect()}
+    assert top == {(1, 100), (2, 101), (3, 102)}
 
 
 def test_prune_handles_small_batches_and_duplicate_scores(spark):

@@ -1752,3 +1752,64 @@ def test_round6_matches_spark_round_sweep(spark):
     want = [_round6(v) for v in vals]
     bad = [(v, g, w) for v, g, w in zip(vals, got, want) if g != w]
     assert not bad, f"{len(bad)} diverging values, first: {bad[:3]}"
+
+
+def test_repetition_logprob_oracle_parity_on_null_and_empty_text(spark):
+    """Engine-vs-oracle parity for the registry's composite
+    repetition+logprob+span row on the corpus corners the sandbox
+    parquet happens not to contain: NULL text (engine pins all-NULL
+    repetition metrics, n_tokens=0, ONE sentinel span that groups with
+    other NULL docs and nothing else) and empty text. Regression for a
+    round-5 review finding: the oracle's COALESCE fallbacks turned the
+    missing line_stats row into 0.0 and the NULL span join-dropped the
+    doc, so a single NULL-text row would have failed the hard gate with
+    a spurious mismatch."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from jsl_engine.text_ops import duplicate_spans_arrow, unigram_logprob_score
+    from jsl_engine.text_ops_arrow import repetition_profile_arrow
+
+    rows = [
+        (1, "hello world hello world\nhello world hello world\nx"),
+        (2, None),
+        (3, ""),
+        (4, None),
+        (5, "the quick brown fox jumps over the lazy dog " * 4),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rep = repetition_profile_arrow(docs)
+    lp = unigram_logprob_score(docs)
+    sp = duplicate_spans_arrow(docs, span_tokens=13)
+    sdf = rep.join(lp, "doc_id").join(sp, "doc_id")
+    srows = sdf.collect()
+    cols = sorted(sdf.columns)
+
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": "int64"}
+        ),
+    )
+    ddf = con.execute(
+        entry_mod.oracle_sql()["repetition_logprob_documents"]
+    ).fetchdf()
+    assert sorted(ddf.columns) == cols
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            return None if math.isnan(v) else round(v, 6)
+        return int(v) if hasattr(v, "item") or isinstance(v, int) else v
+
+    sset = sorted(tuple(norm(r[c]) for c in cols) for r in srows)
+    dset = sorted(
+        tuple(norm(r[c]) for c in cols) for r in ddf.to_dict("records")
+    )
+    assert sset == dset, (sset, dset)
