@@ -1314,11 +1314,13 @@ def _code_profile_oracle_sql() -> str:
 def _secret_total_sql() -> str:
     """The PATTERNS-generated total-secret-count expression (shared by
     the standalone secret oracle, the curation report and the fused
-    curation oracle)."""
+    curation oracle). COALESCE per term: NULL text holds zero secrets
+    (the engine-side pin in redaction.secret_scan)."""
     from jsl_engine.redaction import PATTERNS
 
     return " + ".join(
-        f"len(regexp_extract_all(text, '{rx}'))" for _, rx, _ in PATTERNS
+        f"COALESCE(len(regexp_extract_all(text, '{rx}')), 0)"
+        for _, rx, _ in PATTERNS
     )
 
 
@@ -1467,11 +1469,7 @@ def _quality_cte_sql(src: str) -> str:
 def _curation_report_oracle_sql() -> str:
     """Per-source rollup sharing the quality-threshold SQL and the
     PATTERNS-generated secret totals over the secret-injected corpus."""
-    from jsl_engine.redaction import PATTERNS
-
-    total = " + ".join(
-        f"len(regexp_extract_all(text, '{rx}'))" for _, rx, _ in PATTERNS
-    )
+    total = _secret_total_sql()
     return f"""
         WITH docs2 AS (
             SELECT doc_id, source,
@@ -1516,17 +1514,18 @@ def _secret_scan_oracle_sql() -> str:
     jsl_engine/redaction.py)."""
     from jsl_engine.redaction import PATTERNS
 
+    # COALESCE on every count: NULL text holds zero secrets (the
+    # engine-side pin) — but redacted_sha256 stays sha256(NULL) = NULL,
+    # matching the engine's NULL passthrough in redact_secrets
     counts = ",\n                   ".join(
-        f"len(regexp_extract_all(text, '{rx}'))::BIGINT AS n_{name}"
+        f"COALESCE(len(regexp_extract_all(text, '{rx}')), 0)::BIGINT AS n_{name}"
         for name, rx, _ in PATTERNS
     )
-    total = " + ".join(
-        f"len(regexp_extract_all(text, '{rx}'))" for _, rx, _ in PATTERNS
-    )
+    total = _secret_total_sql()
     expr = "text"
     red_terms = []
     for _, rx, repl in PATTERNS:
-        red_terms.append(f"len(regexp_extract_all({expr}, '{rx}'))")
+        red_terms.append(f"COALESCE(len(regexp_extract_all({expr}, '{rx}')), 0)")
         expr = f"regexp_replace({expr}, '{rx}', '{repl}', 'g')"
     red_total = " + ".join(red_terms)
     return f"""
@@ -1589,10 +1588,15 @@ def _line_dedup_oracle_sql() -> str:
         )
         SELECT doc_id,
                -- array_to_string([]) is NULL in DuckDB; a fully-removed
-               -- doc is the EMPTY STRING on the Spark side
-               sha256(COALESCE(array_to_string(ks, chr(10)), '')) AS clean_sha256,
-               len(ls)::INT AS n_lines,
-               (len(ls) - len(ks))::INT AS n_removed
+               -- doc is the EMPTY STRING on the Spark side — but a
+               -- NULL-TEXT doc passes through as NULL with 0/0 counts
+               -- (the engine pin in remove_frequent_lines), so the ''
+               -- fallback must not swallow the ls-IS-NULL case
+               CASE WHEN ls IS NULL THEN NULL
+                    ELSE sha256(COALESCE(array_to_string(ks, chr(10)), ''))
+               END AS clean_sha256,
+               COALESCE(len(ls), 0)::INT AS n_lines,
+               COALESCE(len(ls) - len(ks), 0)::INT AS n_removed
         FROM kept
     """
 
@@ -2279,10 +2283,15 @@ def oracle_sql() -> dict[str, str]:
         # shingle sets, so the oracle mirrors it as the existence join.
         "near_dup_components_documents": """
             WITH RECURSIVE
+            -- both endpoint TEXTS must exist, not just the ids: the
+            -- engine's verify tail drops NULL-text docs (no word
+            -- n-grams -> no near-dup contract), so a NULL endpoint
+            -- contributes no sim edge
             sim AS (
                 SELECT a.doc_id AS src, a.doc_id + 1 AS dst
                 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
                 WHERE a.doc_id % 20 = 0
+                  AND a.text IS NOT NULL AND b.text IS NOT NULL
             ),
             chain AS (
                 SELECT doc_id - 1 AS src, doc_id AS dst
@@ -2304,10 +2313,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_near_documents": """
             WITH RECURSIVE
+            -- both endpoint TEXTS must exist, not just the ids: the
+            -- engine's verify tail drops NULL-text docs (no word
+            -- n-grams -> no near-dup contract), so a NULL endpoint
+            -- contributes no sim edge
             sim AS (
                 SELECT a.doc_id AS src, a.doc_id + 1 AS dst
                 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
                 WHERE a.doc_id % 20 = 0
+                  AND a.text IS NOT NULL AND b.text IS NOT NULL
             ),
             chain AS (
                 SELECT doc_id - 1 AS src, doc_id AS dst

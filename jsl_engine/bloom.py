@@ -290,7 +290,16 @@ def bloom_contamination(
             n_grams = np.empty(rows, dtype=np.int64)
             hits = np.empty(rows, dtype=np.int64)
             for i, t in enumerate(texts):
-                g = np.unique(_shingle_hashes(t or "", n))
+                # NULL text: zero grams, zero hits, never a candidate
+                # (`t or ""` would give it the EMPTY doc's shingle and
+                # a spurious bloom candidacy whenever the benchmark
+                # holds a whitespace-only doc) — pinned with
+                # contamination()/contamination_arrow and the oracle
+                if t is None:
+                    n_grams[i] = 0
+                    hits[i] = 0
+                    continue
+                g = np.unique(_shingle_hashes(t, n))
                 n_grams[i] = g.size
                 hits[i] = int(_test_all_k(bits, _probe_matrix(g, k, m)).sum())
             cand_text = pc.if_else(
@@ -360,6 +369,11 @@ def bloom_contamination(
         F.col(id_col),
         F.col("n_grams").cast("long").alias("n_grams"),
         F.col("n_hits"),
-        F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_rate"),
+        # gram-less (NULL-text) docs: NULL rate, guarded because ANSI
+        # mode makes bare 0/0 long division an error, not NULL
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_hits") / F.col("n_grams"), 6),
+        ).alias("hit_rate"),
         (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
     )

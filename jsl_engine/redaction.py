@@ -55,9 +55,15 @@ def secret_scan(
     redaction pass performs, use :func:`redact_secrets`'s
     ``n_redactions`` (sequential semantics). ``keep_cols`` pass through
     untouched so scorers chain over one scan. Map-only: safe at any
-    scale, and Catalyst prunes the scan to (id, text, *keep_cols)."""
+    scale, and Catalyst prunes the scan to (id, text, *keep_cols).
+
+    NULL text holds ZERO secrets (every count 0, ``has_secret`` false)
+    — NULL-propagating counts would poison every downstream rollup
+    (``sum``/``>0`` comparisons) with NULLs; pinned with the DuckDB
+    oracle and tests."""
     counts = [
-        F.regexp_count(F.col(text_col), F.lit(rx)).cast("long").alias(f"n_{name}")
+        F.coalesce(F.regexp_count(F.col(text_col), F.lit(rx)), F.lit(0))
+        .cast("long").alias(f"n_{name}")
         for name, rx, _ in PATTERNS
     ]
     out = df.select(
@@ -84,7 +90,8 @@ def redact_secrets(
     email local part eaten by the email rule) is not double-counted the
     way :func:`secret_scan`'s independent detector counts are.
     Invariant (pytest-gated): scanning the redacted text finds zero
-    secrets."""
+    secrets. NULL text passes through as NULL with ``n_redactions`` 0
+    (same zero-secrets pin as :func:`secret_scan`)."""
     redacted = F.col(text_col)
     n = F.lit(0)
     for _, rx, repl in PATTERNS:
@@ -93,5 +100,5 @@ def redact_secrets(
     return df.select(
         F.col(id_col),
         redacted.alias("redacted"),
-        n.cast("long").alias("n_redactions"),
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_redactions"),
     )

@@ -644,7 +644,20 @@ def verified_jaccard_pairs(
     # otherwise park it on one or two cores and serialize the
     # interpreter-bound shingling (measured 6.8s -> 0.9s at sf0.1)
     spread = df.sparkSession.sparkContext.defaultParallelism
-    sub = df.join(F.broadcast(ids), id_col, "left_semi").repartition(spread)
+    # NULL-text docs have no word n-grams, so they can never satisfy the
+    # contract (Jaccard over empty sets is undefined, not 1) — without
+    # this filter shingles(NULL) yields the single-NULL-span array and
+    # array_intersect's NULL-equals-NULL semantics would certify every
+    # NULL-doc pair at jaccard 1.0. Dropping them here inner-join-drops
+    # any candidate pair touching a NULL doc, for every generator that
+    # shares this tail (minhash, winnowing, fuzzy contamination,
+    # component edges); NULL docs are exact-dup territory
+    # (sha256(NULL) groups them in exact_duplicates).
+    sub = (
+        df.join(F.broadcast(ids), id_col, "left_semi")
+        .where(F.col(text_col).isNotNull())
+        .repartition(spread)
+    )
     sh = sub.select(
         F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
     )
@@ -703,9 +716,14 @@ def contamination(
 
     North-rule context: engine-level addition (the reference validates
     single documents; reference scope src/lib.rs:114-118)."""
+    # explode_OUTER + count(gram): a NULL-text doc (shingles → NULL
+    # array) keeps its verdict row with n_grams=0 / hit_rate NULL /
+    # contaminated false instead of silently vanishing from the output
+    # — pinned with the Arrow twin and the DuckDB oracle; its single
+    # NULL-gram row never matches the broadcast bench (NULL join key)
     exploded = df.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.array_distinct(shingles(F.col(text_col), n))
         ).alias("gram"),
     )
@@ -722,15 +740,16 @@ def contamination(
         exploded.join(F.broadcast(bench), "gram", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.count("gram").alias("n_grams"),
             F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hits"),
         )
         .select(
             F.col(id_col),
             F.col("n_grams").cast("long").alias("n_grams"),
             F.col("n_hits").cast("long").alias("n_hits"),
-            F.round(
-                F.col("n_hits") / F.col("n_grams"), 6
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_hits") / F.col("n_grams"), 6),
             ).alias("hit_rate"),
             (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
         )

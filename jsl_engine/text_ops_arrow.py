@@ -514,7 +514,15 @@ def contamination_arrow(
             n_grams = np.empty(rows, dtype=np.int64)
             n_hits = np.empty(rows, dtype=np.int64)
             for i, t in enumerate(texts):
-                g = np.unique(_shingle_hashes(t or "", n))
+                # NULL text has NO grams (n_grams=0, hit_rate NULL,
+                # not contaminated) — pinned with the JVM twin and the
+                # DuckDB oracle; the EMPTY doc keeps its one
+                # empty-word shingle in all three engines
+                if t is None:
+                    n_grams[i] = 0
+                    n_hits[i] = 0
+                    continue
+                g = np.unique(_shingle_hashes(t, n))
                 n_grams[i] = g.size
                 if bs.size:
                     idx = np.searchsorted(bs, g)
@@ -541,7 +549,12 @@ def contamination_arrow(
         F.col(id_col),
         "n_grams",
         "n_hits",
-        F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("hit_rate"),
+        # gram-less (NULL-text) docs: NULL rate, guarded because ANSI
+        # mode makes bare 0/0 long division an error, not NULL
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.col("n_hits") / F.col("n_grams"), 6),
+        ).alias("hit_rate"),
         (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
     )
 

@@ -1,0 +1,56 @@
+"""Oracle-gate robustness on corpus corners the shipped testdata happens
+not to contain: NULL text, empty text, whitespace-only text, a one-word
+document — including TWO NULL docs so NULL-grouping semantics (span
+sentinel, sha256(NULL) exact-dup group, near-dup exclusion) are
+exercised pairwise.
+
+Round-5 origin: a review found the repetition oracle silently depended
+on the corpus having no NULL texts; a systematic sweep then surfaced the
+same latent fragility in six more documents-rooted query/oracle pairs
+(contamination ×2, curation report, line dedup, minhash/winnow pair
+sets, component edges). This test pins every documents-rooted
+queries()/oracle_sql() pair green over the corner corpus, so a future
+testdata regeneration (or a real corpus) with degenerate rows cannot
+flip the driver's hard gate."""
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def corner_sf_dir(tmp_path_factory):
+    """sf0.001 with 5 corner documents appended (ids 500+); every other
+    table symlinked unchanged."""
+    import os
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sf_corners")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/documents.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (500::BIGINT, NULL, 'en', 'web', NULL::BIGINT),
+            (501::BIGINT, '', 'en', 'web', 0::BIGINT),
+            (502::BIGINT, '   ' || chr(10) || chr(10) || '  ', 'en', 'web', 7::BIGINT),
+            (503::BIGINT, 'word', 'en', 'web', 4::BIGINT),
+            (504::BIGINT, NULL, 'de', 'books', NULL::BIGINT)
+          ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{d / "documents.parquet"}' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_documents_oracles_survive_null_and_empty_text(spark, corner_sf_dir):
+    import __spark_entry__ as entry_mod
+    from tools.check_oracle import main
+
+    doc_queries = [n for n in entry_mod.queries() if n.endswith("_documents")]
+    assert len(doc_queries) >= 25
+    assert main(corner_sf_dir, doc_queries) == 0

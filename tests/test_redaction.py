@@ -88,3 +88,23 @@ def test_curation_report_single_scan_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_null_text_has_zero_secrets(spark):
+    """NULL text holds zero secrets: every per-pattern count 0,
+    has_secret false (NOT NULL — a NULL flag would poison downstream
+    sums/filters), and redact passes NULL through with 0 redactions."""
+    from pyspark.sql import Row
+
+    from jsl_engine.redaction import redact_secrets, secret_scan
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "mail me at a@b.co")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in secret_scan(df).collect()}
+    assert rows[1].n_secrets == 0 and rows[1].has_secret is False
+    assert rows[1].n_email == 0
+    assert rows[2].n_email == 1 and rows[2].has_secret is True
+    red = {r.doc_id: r for r in redact_secrets(df).collect()}
+    assert red[1].redacted is None and red[1].n_redactions == 0
+    assert red[2].n_redactions == 1

@@ -1813,3 +1813,52 @@ def test_repetition_logprob_oracle_parity_on_null_and_empty_text(spark):
         tuple(norm(r[c]) for c in cols) for r in ddf.to_dict("records")
     )
     assert sset == dset, (sset, dset)
+
+
+def test_contamination_null_doc_zero_grams_all_arms(spark):
+    """NULL text has NO grams: every contamination arm (JVM broadcast
+    join, Arrow sorted-hash kernel, Bloom prefilter) keeps the doc's
+    verdict row with n_grams=0, n_hits=0, hit_rate NULL, contaminated
+    false — the JVM arm used to silently DROP NULL docs (explode of a
+    NULL shingle array) and the kernels used to give them the EMPTY
+    doc's one-gram shingle."""
+    from jsl_engine.bloom import bloom_contamination
+    from jsl_engine.text_ops_arrow import contamination_arrow
+
+    bench = spark.createDataFrame(
+        [(100, "the capital of france is paris")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the capital of france is paris today"),
+         (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    want_null_row = (2, 0, 0, None, False)
+    for arm in (
+        T.contamination(corpus, bench, n=3),
+        contamination_arrow(corpus, bench, n=3),
+        bloom_contamination(corpus, bench, n=3, expected_grams=1000),
+    ):
+        rows = {r.doc_id: tuple(r) for r in arm.collect()}
+        assert set(rows) == {1, 2, 3}, rows
+        assert rows[2] == want_null_row, rows[2]
+        # the EMPTY doc keeps its single empty-word shingle (1 gram)
+        assert rows[3][1] == 1 and rows[3][4] is False
+        assert rows[1][4] is True
+
+
+def test_verified_jaccard_pairs_exclude_null_docs(spark):
+    """A candidate pair touching a NULL-text doc never verifies: NULL
+    docs have no word n-grams, and without the guard array_intersect's
+    NULL-equals-NULL semantics would certify NULL-NULL pairs at
+    jaccard 1.0 (they are exact-dup territory instead)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "alpha beta gamma delta epsilon"),
+         (4, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = T.verified_jaccard_pairs(docs, pairs, threshold=0.0).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(3, 4)}
