@@ -1762,6 +1762,8 @@ def _pq_topk_oracle_sql() -> str:
                                 embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
                    ) AS nv
             FROM embeddings
+            -- NULL embeddings are not indexable (similarity._indexable)
+            WHERE embedding IS NOT NULL
         ),
         q AS (
             SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id IN (0, 1, 2)
@@ -1816,7 +1818,8 @@ def _embedding_near_dup_oracle_sql() -> str:
         )
     banded = "\n              UNION ALL ".join(band_selects)
     return f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                   WHERE embedding IS NOT NULL),
         b AS ({banded}),
         g AS (SELECT * FROM b
               QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1024),
@@ -1826,11 +1829,18 @@ def _embedding_near_dup_oracle_sql() -> str:
               ON a.band = bb.band AND a.bucket = bb.bucket
              AND a.vec_id < bb.vec_id
         )
+        -- isnan CASE = the engine's corrupt-vector pin (cosine nanvl):
+        -- a NaN-component vector would otherwise satisfy >= threshold
+        -- in BOTH engines (NaN compares greater) and pair with every
+        -- bucketmate
         SELECT id_a, id_b, cos_sim FROM (
             SELECT c.id_a, c.id_b,
-                   ROUND(list_dot_product(va.e, vb.e)
+                   ROUND(CASE WHEN isnan(list_dot_product(va.e, vb.e)
                          / (sqrt(list_dot_product(va.e, va.e))
-                            * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos_sim
+                            * sqrt(list_dot_product(vb.e, vb.e)))) THEN NULL
+                         ELSE list_dot_product(va.e, vb.e)
+                         / (sqrt(list_dot_product(va.e, va.e))
+                            * sqrt(list_dot_product(vb.e, vb.e))) END, 6) AS cos_sim
             FROM cands c
             JOIN v va ON va.vec_id = c.id_a
             JOIN v vb ON vb.vec_id = c.id_b
@@ -2441,13 +2451,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT vec_id AS query_id, embedding AS qv
                 FROM embeddings WHERE vec_id IN (0, 1, 2)
             ),
-            s AS (
+            -- raw cos, then the corrupt-vector pin: zero-norm gives
+            -- NULL already (DuckDB /0 is NULL, = the engine's
+            -- try_divide), and a NaN COMPONENT is mapped to NULL too
+            -- (engine nanvl) so corrupt vectors never rank
+            s0 AS (
                 SELECT q.query_id, e.vec_id,
-                       ROUND(
-                         list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
-                         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                            * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cos_sim
+                       list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS raw
                 FROM embeddings e CROSS JOIN q
+                WHERE e.embedding IS NOT NULL
+            ),
+            -- NULL scores never rank (engine _ranked_topk pin): a
+            -- degenerate vector must not pad the top-k tail
+            s AS (
+                SELECT query_id, vec_id,
+                       ROUND(CASE WHEN isnan(raw) THEN NULL ELSE raw END, 6) AS cos_sim
+                FROM s0
+                WHERE NOT isnan(raw) AND raw IS NOT NULL
             ),
             r AS (
                 SELECT query_id, vec_id, cos_sim,

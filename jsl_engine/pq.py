@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jsl_engine.partitioning import fan_out
+from jsl_engine.similarity import _indexable
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -145,6 +146,9 @@ def _exact_refine(vectors, queries, cand, *, id_name, vec_col, query_id_col, k):
             F.round(cosine(F.col(vec_col), F.col("__q_vec")), 6).alias("cos_sim"),
         )
     )
+    # NULL cos never ranks (degenerate-vector pin, same as
+    # similarity._ranked_topk): the refine tail may return fewer than k
+    rescored = rescored.where(F.col("cos_sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_name))
     return rescored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
@@ -185,7 +189,9 @@ def pq_encode(
     a no-op regardless. Opt in for a mid-sized single-file input."""
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
-    pruned = vectors.select(id_col, vec_col)
+    # NULL embeddings are not encodable (similarity._indexable pin) —
+    # one NULL row would crash the batch matrix stack
+    pruned = _indexable(vectors, vec_col).select(id_col, vec_col)
     if balance:
         pruned = fan_out(pruned)
     out_schema = StructType(
@@ -257,7 +263,8 @@ def pq_topk(
             "normalize=True with refine, or refine=0 for pure ADC"
         )
     spark = vectors.sparkSession
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    vectors = _indexable(vectors, vec_col)
+    q_rows = _indexable(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("queries DataFrame is empty")
     _check_int_query_ids([r[0] for r in q_rows])
@@ -394,7 +401,8 @@ def ivfpq_topk(
     from jsl_engine.similarity import train_ivf_centroids
 
     spark = vectors.sparkSession
-    q_rows = queries.select(query_id_col, vec_col).collect()
+    vectors = _indexable(vectors, vec_col)
+    q_rows = _indexable(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("queries DataFrame is empty")
     _check_int_query_ids([r[0] for r in q_rows])
@@ -548,7 +556,8 @@ def train_pq_codebooks(
     driver, constant in table size; the distributed trainer below is the
     whole-corpus path."""
     rows = (
-        vectors.select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
+        _indexable(vectors, vec_col)
+        .select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
         .select(vec_col).collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float64)
@@ -586,7 +595,8 @@ def train_residual_pq_codebooks(
     than the vectors themselves, so the same ``k_codes`` budget resolves
     much finer structure (pinned by the distortion test)."""
     rows = (
-        vectors.select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
+        _indexable(vectors, vec_col)
+        .select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
         .select(vec_col).collect()
     )
     x = _normalize_rows(np.array([r[0] for r in rows], dtype=np.float64))
@@ -631,7 +641,7 @@ def train_pq_codebooks_distributed(
     # input-conditioning shuffle would multiply its per-pass task count
     # (and scheduling floor) by iterations at small scale; at real scale
     # the source already splits wide and fan_out would be a no-op anyway.
-    base = vectors.select(id_col, vec_col).cache()
+    base = _indexable(vectors, vec_col).select(id_col, vec_col).cache()
     base.count()  # eager: every iteration re-reads the projection
 
     init_rows = (

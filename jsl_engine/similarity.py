@@ -57,8 +57,25 @@ def _norm(a):
 
 
 def cosine(a, b):
-    """Cosine similarity between two array columns (double, JVM-side)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two array columns (double, JVM-side).
+
+    ``try_divide``, not ``/``: a zero-norm vector makes the divisor
+    exactly 0, and under ANSI mode (on by default in Spark 4) a bare
+    division then throws DIVIDE_BY_ZERO — one degenerate vector in a
+    10^12-row corpus would kill the whole job. NULL is also the
+    DuckDB-parity result (DuckDB double division by zero yields NULL),
+    and NULL cos_sim sorts LAST in the descending rank windows in both
+    engines, so a zero vector is simply never a neighbor.
+
+    ``nanvl`` then maps a NaN result (a NaN/Inf COMPONENT — corrupt
+    data) to NULL as well: both Spark and DuckDB rank NaN FIRST in a
+    descending window, so one corrupt vector would otherwise land at
+    rank 1 of EVERY query's top-k — the worst possible failure shape at
+    corpus scale. NULL instead means corrupt vectors are never
+    neighbors, matching the zero-vector pin; the DuckDB oracles apply
+    the same isnan CASE."""
+    raw = F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    return F.nanvl(raw, F.lit(None).cast("double"))
 
 
 def _local_topk_prune(
@@ -133,12 +150,34 @@ def _local_topk_prune(
 
 def _ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
     """Shared tail of the exact top-k arms: batch-local lossless cut,
-    then the (now tiny) global per-query ranking window."""
+    then the (now tiny) global per-query ranking window.
+
+    NULL scores never rank: a NULL ``cos_sim`` means a degenerate
+    (zero-norm / NaN-component) vector, and padding the tail of a
+    top-k with no-similarity rows when the candidate pool is smaller
+    than ``k`` would be noise, not neighbors — a query may therefore
+    return FEWER than ``k`` rows. Mirrored by ``WHERE cos_sim IS NOT
+    NULL`` in the DuckDB oracle."""
+    scored = scored.where(F.col("cos_sim").isNotNull())
     pruned = _local_topk_prune(scored, k, id_col)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return pruned.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def _indexable(df: DataFrame, vec_col: str) -> DataFrame:
+    """NULL embeddings are not vectors. Every ANN surface — training
+    sample, index build, scan corpus, query set — drops them up front:
+    a single NULL row otherwise CRASHES the numpy stacking in the
+    driver/Arrow kernels (ragged object array) or leaks
+    never-comparable NULL scores into the ranking windows, with
+    engine-dependent placement. Zero vectors and NaN components are
+    kept — they are well-formed arrays and follow IEEE/ordering
+    semantics (NaN ranks first in a descending window, identically in
+    Spark and DuckDB). Mirrored by the oracle SQL (`WHERE <vec> IS NOT
+    NULL`) and pinned in tests/test_similarity.py."""
+    return df.where(F.col(vec_col).isNotNull())
 
 
 def brute_force_topk(
@@ -161,12 +200,12 @@ def brute_force_topk(
     the corpus is never shuffled into per-query reducers.
     """
     q = F.broadcast(
-        queries.select(
+        _indexable(queries, vec_col).select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
     scored = (
-        vectors.select(F.col(id_col), F.col(vec_col))
+        _indexable(vectors, vec_col).select(F.col(id_col), F.col(vec_col))
         .crossJoin(q)
         .select(
             "query_id",
@@ -237,6 +276,8 @@ def lsh_topk(
 
     Pass ``dim`` (the embedding width) to keep plan construction
     action-free; if omitted it is probed with a one-row job."""
+    vectors = _indexable(vectors, vec_col)
+    queries = _indexable(queries, vec_col)
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = _random_planes(dim, n_planes, seed)
@@ -293,6 +334,7 @@ def train_ivf_centroids(
 
     import numpy as np
 
+    vectors = _indexable(vectors, vec_col)
     if id_col is not None:
         sample = vectors.select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
         rows = sample.select(vec_col).collect()
@@ -349,6 +391,7 @@ def train_ivf_centroids_distributed(
 
     import numpy as np
 
+    vectors = _indexable(vectors, vec_col)
     dim_probe = vectors.select(vec_col).first()
     dim = len(dim_probe[0])
     norm = F.sqrt(
@@ -539,6 +582,8 @@ def ivf_topk(
         raise ValueError(
             f"train must be 'driver' or 'distributed', got {train!r}"
         )
+    vectors = _indexable(vectors, vec_col)
+    queries = _indexable(queries, vec_col)
     if centroids is None:
         if train == "distributed":
             centroids = train_ivf_centroids_distributed(
@@ -629,6 +674,7 @@ def embedding_near_duplicates(
 
     Pass ``dim`` (the embedding width) to keep plan construction
     action-free; if omitted it is probed with a one-row job."""
+    vectors = _indexable(vectors, vec_col)
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = _random_planes(dim, n_planes * n_bands, seed)

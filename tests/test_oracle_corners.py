@@ -54,3 +54,57 @@ def test_documents_oracles_survive_null_and_empty_text(spark, corner_sf_dir):
     doc_queries = [n for n in entry_mod.queries() if n.endswith("_documents")]
     assert len(doc_queries) >= 25
     assert main(corner_sf_dir, doc_queries) == 0
+
+
+@pytest.fixture(scope="module")
+def corner_emb_sf_dir(tmp_path_factory):
+    """sf0.001 with 4 corner embeddings appended: NULL vector, all-zero
+    vector (zero-norm cosine), exact duplicate of vec 0 (tie-break), a
+    vector with a NaN component (corrupt data)."""
+    import os
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sf_corners_emb")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            os.symlink(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/embeddings.parquet')
+          UNION ALL SELECT 500::BIGINT, NULL, 1
+          UNION ALL SELECT 501::BIGINT,
+            (SELECT list_transform(embedding, x -> 0.0::FLOAT)
+             FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 0), 2
+          UNION ALL SELECT 502::BIGINT,
+            (SELECT embedding
+             FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 0), 3
+          UNION ALL SELECT 503::BIGINT,
+            (SELECT list_transform(embedding,
+                 x -> CASE WHEN x = embedding[1] THEN 'nan'::FLOAT ELSE x END)
+             FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 1), 4
+        ) TO '{d / "embeddings.parquet"}' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_embeddings_oracles_survive_null_zero_and_nan_vectors(
+    spark, corner_emb_sf_dir
+):
+    """The ANN registry queries stay oracle-green over degenerate
+    vectors. Round-5 origin — the sweep found three REAL bugs: a NULL
+    embedding crashed IVF centroid training (ragged numpy stack), a
+    zero-norm vector killed the whole job via ANSI DIVIDE_BY_ZERO
+    inside cosine(), and a NaN-component vector ranked #1 in EVERY
+    query's top-k (NaN sorts first in a descending window in both
+    engines). Pins: NULL vectors are not indexable content; zero/NaN
+    cosines are NULL (never neighbors)."""
+    from tools.check_oracle import main
+
+    assert main(
+        corner_emb_sf_dir,
+        ["topk_cosine_embeddings", "pq_topk_embeddings",
+         "embedding_near_dup_embeddings"],
+    ) == 0

@@ -449,3 +449,53 @@ def test_prune_handles_small_batches_and_duplicate_scores(spark):
     out = _windowed_reference_topk(S._local_topk_prune(scored, 3, "vec_id"), 3)
     got = sorted((r.rank, r.vec_id) for r in out.collect())
     assert got == [(1, 0), (2, 1), (3, 2)]
+
+
+def test_degenerate_vectors_null_zero_nan(spark):
+    """The round-5 corrupt-vector pins, at the operator level:
+
+    - a NULL embedding row crashes nothing (it used to break IVF
+      training with a ragged numpy stack) and never appears in results;
+    - a zero-norm vector's cosine is NULL (a bare division would THROW
+      under ANSI mode and kill the whole job), so it is never a
+      neighbor;
+    - a NaN-component vector's cosine is NULL too (NaN would rank
+      FIRST in every query's descending top-k window otherwise)."""
+    import math
+
+    from pyspark.sql import Row
+
+    dim = 8
+    base = [
+        Row(vec_id=i, embedding=[float((i * 7 + j) % 5 - 2) for j in range(dim)])
+        for i in range(20)
+    ]
+    corner = [
+        Row(vec_id=100, embedding=None),
+        Row(vec_id=101, embedding=[0.0] * dim),
+        Row(vec_id=102, embedding=[float("nan")] + [1.0] * (dim - 1)),
+    ]
+    df = spark.createDataFrame(
+        base + corner, "vec_id long, embedding array<double>"
+    )
+    queries = df.where("vec_id in (0, 3)").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+
+    out = S.brute_force_topk(df, queries, k=25).collect()
+    ids = {r.vec_id for r in out}
+    assert not ids & {100, 101, 102}
+    assert all(r.cos_sim is not None and not math.isnan(r.cos_sim) for r in out)
+
+    # IVF training survives the NULL row; full-probe equals brute force
+    cents = S.train_ivf_centroids(df, n_cells=4, id_col="vec_id")
+    assert len(cents) == 4
+    ivf = S.ivf_topk(df, queries, k=25, n_cells=4, n_probe=4,
+                     centroids=cents).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, out))
+
+    # near-dup never pairs degenerate vectors (NaN >= threshold would
+    # be TRUE in Spark's comparison semantics without the NULL pin)
+    pairs = S.embedding_near_duplicates(df, threshold=0.2, dim=dim).collect()
+    flat = {v for r in pairs for v in (r.id_a, r.id_b)}
+    assert not flat & {100, 101, 102}
