@@ -2492,18 +2492,29 @@ def oracle_sql() -> dict[str, str]:
         "jsl_validate_events": """
             WITH p AS (
                 SELECT event_id, props,
-                       json_valid(props) AS is_json,
-                       json_extract(props, '$.k') AS kv,
-                       json_type(props, '$.k') AS kt
+                       -- COALESCE: NULL props is not JSON (engine
+                       -- verdict: parse error), and the extracts must
+                       -- hide behind the validity CASE — DuckDB's
+                       -- json_extract THROWS on malformed input even
+                       -- when json_valid is false on the same row
+                       COALESCE(json_valid(props), FALSE) AS is_json,
+                       CASE WHEN COALESCE(json_valid(props), FALSE)
+                            THEN json_extract(props, '$.k') END AS kv,
+                       CASE WHEN COALESCE(json_valid(props), FALSE)
+                            THEN json_type(props, '$.k') END AS kt
                 FROM events
             ),
             v AS (
+                -- TRY_CAST + COALESCE: AND does not short-circuit, so
+                -- a string-typed k would make the bare CAST throw; and
+                -- ok must be a real boolean (false, not NULL) for the
+                -- value compare against the engine verdict
                 SELECT event_id, props, is_json,
-                       (is_json AND kv IS NOT NULL
+                       COALESCE(is_json AND kv IS NOT NULL
                         AND kt IN ('INTEGER', 'UBIGINT', 'BIGINT', 'DOUBLE')
-                        AND CAST(kv AS DOUBLE) = FLOOR(CAST(kv AS DOUBLE))
-                        AND CAST(kv AS DOUBLE) >= 0
-                        AND CAST(kv AS DOUBLE) <= 4294967295) AS ok
+                        AND TRY_CAST(kv AS DOUBLE) = FLOOR(TRY_CAST(kv AS DOUBLE))
+                        AND TRY_CAST(kv AS DOUBLE) >= 0
+                        AND TRY_CAST(kv AS DOUBLE) <= 4294967295, FALSE) AS ok
                 FROM p
             )
             SELECT event_id,

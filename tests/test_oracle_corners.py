@@ -108,3 +108,58 @@ def test_embeddings_oracles_survive_null_zero_and_nan_vectors(
         ["topk_cosine_embeddings", "pq_topk_embeddings",
          "embedding_near_dup_embeddings"],
     ) == 0
+
+
+@pytest.fixture(scope="module")
+def corner_ev_sf_dir(tmp_path_factory):
+    """sf0.001 with 5 corner events appended: NULL value, NULL user_id,
+    NULL ts + NULL event_type + NULL props, malformed JSON props,
+    empty-string props."""
+    import os
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sf_corners_ev")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "events.parquet":
+            os.symlink(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/events.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (1000::BIGINT, TIMESTAMP '2024-01-02 03:04:05', 3::BIGINT,
+             'click', NULL::DOUBLE, '{{"k": 5}}'),
+            (1001::BIGINT, TIMESTAMP '2024-01-02 03:05:05', NULL::BIGINT,
+             'view', 42.5, '{{"k": "x"}}'),
+            (1002::BIGINT, NULL::TIMESTAMP, 7::BIGINT, NULL, 13.25, NULL),
+            (1003::BIGINT, TIMESTAMP '2024-01-03 00:00:00', 7::BIGINT,
+             'error', -5.0, '{{bad json'),
+            (1004::BIGINT, TIMESTAMP '2024-01-03 00:00:01', 7::BIGINT,
+             'signup', 0.0, '')
+          ) t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{d / "events.parquet"}' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_events_oracles_survive_null_and_malformed_rows(spark, corner_ev_sf_dir):
+    """The events-rooted registry queries stay oracle-green over NULL
+    columns and malformed/NULL JSON props. Round-5 origin: the
+    validate-events oracle crashed on malformed props (DuckDB's
+    json_extract throws even when json_valid is false on the same row —
+    no AND short-circuit) and on a string-typed k (bare CAST throws);
+    the drift/chi2/session oracles were already NULL-robust, which this
+    pins. jsl_validate_multi is excluded: its oracle deliberately
+    states route verdicts as constants derived from the fixture's
+    k-in-[0,99] invariant (documented in the query docstring), so it is
+    gated on the shipped testdata, not on arbitrary corpora."""
+    from tools.check_oracle import main
+
+    assert main(
+        corner_ev_sf_dir,
+        ["jsl_validate_events", "ks_events_value", "drift_report_events",
+         "chi2_events_daily", "session_stats_events"],
+    ) == 0
