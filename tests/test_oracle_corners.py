@@ -163,3 +163,74 @@ def test_events_oracles_survive_null_and_malformed_rows(spark, corner_ev_sf_dir)
         ["jsl_validate_events", "ks_events_value", "drift_report_events",
          "chi2_events_daily", "session_stats_events"],
     ) == 0
+
+
+@pytest.fixture(scope="module")
+def corner_tpch_sf_dir(tmp_path_factory):
+    """sf0.001 with corner rows in lineitem (all-NULL measures/flags,
+    zero and negative measures, NULL part/supp keys, duplicate
+    (orderkey, linenumber)) and orders (all-NULL attributes, dangling
+    custkey, phantom priority)."""
+    import os
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sf_corners_tpch")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f not in ("lineitem.parquet",
+                                                "orders.parquet"):
+            os.symlink(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/lineitem.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (9000::BIGINT, 1::BIGINT, 1::BIGINT, 1, NULL::DOUBLE,
+             NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL, NULL,
+             NULL::TIMESTAMP),
+            (9001::BIGINT, NULL::BIGINT, 2::BIGINT, 2, 0.0, 0.0, 0.0,
+             0.0, 'Z', 'Z', TIMESTAMP '1999-12-31 23:59:59'),
+            (9001::BIGINT, 3::BIGINT, NULL::BIGINT, 2, -7.5, -1.0, 1.5,
+             0.0, 'Z', 'Z', TIMESTAMP '1999-12-31 23:59:59')
+          ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+              l_extendedprice, l_discount, l_tax, l_returnflag,
+              l_linestatus, l_shipdate)
+        ) TO '{d / "lineitem.parquet"}' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{src}/orders.parquet')
+          UNION ALL
+          SELECT * FROM (VALUES
+            (90000::BIGINT, NULL::BIGINT, NULL, NULL::DOUBLE,
+             NULL::TIMESTAMP, NULL),
+            (90001::BIGINT, 999999::BIGINT, 'X', 0.0,
+             TIMESTAMP '1990-01-01', '9-PHANTOM')
+          ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              o_orderdate, o_orderpriority)
+        ) TO '{d / "orders.parquet"}' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+def test_table_check_oracles_survive_null_rows(spark, corner_tpch_sf_dir):
+    """The stats/uniqueness/RI/quantile/top-k layer was built NULL-safe
+    from the start (explicit n_null metrics, count-vs-count_distinct
+    discipline) — this pins that no query/oracle pair regresses into a
+    NULL-fragile formulation. All 12 pairs were green on first sweep in
+    round 5 (unlike the documents and embeddings layers)."""
+    from tools.check_oracle import main
+
+    assert main(
+        corner_tpch_sf_dir,
+        ["col_stats_lineitem", "col_stats_orders_str",
+         "grouped_stats_lineitem", "dup_keys_orders_per_order",
+         "uniqueness_lineitem", "ri_orders_customer",
+         "skew_counts_lineitem", "quantiles_lineitem",
+         "quantiles_lineitem_approx", "top_orders_per_priority",
+         "top_customers"],
+    ) == 0
