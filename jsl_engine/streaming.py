@@ -298,6 +298,10 @@ def near_dup_stream(
     from jsl_engine.text_ops import band_rows
     from jsl_engine.text_ops_arrow import minhash_signatures_arrow
 
+    # NULL-text docs never reach the state store: the signature kernel
+    # emits no row for them (the batch near-dup contract's NULL
+    # exclusion, pinned at the kernel — critical here because the
+    # stream has no exact-verify tail to drop sentinel collisions)
     sigs = minhash_signatures_arrow(stream, text_col, id_col, num_hashes, shingle_n)
     banded = band_rows(sigs, id_col, bands, num_hashes)
 

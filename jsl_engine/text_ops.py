@@ -146,8 +146,11 @@ def minhash_signatures(
     :func:`_winnow_flat`, where the same defense did NOT hold and the
     shapes had to change — when touching any of these, re-measure; the
     collapse behavior is formulation-specific.
+
+    NULL-text docs emit NO signature row (see the Arrow twin's
+    docstring for the full rationale — parity-pinned).
     """
-    base = df.select(
+    base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.transform(shingles(F.col(text_col), shingle_n), lambda x: F.xxhash64(x)).alias(
             "__sh_hashes"
@@ -419,7 +422,11 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     alternative measured worse). Bit packing XOR-folds literal masks
     (bit 63 is the sign bit, hence the negative literal in
     ``_BIT_MASKS``); mask arithmetic is bitwise, so nothing overflows
-    under ANSI mode."""
+    under ANSI mode.
+
+    NULL-text docs emit NO simhash row (see the Arrow twin's docstring
+    — the arms used to diverge on them; parity-pinned)."""
+    df = df.where(F.col(text_col).isNotNull())
     masks = F.array(*[F.lit(m).cast("bigint") for m in _BIT_MASKS])
     sh_expr = F.transform(shingles(F.col(text_col), shingle_n), lambda x: F.xxhash64(x))
     counts = F.aggregate(
@@ -1330,7 +1337,11 @@ def _winnow_flat(
     collapse: ``posexplode`` evaluates the k-gram hashing exactly once per
     document (generators evaluate their input per input row), and the
     sliding minimum is a plain window frame over (doc, pos) — the same
-    shuffle key the downstream fingerprint join needs anyway."""
+    shuffle key the downstream fingerprint join needs anyway.
+
+    NULL-text docs emit NO fingerprint rows (kernel-level near-dup
+    exclusion; parity with winnow_flat_arrow)."""
+    df = df.where(F.col(text_col).isNotNull())
     kh_rows = df.select(
         F.col(id_col),
         F.posexplode(

@@ -119,11 +119,19 @@ def minhash_signatures_arrow(
     vectorized ``splitmix64(shingles ⊕ seeds).min(axis=0)`` per document.
     Output shape matches :func:`jsl_engine.text_ops.minhash_signatures`,
     so LSH banding and verification compose unchanged.
+
+    NULL-text docs emit NO signature row (pinned with the JVM twin):
+    they have no shingles, so they can never satisfy the near-dup
+    contract — and without the exclusion their sentinel signatures
+    collide in every band, flooding candidate buckets (and, on the
+    streaming surface which has no exact-verify tail, emitting false
+    est_jaccard=1.0 pairs). The EMPTY doc keeps its empty-word-shingle
+    signature.
     """
     spark = df.sparkSession
     seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
     bc = spark.sparkContext.broadcast(seeds)
-    pruned = df.select(id_col, text_col)
+    pruned = df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
     if balance:
         pruned = fan_out(pruned)
     out_schema = StructType(
@@ -169,8 +177,14 @@ def simhash_arrow(
     Per document: unpack the shingle hashes to a (shingles × 64) sign
     matrix with one broadcasted shift-and-mask, column-sum, pack the sign
     bits. Output shape matches :func:`jsl_engine.text_ops.simhash`.
+
+    NULL-text docs emit NO simhash row (pinned with the JVM twin): the
+    two arms used to DIVERGE on them — this kernel's ``t or ""`` gave
+    NULL the empty doc's simhash while the JVM expression tree gave it
+    all-negative bit counts — and a Hamming-0 "near-dup" of a NULL doc
+    contradicts the near-dup contract anyway (exact-dup territory).
     """
-    pruned = df.select(id_col, text_col)
+    pruned = df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
     if balance:
         pruned = fan_out(pruned)
     out_schema = StructType(
@@ -214,8 +228,11 @@ def winnow_flat_arrow(
     per document. Compared to the JVM path
     (:func:`jsl_engine.text_ops._winnow_flat`) this removes the whole
     per-document window shuffle — the only remaining shuffle in an
-    overlap-detection pipeline is the fingerprint equi-join itself."""
-    pruned = df.select(id_col, text_col)
+    overlap-detection pipeline is the fingerprint equi-join itself.
+
+    NULL-text docs emit NO fingerprint rows (same pin as the minhash
+    and simhash kernels; parity with the JVM arm)."""
+    pruned = df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
     if balance:
         pruned = fan_out(pruned)
     out_schema = StructType(

@@ -378,9 +378,15 @@ def test_near_dup_stream_matches_batch(spark, tmp_path):
         words = " ".join(f"tok{(i * 7 + j) % 19}x{j}" for j in range(80))
         return words if variant == 0 else words.replace("tok", "CHANGED", 1) + " tail"
 
-    # batch A: 30 base docs; batch B: 30 near-dup variants (pair i <-> 100+i)
+    # batch A: 30 base docs; batch B: 30 near-dup variants (pair i <-> 100+i).
+    # One NULL doc in each arrival: NULL docs emit no signature (kernel
+    # pin), so neither surface may pair them — without the pin their
+    # sentinel signatures collide in every band and the STREAM (which has
+    # no exact-verify tail) would emit a false est_jaccard=1.0 pair.
     a_rows = [Row(doc_id=i, text=doc(i)) for i in range(30)]
+    a_rows.append(Row(doc_id=900, text=None))
     b_rows = [Row(doc_id=100 + i, text=doc(i, variant=1)) for i in range(30)]
+    b_rows.append(Row(doc_id=901, text=None))
     landing = str(tmp_path / "nd_landing")
     out_dir = str(tmp_path / "nd_out")
     ckpt = str(tmp_path / "nd_ckpt")
@@ -414,6 +420,7 @@ def test_near_dup_stream_matches_batch(spark, tmp_path):
             for r in minhash_near_duplicates_arrow(batch_df, threshold=0.5).collect()}
     assert want, "fixture must plant real near-dups"
     assert got == want
+    assert not {900, 901} & {v for p in got for v in p}
 
 
 def test_near_dup_stream_bucket_saturation(spark, tmp_path):
