@@ -1762,8 +1762,11 @@ def _pq_topk_oracle_sql() -> str:
                                 embedding::DOUBLE[], embedding::DOUBLE[])), 1e-12)
                    ) AS nv
             FROM embeddings
-            -- NULL embeddings are not indexable (similarity._indexable)
+            -- quantized-index surfaces exclude NULL AND non-finite
+            -- vectors (similarity._finite): a NaN row would poison the
+            -- codes with arbitrary argmax picks on both engines
             WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
         ),
         q AS (
             SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id IN (0, 1, 2)
@@ -2463,11 +2466,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
                 WHERE e.embedding IS NOT NULL
             ),
-            -- NULL scores never rank (engine _ranked_topk pin): a
-            -- degenerate vector must not pad the top-k tail
+            -- NULL/NaN scores never rank (engine pin: cosine maps both
+            -- degenerate cases to NULL and _ranked_topk filters them) —
+            -- after this WHERE, raw is always a plain finite double
             s AS (
-                SELECT query_id, vec_id,
-                       ROUND(CASE WHEN isnan(raw) THEN NULL ELSE raw END, 6) AS cos_sim
+                SELECT query_id, vec_id, ROUND(raw, 6) AS cos_sim
                 FROM s0
                 WHERE NOT isnan(raw) AND raw IS NOT NULL
             ),

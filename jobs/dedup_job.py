@@ -47,6 +47,7 @@ from jsl_engine.partitioning import get_spark
 from jsl_engine.text_ops import (
     connected_components,
     connected_components_star,
+    content_hash_expr,
     dedup_exact,
 )
 from jsl_engine.text_ops_arrow import (
@@ -100,9 +101,13 @@ def _write_state(spark, retained_docs, state_dir: Path, sigs=None) -> None:
         from jsl_engine.text_ops_arrow import minhash_signatures_arrow
 
         sigs = minhash_signatures_arrow(retained_docs)
+    # content_hash_expr (NULL-sentinel sha) + LEFT join: a NULL-text
+    # retained doc emits no signature row (kernel-level near-dup
+    # exclusion) but MUST keep a state row, or the cross-batch exact
+    # check would silently re-admit NULL docs forever
     rows = retained_docs.select(
-        "doc_id", F.sha2("text", 256).alias("sha256")
-    ).join(sigs, "doc_id")
+        "doc_id", content_hash_expr().alias("sha256")
+    ).join(sigs, "doc_id", "left")
     _replace_state(rows, state_dir)
 
 
@@ -126,7 +131,7 @@ def _incremental(spark, docs, docs_in, args, out_dir, state_dir: Path, t0) -> in
     survivors = dedup_exact(docs).localCheckpoint()
     n_after_exact = survivors.count()
     survivors = (
-        survivors.withColumn("__sha", F.sha2("text", 256))
+        survivors.withColumn("__sha", content_hash_expr())
         .join(state.select(F.col("sha256").alias("__sha")), "__sha", "left_anti")
         .drop("__sha")
         .localCheckpoint()
@@ -182,8 +187,8 @@ def _incremental(spark, docs, docs_in, args, out_dir, state_dir: Path, t0) -> in
 
     # state += retained new docs (old rows pass through unchanged)
     new_rows = retained_new.select(
-        "doc_id", F.sha2("text", 256).alias("sha256")
-    ).join(new_sigs, "doc_id")
+        "doc_id", content_hash_expr().alias("sha256")
+    ).join(new_sigs, "doc_id", "left")
     merged = state.select("doc_id", "sha256", "sig").unionByName(new_rows)
     _replace_state(merged, state_dir)
 

@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jsl_engine.partitioning import fan_out
-from jsl_engine.similarity import _indexable
+from jsl_engine.similarity import _finite
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -191,7 +191,7 @@ def pq_encode(
     bc = spark.sparkContext.broadcast(codebooks)
     # NULL embeddings are not encodable (similarity._indexable pin) —
     # one NULL row would crash the batch matrix stack
-    pruned = _indexable(vectors, vec_col).select(id_col, vec_col)
+    pruned = _finite(vectors, vec_col).select(id_col, vec_col)
     if balance:
         pruned = fan_out(pruned)
     out_schema = StructType(
@@ -263,8 +263,8 @@ def pq_topk(
             "normalize=True with refine, or refine=0 for pure ADC"
         )
     spark = vectors.sparkSession
-    vectors = _indexable(vectors, vec_col)
-    q_rows = _indexable(queries, vec_col).select(query_id_col, vec_col).collect()
+    vectors = _finite(vectors, vec_col)
+    q_rows = _finite(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("queries DataFrame is empty")
     _check_int_query_ids([r[0] for r in q_rows])
@@ -401,8 +401,8 @@ def ivfpq_topk(
     from jsl_engine.similarity import train_ivf_centroids
 
     spark = vectors.sparkSession
-    vectors = _indexable(vectors, vec_col)
-    q_rows = _indexable(queries, vec_col).select(query_id_col, vec_col).collect()
+    vectors = _finite(vectors, vec_col)
+    q_rows = _finite(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
         raise ValueError("queries DataFrame is empty")
     _check_int_query_ids([r[0] for r in q_rows])
@@ -556,7 +556,7 @@ def train_pq_codebooks(
     driver, constant in table size; the distributed trainer below is the
     whole-corpus path."""
     rows = (
-        _indexable(vectors, vec_col)
+        _finite(vectors, vec_col)
         .select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
         .select(vec_col).collect()
     )
@@ -595,7 +595,7 @@ def train_residual_pq_codebooks(
     than the vectors themselves, so the same ``k_codes`` budget resolves
     much finer structure (pinned by the distortion test)."""
     rows = (
-        _indexable(vectors, vec_col)
+        _finite(vectors, vec_col)
         .select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
         .select(vec_col).collect()
     )
@@ -641,7 +641,7 @@ def train_pq_codebooks_distributed(
     # input-conditioning shuffle would multiply its per-pass task count
     # (and scheduling floor) by iterations at small scale; at real scale
     # the source already splits wide and fan_out would be a no-op anyway.
-    base = _indexable(vectors, vec_col).select(id_col, vec_col).cache()
+    base = _finite(vectors, vec_col).select(id_col, vec_col).cache()
     base.count()  # eager: every iteration re-reads the projection
 
     init_rows = (

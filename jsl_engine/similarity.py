@@ -180,6 +180,26 @@ def _indexable(df: DataFrame, vec_col: str) -> DataFrame:
     return df.where(F.col(vec_col).isNotNull())
 
 
+def _finite(df: DataFrame, vec_col: str) -> DataFrame:
+    """:func:`_indexable` plus: every component finite. Required wherever
+    a vector feeds a TRAINED MODEL or a quantized index: one NaN row in
+    a Lloyd training sample propagates into a NaN centroid and argmax
+    then assigns EVERY vector to it (verified numerically — the whole
+    IVF index collapses into one cell; a NaN row in a PQ codebook makes
+    every corpus vector encode to identical codes). A NaN vector's ADC
+    scores against a clean codebook would also be arbitrary-but-finite,
+    faking similarity the exact arms correctly refuse (their cosine is
+    NULL) — so the quantized encode path excludes them too, and the
+    DuckDB pq oracle mirrors the filter. The exact-scan paths keep NaN
+    vectors: their scores are NULL by the cosine pin and never rank."""
+    return _indexable(df, vec_col).where(
+        ~F.exists(
+            F.col(vec_col),
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -334,7 +354,7 @@ def train_ivf_centroids(
 
     import numpy as np
 
-    vectors = _indexable(vectors, vec_col)
+    vectors = _finite(vectors, vec_col)
     if id_col is not None:
         sample = vectors.select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
         rows = sample.select(vec_col).collect()
@@ -391,7 +411,7 @@ def train_ivf_centroids_distributed(
 
     import numpy as np
 
-    vectors = _indexable(vectors, vec_col)
+    vectors = _finite(vectors, vec_col)
     dim_probe = vectors.select(vec_col).first()
     dim = len(dim_probe[0])
     norm = F.sqrt(

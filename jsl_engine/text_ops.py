@@ -92,7 +92,7 @@ def exact_duplicates(
     manifest pattern) when that exceeds cluster cache capacity.
     """
     h = df.select(
-        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
+        F.col(id_col), content_hash_expr(text_col).alias("content_hash")
     )
     if cache:
         h = h.cache()
@@ -110,9 +110,26 @@ def exact_duplicates(
     )
 
 
+def content_hash_expr(text_col: str = "text"):
+    """The exact-dup identity: sha256 with NULL text mapped to a
+    sentinel group key. A bare ``sha2`` would give NULL docs a NULL
+    hash, and a NULL key never matches itself in a join or anti-join —
+    NULL-text docs would neither group nor survive
+    :func:`dedup_exact`, and the dedup job's retained-state sha check
+    would silently re-admit them across batches. The sentinel is not
+    valid hex, so it cannot collide with a real digest. Shared by
+    :func:`exact_duplicates`, :func:`dedup_exact` and
+    ``jobs/dedup_job.py``'s state rows — the identity MUST be the same
+    expression everywhere or cross-batch exact checks drift."""
+    return F.coalesce(F.sha2(F.col(text_col), 256), F.lit("__null__"))
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min id) per identical text."""
-    h = df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+    """Keep one representative (min id) per identical text. NULL-text
+    docs are one group via :func:`content_hash_expr`'s sentinel (a bare
+    sha2 join key would silently DELETE every NULL doc), so exactly one
+    NULL doc survives, like any other dup group."""
+    h = df.withColumn("content_hash", content_hash_expr(text_col))
     keep = h.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
     return h.join(keep, ["content_hash", id_col]).drop("content_hash")
 
@@ -2150,8 +2167,12 @@ def incremental_near_dup_pairs(
     dominates the join exactly as the corpus does there, and the
     at-least-one-new predicate prunes the quadratic retained×retained
     bulk before the shuffle output materializes."""
-    su = state_sigs.select(id_col, "sig")
-    nu = new_sigs.select(id_col, "sig")
+    # sig IS NOT NULL: the retained-state store carries signature-less
+    # rows for NULL-text docs (exact-dup identity only) — banding a
+    # NULL sig would hash every one into the same xxhash64(NULL)
+    # buckets (xxhash64 of NULL is the seed hash, not NULL)
+    su = state_sigs.select(id_col, "sig").where(F.col("sig").isNotNull())
+    nu = new_sigs.select(id_col, "sig").where(F.col("sig").isNotNull())
     allsigs = su.unionByName(nu)
     # band each side separately so the is_new flag rides the banded rows
     # as a literal (map-side; no id-keyed rejoin to recover it)

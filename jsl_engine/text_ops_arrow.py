@@ -151,7 +151,7 @@ def minhash_signatures_arrow(
             texts = batch.column(1).to_pylist()
             sigs = np.empty((n, width), dtype=np.uint64)
             for i, t in enumerate(texts):
-                base = _shingle_hashes(t or "", shingle_n)
+                base = _shingle_hashes(t, shingle_n)
                 sigs[i] = _splitmix64(base[:, None] ^ s[None, :]).min(axis=0)
             values = pa.array(sigs.reshape(-1).view(np.int64), pa.int64())
             offsets = pa.array(
@@ -200,7 +200,7 @@ def simhash_arrow(
             texts = batch.column(1).to_pylist()
             out = np.empty(n, dtype=np.uint64)
             for i, t in enumerate(texts):
-                base = _shingle_hashes(t or "", shingle_n)
+                base = _shingle_hashes(t, shingle_n)
                 mixed = _splitmix64(base)
                 bits = (mixed[:, None] >> bit_idx[None, :]) & np.uint64(1)
                 counts = bits.sum(axis=0, dtype=np.int64) * 2 - len(mixed)
@@ -250,7 +250,7 @@ def winnow_flat_arrow(
             out_ids: list[np.ndarray] = []
             out_fps: list[np.ndarray] = []
             for i, t in enumerate(texts):
-                h = _splitmix64(_shingle_hashes(t or "", k))
+                h = _splitmix64(_shingle_hashes(t, k))
                 if len(h) >= window:
                     fps = np.unique(swv(h, window).min(axis=1))
                 else:

@@ -499,3 +499,45 @@ def test_degenerate_vectors_null_zero_nan(spark):
     pairs = S.embedding_near_duplicates(df, threshold=0.2, dim=dim).collect()
     flat = {v for r in pairs for v in (r.id_a, r.id_b)}
     assert not flat & {100, 101, 102}
+
+
+def test_nan_vector_cannot_poison_training(spark):
+    """One NaN-component vector among the smallest ids (= inside every
+    deterministic training sample) must not reach the trainers: an
+    unmasked NaN row becomes a NaN centroid and argmax then assigns
+    EVERY vector to it — the whole IVF index collapses into one cell;
+    a NaN row in a PQ codebook makes every vector encode to identical
+    codes (round-5 review regression, verified numerically)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(60, 16))
+    rows = [Row(vec_id=i + 10, embedding=[float(x) for x in v])
+            for i, v in enumerate(vecs)]
+    rows.append(Row(vec_id=0, embedding=[float("nan")] + [1.0] * 15))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = S.train_ivf_centroids(df, n_cells=4, id_col="vec_id")
+    assert all(math.isfinite(x) for row in cents for x in row)
+    cents_d = S.train_ivf_centroids_distributed(df, n_cells=4, id_col="vec_id")
+    assert all(math.isfinite(x) for row in cents_d for x in row)
+    # the index is not collapsed: every cell keeps a finite centroid and
+    # assignment spreads across >1 cell
+    from jsl_engine.similarity import assign_cells_arrow
+
+    assigned = assign_cells_arrow(
+        df.where("vec_id > 0").select("vec_id", "embedding"), cents, n_probe=1
+    )
+    n_cells_used = assigned.select("cell").distinct().count()
+    assert n_cells_used > 1
+
+    from jsl_engine import pq as P
+
+    cb = P.train_pq_codebooks(df, m_sub=4, k_codes=4, id_col="vec_id")
+    assert np.isfinite(cb).all()
+    cb_d = P.train_pq_codebooks_distributed(df, m_sub=4, k_codes=4,
+                                            id_col="vec_id")
+    assert np.isfinite(cb_d).all()

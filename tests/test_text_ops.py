@@ -1407,13 +1407,17 @@ def test_dedup_job_incremental_state(spark, tmp_path):
     b1 += [Row(doc_id=100, text=base_a),
            Row(doc_id=101, text=base_a + " tail bit")]   # 101 near-dups 100 -> dropped
     b1 += [Row(doc_id=102, text=base_b)]
+    # NULL pair: exact-dup territory via the sentinel hash — 150 is the
+    # retained representative, 151 collapses (a bare sha2 key would have
+    # silently DELETED both; round-5 review regression)
+    b1 += [Row(doc_id=150, text=None), Row(doc_id=151, text=None)]
     src1 = str(tmp_path / "b1")
     spark.createDataFrame(b1).repartition(2).write.parquet(src1)
     state = str(tmp_path / "state")
 
     rep1 = run(src1, state)
     assert rep1.get("mode") is None               # full run
-    assert rep1["docs_out"] == 12                 # 101 collapsed into 100
+    assert rep1["docs_out"] == 13                 # 101 -> 100, 151 -> 150
 
     b2 = [Row(doc_id=200, text=base_a)]                       # exact dup of retained 100
     b2 += [Row(doc_id=201, text=base_a + " slight change")]   # near dup of retained 100
@@ -1422,21 +1426,25 @@ def test_dedup_job_incremental_state(spark, tmp_path):
            Row(doc_id=211, text=f"brand new content {filler} extra")]  # internal near pair
     b2 += [Row(doc_id=220, text="totally fresh " + " ".join(
         f"x{j}y{j}" for j in range(60)))]
+    b2 += [Row(doc_id=250, text=None)]   # exact dup of retained NULL 150
     src2 = str(tmp_path / "b2")
     spark.createDataFrame(b2).repartition(2).write.parquet(src2)
 
     rep2 = run(src2, state)
     assert rep2["mode"] == "incremental"
-    assert rep2["state_in"] == 12
-    assert rep2["exact_cross_dropped"] == 1       # 200
+    assert rep2["state_in"] == 13
+    assert rep2["exact_cross_dropped"] == 2       # 200, 250 (NULL vs NULL)
     assert rep2["near_state_dropped"] == 2        # 201, 202
     assert rep2["near_batch_dropped"] == 1        # 211 collapses into 210
     assert rep2["docs_out"] == 2                  # 210, 220
-    assert rep2["retained_total"] == 14
+    assert rep2["retained_total"] == 15
 
     st = spark.read.parquet(f"{state}/retained")
     ids = {r.doc_id for r in st.select("doc_id").collect()}
-    assert ids == ({i for i in range(10)} | {100, 102, 210, 220})
+    assert ids == ({i for i in range(10)} | {100, 102, 150, 210, 220})
+    # the NULL doc's state row exists with the sentinel sha and no sig
+    [null_row] = st.where("doc_id = 150").collect()
+    assert null_row.sha256 == "__null__" and null_row.sig is None
 
 
 def test_frequent_lines_counts_distinct_docs_not_rows(spark):
@@ -1862,3 +1870,18 @@ def test_verified_jaccard_pairs_exclude_null_docs(spark):
     )
     out = T.verified_jaccard_pairs(docs, pairs, threshold=0.0).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(3, 4)}
+
+
+def test_dedup_exact_keeps_one_null_representative(spark):
+    """NULL-text docs form ONE exact-dup group (sentinel hash): the min
+    id survives, the rest collapse — a bare sha2 join key silently
+    deleted every NULL doc (round-5 review regression)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a"), (4, "a"), (5, "b")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in T.dedup_exact(df).collect())
+    assert kept == [1, 3, 5]
+    groups = {r.content_hash: (r.n_docs, list(r.doc_ids))
+              for r in T.exact_duplicates(df).collect()}
+    assert groups["__null__"] == (2, [1, 2])
