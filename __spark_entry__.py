@@ -1011,8 +1011,13 @@ def q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_jsl_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSL validation verdicts over events.props (not SQL-expressible —
-    rows-only check; correctness is gated by the spec corpus in pytest)."""
+    """JSL validation verdicts over events.props. Fully oracled: the
+    EVENTS_PROPS_SCHEMA (uint32 k) is simple enough to restate as
+    json_extract/TRY_CAST checks in DuckDB — NULL and malformed props
+    take the json_parse_error path on both sides (hardened in round 5:
+    DuckDB's json_extract throws on malformed input unless hidden
+    behind the validity CASE). The general kernel stays gated by the
+    spec corpus in pytest."""
     from jsl_engine.partitioning import fan_out
 
     events = fan_out(_t(spark, sf_dir, "events"))
