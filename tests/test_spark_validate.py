@@ -629,3 +629,39 @@ def test_validation_job_schemas_and_curate_compose(spark, tmp_path):
     assert {"python", "rust", "go", "java", "c"} <= {
         r for r in routes if r is not None
     }
+
+
+def test_validate_multi_null_route(spark):
+    """A NULL route value is just an unmapped route: it takes the
+    default schema when one is given, else ok=false /
+    error='no_schema' — it must never crash the dispatch kernel or
+    vanish from the output (one verdict row per input row, always)."""
+    from pyspark.sql import functions as F
+
+    from jsl_engine.schema import compile_schema
+    from jsl_engine.spark_validate import validate_multi
+
+    df = spark.createDataFrame(
+        [("r", "a", "c", "py", '{"k": 1}'),
+         ("r", "b", "c", None, '{"k": 2}'),
+         ("r", "d", "c", None, '{"k": -1}')],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    schemas = {"py": compile_schema({"properties": {"k": {"type": "uint8"}}})}
+
+    out = {r.path: r for r in validate_multi(
+        df, schemas, route_col="lang", key_cols=("repo", "path", "commit"),
+    ).collect()}
+    assert len(out) == 3
+    assert out["a"].ok is True
+    assert out["b"].ok is False and out["b"].error == "no_schema"
+    assert out["d"].error == "no_schema"
+
+    default = compile_schema({"properties": {"k": {"type": "uint32"}}})
+    out2 = {r.path: r for r in validate_multi(
+        df, schemas, route_col="lang", key_cols=("repo", "path", "commit"),
+        default=default,
+    ).collect()}
+    assert out2["b"].ok is True and out2["b"].error is None
+    assert out2["d"].ok is False and out2["d"].n_errors == 1  # -1 < uint32
+    assert out2["b"].schema_key is None  # NULL route surfaces as NULL key
