@@ -347,11 +347,17 @@ def q_repetition_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def q_exact_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup groups on sha256(text): hash, group size, representative
-    (min doc_id). Array-free projection for engine-portable comparison."""
+    """Exact dedup groups on the shared exact-dup identity
+    (:func:`jsl_engine.text_ops.content_hash_expr` — sha256 with NULL
+    text mapped to a sentinel group key, the SAME expression
+    exact_duplicates/dedup_exact and the dedup job's state rows use, so
+    hashes from this report join against theirs): hash, group size,
+    representative (min doc_id)."""
+    from jsl_engine.text_ops import content_hash_expr
+
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        docs.select(content_hash_expr("text").alias("content_hash"), "doc_id")
         .groupBy("content_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
         .where(F.col("n_docs") > 1)
@@ -1769,9 +1775,14 @@ def _pq_topk_oracle_sql() -> str:
             FROM embeddings
             -- quantized-index surfaces exclude NULL AND non-finite
             -- vectors (similarity._finite): a NaN row would poison the
-            -- codes with arbitrary argmax picks on both engines
+            -- codes with arbitrary argmax picks on both engines. The
+            -- x IS NULL arm is load-bearing: list_filter SKIPS
+            -- NULL-predicate elements, so without it a vector with a
+            -- NULL component would pass this filter while the engine
+            -- drops it
             WHERE embedding IS NOT NULL
-              AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
+              AND len(list_filter(embedding,
+                    x -> x IS NULL OR NOT isfinite(x))) = 0
         ),
         q AS (
             SELECT vec_id AS query_id, nv AS qv FROM v WHERE vec_id IN (0, 1, 2)
@@ -1826,8 +1837,13 @@ def _embedding_near_dup_oracle_sql() -> str:
         )
     banded = "\n              UNION ALL ".join(band_selects)
     return f"""
+        -- NULL-component filter: DuckDB's list_dot_product THROWS on
+        -- NULL elements; the engine's exact verify scores such vectors
+        -- NULL and never pairs them, so pre-filtering is
+        -- output-equivalent
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-                   WHERE embedding IS NOT NULL),
+                   WHERE embedding IS NOT NULL
+                     AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         b AS ({banded}),
         g AS (SELECT * FROM b
               QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 1024),
@@ -2448,11 +2464,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # simhash_near_dup_documents: rows-only — xxhash64 bit patterns
         # have no DuckDB analogue; pytest gates recall + exact verify.
+        # COALESCE mirrors content_hash_expr's NULL sentinel (the one
+        # exact-dup identity shared with dedup_exact and the dedup
+        # job's state rows)
         "exact_dup_documents": """
-            SELECT sha256(text) AS content_hash,
+            SELECT COALESCE(sha256(text), '__null__') AS content_hash,
                    COUNT(*)::BIGINT AS n_docs,
                    MIN(doc_id)::BIGINT AS keep_id
-            FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
         """,
         "topk_cosine_embeddings": """
             WITH q AS (
@@ -2469,7 +2488,13 @@ def oracle_sql() -> dict[str, str]:
                        / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                           * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) AS raw
                 FROM embeddings e CROSS JOIN q
+                -- NULL-component vectors are filtered BEFORE the dot:
+                -- DuckDB's list_dot_product THROWS on NULL elements,
+                -- while the engine scores them NULL (zip_with
+                -- propagates) and never ranks them — so pre-filtering
+                -- is output-equivalent and keeps the oracle total
                 WHERE e.embedding IS NOT NULL
+                  AND len(list_filter(e.embedding, x -> x IS NULL)) = 0
             ),
             -- NULL/NaN scores never rank (engine pin: cosine maps both
             -- degenerate cases to NULL and _ranked_topk filters them) —

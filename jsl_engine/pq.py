@@ -189,8 +189,10 @@ def pq_encode(
     a no-op regardless. Opt in for a mid-sized single-file input."""
     spark = vectors.sparkSession
     bc = spark.sparkContext.broadcast(codebooks)
-    # NULL embeddings are not encodable (similarity._indexable pin) —
-    # one NULL row would crash the batch matrix stack
+    # NULL and non-finite embeddings are not encodable
+    # (similarity._finite pin): a NULL row crashes the batch matrix
+    # stack, and a NaN/Inf row's codes are arbitrary argmax picks whose
+    # ADC scores would fake finite similarity
     pruned = _finite(vectors, vec_col).select(id_col, vec_col)
     if balance:
         pruned = fan_out(pruned)
@@ -266,7 +268,15 @@ def pq_topk(
     vectors = _finite(vectors, vec_col)
     q_rows = _finite(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
-        raise ValueError("queries DataFrame is empty")
+        # distinguish a truly empty input from an all-degenerate one: a
+        # NULL/NaN/Inf query is excluded (similarity._finite) and simply
+        # returns no rows for its id — same fewer-than-k contract as
+        # _ranked_topk — but ZERO usable queries is a caller error
+        raise ValueError(
+            "no usable query vectors: the queries DataFrame is empty or "
+            "every query embedding is NULL/NaN/Inf (degenerate vectors "
+            "are excluded from quantized scoring)"
+        )
     _check_int_query_ids([r[0] for r in q_rows])
     qx = np.array([r[1] for r in q_rows], dtype=np.float64)
     if normalize:
@@ -404,7 +414,15 @@ def ivfpq_topk(
     vectors = _finite(vectors, vec_col)
     q_rows = _finite(queries, vec_col).select(query_id_col, vec_col).collect()
     if not q_rows:
-        raise ValueError("queries DataFrame is empty")
+        # distinguish a truly empty input from an all-degenerate one: a
+        # NULL/NaN/Inf query is excluded (similarity._finite) and simply
+        # returns no rows for its id — same fewer-than-k contract as
+        # _ranked_topk — but ZERO usable queries is a caller error
+        raise ValueError(
+            "no usable query vectors: the queries DataFrame is empty or "
+            "every query embedding is NULL/NaN/Inf (degenerate vectors "
+            "are excluded from quantized scoring)"
+        )
     _check_int_query_ids([r[0] for r in q_rows])
     qx = _normalize_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
     dim = qx.shape[1]

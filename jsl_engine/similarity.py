@@ -172,11 +172,14 @@ def _indexable(df: DataFrame, vec_col: str) -> DataFrame:
     a single NULL row otherwise CRASHES the numpy stacking in the
     driver/Arrow kernels (ragged object array) or leaks
     never-comparable NULL scores into the ranking windows, with
-    engine-dependent placement. Zero vectors and NaN components are
-    kept — they are well-formed arrays and follow IEEE/ordering
-    semantics (NaN ranks first in a descending window, identically in
-    Spark and DuckDB). Mirrored by the oracle SQL (`WHERE <vec> IS NOT
-    NULL`) and pinned in tests/test_similarity.py."""
+    engine-dependent placement. Zero vectors and NaN/NULL components
+    are kept HERE (well-formed arrays; the exact-scan paths handle
+    them downstream: :func:`cosine` maps their scores to NULL and
+    :func:`_ranked_topk` never ranks NULL — so they are never
+    neighbors), while trained-model and quantized-index surfaces
+    additionally exclude them via :func:`_finite`. Mirrored by the
+    oracle SQL (`WHERE <vec> IS NOT NULL`) and pinned in
+    tests/test_similarity.py."""
     return df.where(F.col(vec_col).isNotNull())
 
 
@@ -191,11 +194,20 @@ def _finite(df: DataFrame, vec_col: str) -> DataFrame:
     faking similarity the exact arms correctly refuse (their cosine is
     NULL) — so the quantized encode path excludes them too, and the
     DuckDB pq oracle mirrors the filter. The exact-scan paths keep NaN
-    vectors: their scores are NULL by the cosine pin and never rank."""
+    vectors: their scores are NULL by the cosine pin and never rank.
+
+    The NULL-COMPONENT predicate is explicit (``x IS NULL`` in the
+    lambda): without it the exclusion would ride on Spark's
+    three-valued exists() (a NULL predicate result makes exists NULL,
+    which WHERE drops) — correct by accident, and NOT what DuckDB's
+    ``list_filter`` does (it silently SKIPS NULL lambda results, so an
+    implicit oracle filter would keep the row the engine drops)."""
     return _indexable(df, vec_col).where(
         ~F.exists(
             F.col(vec_col),
-            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
         )
     )
 

@@ -58,9 +58,12 @@ def test_documents_oracles_survive_null_and_empty_text(spark, corner_sf_dir):
 
 @pytest.fixture(scope="module")
 def corner_emb_sf_dir(tmp_path_factory):
-    """sf0.001 with 4 corner embeddings appended: NULL vector, all-zero
+    """sf0.001 with 5 corner embeddings appended: NULL vector, all-zero
     vector (zero-norm cosine), exact duplicate of vec 0 (tie-break), a
-    vector with a NaN component (corrupt data)."""
+    vector with a NaN component (corrupt data), a vector with a NULL
+    component (Spark's three-valued exists() vs DuckDB's
+    NULL-skipping list_filter — the engines only agree because both
+    filters name x IS NULL explicitly)."""
     import os
 
     src = "/root/testdata/sf0.001"
@@ -84,6 +87,10 @@ def corner_emb_sf_dir(tmp_path_factory):
             (SELECT list_transform(embedding,
                  x -> CASE WHEN x = embedding[1] THEN 'nan'::FLOAT ELSE x END)
              FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 1), 4
+          UNION ALL SELECT 504::BIGINT,
+            (SELECT list_transform(embedding,
+                 x -> CASE WHEN x = embedding[1] THEN NULL ELSE x END)
+             FROM read_parquet('{src}/embeddings.parquet') WHERE vec_id = 2), 5
         ) TO '{d / "embeddings.parquet"}' (FORMAT PARQUET)
         """
     )
