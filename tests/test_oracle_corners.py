@@ -241,3 +241,63 @@ def test_table_check_oracles_survive_null_rows(spark, corner_tpch_sf_dir):
          "quantiles_lineitem_approx", "top_orders_per_priority",
          "top_customers"],
     ) == 0
+
+
+@pytest.fixture(scope="module")
+def fuzz_sf_dir(tmp_path_factory):
+    """Seeded ASCII fuzz corpus: random whitespace/punctuation-heavy
+    texts (tabs, CR, CRLF, blank-line runs, long tokens) plus planted
+    repeated lines/texts — the tokenization-boundary regime where the
+    engine's Java-regex normalization and the oracle's DuckDB regex
+    could drift."""
+    import os
+    import random
+
+    import pandas as pd
+
+    random.seed(42)
+    alphabet = list("abcdefg 01.,!?-_()[]#@") + [
+        "\n", "\t", "\r", "  ", "\n\n", " . ", "a" * 30,
+    ]
+    rows = []
+    for i in range(300):
+        n = random.randint(0, 120)
+        rows.append((i, "".join(random.choice(alphabet) for _ in range(n))))
+    rows += [(300, "dup line\ndup line\nx"), (301, "a\r\nb\r\na\r\n"),
+             (302, "\t\t\t"), (303, rows[5][1]), (304, "one\n\n\ntwo\n\n")]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = ["en", "de", "fr"] * 101 + ["en", "de"]
+    pdf["source"] = ["web", "books"] * 152 + ["web"]
+    pdf["n_chars"] = pdf.text.str.len()
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sf_fuzz")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.register("d", pdf)
+    con.execute(
+        f"COPY (SELECT doc_id::BIGINT AS doc_id, text, lang, source, "
+        f"n_chars::BIGINT AS n_chars FROM d) TO "
+        f"'{d / 'documents.parquet'}' (FORMAT PARQUET)"
+    )
+    return str(d)
+
+
+def test_text_oracles_on_whitespace_fuzz_corpus(spark, fuzz_sf_dir):
+    """The most content-sensitive query/oracle pairs stay green on the
+    seeded fuzz corpus (all 27 documents queries were green on the
+    round-5 one-off sweep; this pins the cheapest, highest-signal
+    subset deterministically). Covers CR/CRLF line semantics, tab-only
+    and empty-ish docs, repeated-line/bigram boundaries, and rounding
+    over ragged token counts."""
+    from tools.check_oracle import main
+
+    assert main(
+        fuzz_sf_dir,
+        ["text_profile_documents", "repetition_logprob_documents",
+         "line_dedup_documents", "vocab_topk_documents",
+         "exact_dup_documents", "code_profile_documents",
+         "minhash_near_dup_documents", "winnow_overlap_documents"],
+    ) == 0
