@@ -301,3 +301,73 @@ def test_text_oracles_on_whitespace_fuzz_corpus(spark, fuzz_sf_dir):
          "exact_dup_documents", "code_profile_documents",
          "minhash_near_dup_documents", "winnow_overlap_documents"],
     ) == 0
+
+
+@pytest.fixture(scope="module")
+def fuzz_ev_sf_dir(tmp_path_factory):
+    """sf0.001 events plus 229 adversarial props: uint32 boundary
+    values (0, 2^32-1, 2^32, -1), integer-valued vs fractional doubles
+    (2.0 / 2.5 / -0.0 / 4294967294.9999995), doubles past exactness
+    (2^53+1, uint64 max, int64 min, 1e10), exponent notation, wrong
+    types (string/bool/null/array/object), missing k, extra keys,
+    non-object roots — the full boundary surface of the oracle's
+    restated uint32 semantics."""
+    import json
+    import os
+    import random
+
+    import pandas as pd
+
+    random.seed(7)
+    corner_props = [
+        '{"k": 0}', '{"k": 4294967295}', '{"k": 4294967296}', '{"k": -1}',
+        '{"k": -0.0}', '{"k": 2.0}', '{"k": 2.5}', '{"k": 1e10}',
+        '{"k": 1e-10}', '{"k": "5"}', '{"k": true}', '{"k": null}',
+        '{"k": [1]}', '{"k": {}}', '{}', '{"j": 1}',
+        '{"k": 9007199254740993}', '{"k": 18446744073709551615}',
+        '{"k": -9223372036854775808}', '{"k": 4294967294.9999995}',
+        '{"k": 1E2}', '{"k": 0.1}', '{"k": 3e0}', '[1,2]', '"str"', '5',
+        'true', 'null', '{"k": 1, "extra": "x"}',
+    ]
+    rows = [(2000 + i, "2024-01-05 00:00:00", 1, "click", 1.0, p)
+            for i, p in enumerate(corner_props)]
+    for i in range(200):
+        k = random.choice([
+            random.randint(-10, 100), random.randint(0, 2 ** 40),
+            round(random.uniform(-5, 5), 3),
+            random.choice(["x", None, True]),
+        ])
+        rows.append((3000 + i, "2024-01-05 00:00:01", 2, "view", 0.5,
+                     json.dumps({"k": k})))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sf_fuzz_ev")
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "events.parquet":
+            os.symlink(os.path.join(src, f), d / f)
+    con = duckdb.connect()
+    con.register("e", pdf)
+    con.execute(
+        f"""COPY (
+          SELECT * FROM read_parquet('{src}/events.parquet')
+          UNION ALL
+          SELECT event_id::BIGINT, ts::TIMESTAMP, user_id::BIGINT,
+                 event_type, value::DOUBLE, props FROM e
+        ) TO '{d / "events.parquet"}' (FORMAT PARQUET)"""
+    )
+    return str(d)
+
+
+def test_validate_events_oracle_on_uint32_boundary_fuzz(spark, fuzz_ev_sf_dir):
+    """The validate-events oracle restates JSL uint32 semantics in SQL
+    (json_type whitelist + TRY_CAST bounds + integrality); this pins
+    that the restatement equals the real kernel on every boundary
+    class, including the doubles-past-2^53 regime where TRY_CAST
+    rounding could have flipped integrality (it cannot: any such value
+    already fails the 2^32 bound on both sides)."""
+    from tools.check_oracle import main
+
+    assert main(fuzz_ev_sf_dir, ["jsl_validate_events"]) == 0
