@@ -463,6 +463,116 @@ def test_sampling_determinism_and_stability(spark):
     assert 0 < n_eval < 100  # ~5% of 600
 
 
+def _windowed_reference_stratified(df, strata, n, id_col="doc_id"):
+    """The pre-round-6 one-window implementation — the deterministic
+    contract the scale-safe path must reproduce bit-for-bit."""
+    from pyspark.sql import Window, functions as F
+
+    from jsl_engine import sampling as S
+
+    w = Window.partitionBy(*strata).orderBy(
+        S.order_hash(id_col, S.SALT_STRATIFIED), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
+def test_stratified_sample_matches_reference_window_bit_for_bit(spark):
+    """The round-5 verdict's last scale-killer: the per-stratum rank must
+    no longer shuffle the corpus into one reducer per stratum, and the
+    batch-local cut + semi-join path must equal the plain window
+    bit-for-bit under any repartitioning — including a NULL stratum
+    (null-safe join keys), a stratum SMALLER than n (no padding), and a
+    wide frame (extra columns ride through the semi-join untouched)."""
+    from jsl_engine import sampling as S
+
+    rows = [
+        Row(doc_id=i, lang=["en", "de", "fr", None][i % 4], text=f"t{i}")
+        for i in range(400)
+    ]
+    rows += [Row(doc_id=1000 + i, lang="tiny", text="small stratum")
+             for i in range(2)]
+    df = spark.createDataFrame(rows)
+    want = sorted(
+        map(tuple, _windowed_reference_stratified(df, ["lang"], 5).collect())
+    )
+    for nparts in (1, 7, 32):
+        got = sorted(
+            map(
+                tuple,
+                S.stratified_sample(
+                    df.repartition(nparts), ["lang"], 5
+                ).collect(),
+            )
+        )
+        assert got == want, f"nparts={nparts}"
+    # the tiny stratum contributes BOTH its rows, the NULL stratum is kept
+    langs = {}
+    for _id, lang, _t in want:
+        langs[lang] = langs.get(lang, 0) + 1
+    assert langs == {"en": 5, "de": 5, "fr": 5, None: 5, "tiny": 2}
+    # non-broadcast arm (pathological strata cardinality): same rows
+    got = sorted(
+        map(
+            tuple,
+            S.stratified_sample(
+                df.repartition(7), ["lang"], 5, broadcast_winners=False
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_stratified_window_input_is_o_partitions_not_o_rows(spark):
+    """The row-count gate (round-5 verdict item 1): the rank window's
+    input — the pruned narrow frame — must carry ≤ strata × n × batches
+    rows, independent of corpus row count."""
+    from pyspark.sql import functions as F
+
+    from jsl_engine import sampling as S
+
+    n_parts, n, n_strata = 5, 4, 3
+    rows = [Row(doc_id=i, lang=["en", "de", "fr"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows).repartition(n_parts)
+    narrow = df.select("lang", "doc_id").withColumn(
+        "__h", S.order_hash("doc_id", S.SALT_STRATIFIED)
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
+    try:
+        pruned_rows = S._local_stratum_topn(narrow, ["lang"], n, "doc_id").count()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    assert pruned_rows <= n_strata * n * n_parts
+    assert pruned_rows < df.count()  # it actually cut something
+
+
+def test_stratified_sample_plan_no_corpus_shuffle(spark):
+    """Physical gate: exactly ONE Exchange (the tiny pruned frame's
+    strata hash for the rank window) and a broadcast LEFT-SEMI join on
+    the corpus side — the corpus is never shuffled."""
+    from jsl_engine import sampling as S
+
+    rows = [Row(doc_id=i, lang=["en", "de"][i % 2], text=f"t{i}")
+            for i in range(200)]
+    df = spark.createDataFrame(rows)
+    out = S.stratified_sample(df, ["lang"], 3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, plan[:3000]
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:3000]
+
+
 def test_simhash_max_hamming_zero_exact_blocking(spark, docs):
     """max_hamming=0 = identical-signature blocking: one full-width
     64-bit block (the all-ones mask is -1 in two's complement — a
