@@ -1655,9 +1655,11 @@ def connected_components(
     the corpus, and labels converge per-component independently. The loop
     stops when a round changes no label (one tiny driver action per
     round); ``max_iterations`` bounds adversarial chains (a 10^6-vertex
-    path would need 10^6 rounds — that is not a near-dup graph shape; the
-    standard large-diameter escape is alternating star contraction, which
-    this API could swap in behind the same contract).
+    path would need 10^6 rounds — not a near-dup graph shape), after
+    which the loop AUTO-ESCALATES to :func:`connected_components_star`
+    (alternating star contraction, O(log² n) rounds on any diameter)
+    behind the same contract, with a ``RuntimeWarning`` — a long chain
+    degrades to the slower-per-round path instead of killing the job.
 
     Deterministic, oracle-checkable (a recursive CTE computes the same
     min-reachable-id fixpoint).
@@ -1753,13 +1755,25 @@ def connected_components(
             break
     else:
         # silent partial convergence would hand dedup_near wrong groups
-        # (several "representatives" per true component)
-        raise RuntimeError(
+        # (several "representatives" per true component) — escalate to
+        # the diameter-independent star-contraction path instead of
+        # failing the job: a 100-TB pipeline must not die because one
+        # adversarial chain slipped through the banding guards. Same
+        # ``id, component`` contract, O(log² n) rounds on ANY shape;
+        # equality with the propagation path is pinned in
+        # tests/test_text_ops.py.
+        import warnings
+
+        labels.unpersist()
+        edges.unpersist()
+        warnings.warn(
             f"connected_components did not converge within {max_iterations} "
-            "rounds — the pair graph has a longer diameter than a near-dup "
-            "graph should (adversarial chain?); raise max_iterations or use "
-            "connected_components_star (O(log² n) rounds on any shape)"
+            "min-label rounds (graph diameter exceeds a near-dup shape); "
+            "escalating to star contraction",
+            RuntimeWarning,
+            stacklevel=2,
         )
+        return connected_components_star(pairs, a_col=a_col, b_col=b_col)
     edges.unpersist()
     return labels.select("id", "component")
 

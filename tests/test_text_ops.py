@@ -582,19 +582,37 @@ def test_simhash_max_hamming_zero_exact_blocking(spark, docs):
     assert out == {(1, 2): 0}
 
 
-def test_connected_components_raises_on_nonconvergence(spark, monkeypatch):
+def test_connected_components_escalates_to_star_on_nonconvergence(
+    spark, monkeypatch
+):
+    """Round-6: non-convergence at max_iterations no longer kills the
+    job — the loop falls back to star contraction (diameter-independent)
+    with a RuntimeWarning, returning the same labels the propagation
+    path would eventually reach."""
+    import warnings
+
     # force the DISTRIBUTED loop (tiny graphs short-circuit to the
     # driver union-find, which has no convergence concept)
     monkeypatch.setattr(T, "DRIVER_COMPONENTS_EDGES", 0)
     chain = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(12)]
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        T.connected_components(chain, max_iterations=3)
-    # and converges fine when given enough rounds
-    got = {r.id: r.component
-           for r in T.connected_components(chain, max_iterations=20).collect()}
-    assert set(got.values()) == {0}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {r.id: r.component
+               for r in T.connected_components(chain, max_iterations=3).collect()}
+    assert any("escalating to star contraction" in str(w.message)
+               for w in caught)
+    assert got == {i: 0 for i in range(13)}
+    # and converges fine (no warning) when given enough rounds
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        direct = {r.id: r.component
+                  for r in T.connected_components(chain, max_iterations=20)
+                  .collect()}
+    assert not any("escalating to star contraction" in str(w.message)
+                   for w in caught)
+    assert direct == got
 
 
 def test_connected_components_driver_and_distributed_agree(spark, monkeypatch):
