@@ -118,6 +118,17 @@ def _test_all_k(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
     return hit.all(axis=1)
 
 
+def _shard_mask(g: np.ndarray, n_shards: int, shard: int) -> np.ndarray:
+    """Keep only the gram hashes belonging to shard ``shard`` of
+    ``n_shards``. The shards partition the 64-bit gram-hash space
+    exactly (``hash mod n_shards``, uniform because the shingle hash is
+    splitmix-mixed), so per-document gram and hit counts SUM across
+    shards with no overlap and no gap."""
+    if n_shards == 1:
+        return g
+    return g[g % np.uint64(n_shards) == np.uint64(shard)]
+
+
 def build_gram_bloom(
     benchmark: DataFrame,
     *,
@@ -127,6 +138,8 @@ def build_gram_bloom(
     expected_grams: int | None = None,
     tree_depth: int = 2,
     balance: bool = True,
+    n_shards: int = 1,
+    shard: int = 0,
 ) -> tuple[np.ndarray, int, int]:
     """Distributed Bloom build over the benchmark's distinct word
     ``n``-gram hashes. Returns ``(bitmap uint64[m/64], m, k)``.
@@ -148,10 +161,17 @@ def build_gram_bloom(
     ``RDD.treeAggregate(depth=tree_depth)`` — the RDD layer carries one
     bitmap row per partition, never per-document data, so driver ingress
     is ``depth``-ary combined bitmaps. Per-task memory is one bitmap
-    (``m/8`` bytes); filters past executor memory would shard the bit
-    range across passes, which this engine does not need below ~10^10
-    grams.
-    """
+    (``m/8`` bytes).
+
+    Filters past executor/broadcast memory (≳10^10 grams — a "every
+    benchmark + every leaked eval + copyright blocklist" production
+    list) shard the GRAM-HASH range across passes: ``n_shards > 1``
+    builds the independent, fully-sized filter for the grams whose hash
+    falls in slice ``shard`` (see :func:`_shard_mask`). Each pass's
+    bitmap is ~``1/n_shards`` of the monolithic size; the sizing pass,
+    when run, counts only slice grams."""
+    if not 0 <= shard < n_shards:
+        raise ValueError(f"shard must be in [0, {n_shards}), got {shard}")
     texts = benchmark.select(text_col)
     if balance:
         texts = fan_out(texts)
@@ -169,7 +189,9 @@ def build_gram_bloom(
             for batch in batches:
                 for t in batch.column(0).to_pylist():
                     if t is not None:
-                        seen.append(_shingle_hashes(t, n))
+                        seen.append(
+                            _shard_mask(_shingle_hashes(t, n), n_shards, shard)
+                        )
             c = int(np.unique(np.concatenate(seen)).size) if seen else 0
             yield pa.RecordBatch.from_arrays(
                 [pa.array([c], type=pa.int64())], names=["c"]
@@ -190,8 +212,11 @@ def build_gram_bloom(
         for batch in batches:
             for t in batch.column(0).to_pylist():
                 if t is not None:
-                    g = np.unique(_shingle_hashes(t, n))
-                    _set_bits(local, _probe_matrix(g, k, m))
+                    g = np.unique(
+                        _shard_mask(_shingle_hashes(t, n), n_shards, shard)
+                    )
+                    if g.size:
+                        _set_bits(local, _probe_matrix(g, k, m))
                     got = True
         if got:
             yield pa.RecordBatch.from_arrays(
@@ -235,6 +260,7 @@ def bloom_contamination(
     fp_rate: float = 1e-6,
     expected_grams: int | None = None,
     balance: bool = True,
+    n_shards: int = 1,
 ) -> DataFrame:
     """Exact benchmark decontamination behind a Bloom prefilter — the
     bounded-memory tier above :func:`contamination_arrow` for benchmark
@@ -253,17 +279,33 @@ def bloom_contamination(
     action count: ONE build job + ONE output job when
     ``expected_grams`` is given (a third for the sizing pass otherwise)
     — gated in tests/test_bloom.py.
+
+    ``n_shards > 1`` is the tier past a single executor's broadcast
+    budget (a monolithic filter needs ``m/8`` bytes per executor;
+    ~10^10 grams at fp 1e-6 ≈ 36 GB): the gram-hash space is split into
+    ``n_shards`` slices, each slice gets its own fully-sized filter
+    built and probed in a SEQUENTIAL pass (build → eager-checkpoint
+    probe → unpersist the broadcast, so peak memory is ONE shard's
+    bitmap), and the per-document ``(n_grams, bloom_hits)`` partials —
+    exact sums, since the slices partition the gram space — combine in
+    one narrow-row groupBy. The exact verify tail is unchanged, so the
+    output is bit-for-bit the unsharded (and plain ``contamination``)
+    result — property-pinned in tests/test_bloom.py. Costs vs
+    unsharded: ``n_shards`` corpus probe passes plus one corpus-row
+    shuffle of (id, two longs, candidate-text) rows.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     spark = df.sparkSession
-    bitmap, m, k = build_gram_bloom(
-        benchmark, text_col=text_col, n=n, fp_rate=fp_rate,
-        expected_grams=expected_grams, balance=balance,
-    )
-    bc = spark.sparkContext.broadcast(bitmap)
 
     pruned = df.select(id_col, text_col)
     if balance:
         pruned = fan_out(pruned)
+    if n_shards > 1:
+        # every shard pass re-reads the conditioned corpus projection;
+        # materialize it once instead of re-running the scan + fan-out
+        # shuffle per shard
+        pruned = pruned.localCheckpoint(eager=False)
     text_field = pruned.schema[text_col]
     out_schema = StructType(
         [
@@ -278,57 +320,113 @@ def bloom_contamination(
         ]
     )
 
-    def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.compute as pc
+    def make_probe(bc, m: int, k: int, shard: int):
+        def probe(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            import pyarrow.compute as pc
 
-        bits = bc.value
-        for batch in batches:
-            rows = batch.num_rows
-            if rows == 0:
-                continue
-            texts = batch.column(1).to_pylist()
-            n_grams = np.empty(rows, dtype=np.int64)
-            hits = np.empty(rows, dtype=np.int64)
-            for i, t in enumerate(texts):
-                # NULL text: zero grams, zero hits, never a candidate
-                # (`t or ""` would give it the EMPTY doc's shingle and
-                # a spurious bloom candidacy whenever the benchmark
-                # holds a whitespace-only doc) — pinned with
-                # contamination()/contamination_arrow and the oracle
-                if t is None:
-                    n_grams[i] = 0
-                    hits[i] = 0
+            bits = bc.value
+            for batch in batches:
+                rows = batch.num_rows
+                if rows == 0:
                     continue
-                g = np.unique(_shingle_hashes(t, n))
-                n_grams[i] = g.size
-                hits[i] = int(_test_all_k(bits, _probe_matrix(g, k, m)).sum())
-            cand_text = pc.if_else(
-                pa.array(hits >= 1),
-                batch.column(1),
-                pa.scalar(None, type=batch.schema.field(1).type),
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column(0),
-                    pa.array(n_grams, type=pa.int64()),
-                    pa.array(hits, type=pa.int64()),
-                    cand_text,
-                ],
-                schema=pa.schema(
+                texts = batch.column(1).to_pylist()
+                n_grams = np.empty(rows, dtype=np.int64)
+                hits = np.empty(rows, dtype=np.int64)
+                for i, t in enumerate(texts):
+                    # NULL text: zero grams, zero hits, never a candidate
+                    # (`t or ""` would give it the EMPTY doc's shingle and
+                    # a spurious bloom candidacy whenever the benchmark
+                    # holds a whitespace-only doc) — pinned with
+                    # contamination()/contamination_arrow and the oracle
+                    if t is None:
+                        n_grams[i] = 0
+                        hits[i] = 0
+                        continue
+                    g = np.unique(
+                        _shard_mask(_shingle_hashes(t, n), n_shards, shard)
+                    )
+                    n_grams[i] = g.size
+                    hits[i] = (
+                        int(_test_all_k(bits, _probe_matrix(g, k, m)).sum())
+                        if g.size
+                        else 0
+                    )
+                cand_text = pc.if_else(
+                    pa.array(hits >= 1),
+                    batch.column(1),
+                    pa.scalar(None, type=batch.schema.field(1).type),
+                )
+                yield pa.RecordBatch.from_arrays(
                     [
-                        batch.schema.field(0),
-                        pa.field("n_grams", pa.int64(), False),
-                        pa.field("bloom_hits", pa.int64(), False),
-                        pa.field(text_col, batch.schema.field(1).type, True),
-                    ]
-                ),
-            )
+                        batch.column(0),
+                        pa.array(n_grams, type=pa.int64()),
+                        pa.array(hits, type=pa.int64()),
+                        cand_text,
+                    ],
+                    schema=pa.schema(
+                        [
+                            batch.schema.field(0),
+                            pa.field("n_grams", pa.int64(), False),
+                            pa.field("bloom_hits", pa.int64(), False),
+                            pa.field(text_col, batch.schema.field(1).type, True),
+                        ]
+                    ),
+                )
+
+        return probe
 
     # candidates = ANY possible gram hit (not min_hits): bloom_hits upper-
     # bounds exact hits per gram, so bloom_hits == 0 implies exact
     # n_hits == 0 — but a doc with 0 < exact < min_hits must still report
     # its exact n_hits to stay bit-for-bit with contamination().
-    probed = pruned.mapInArrow(probe, out_schema).localCheckpoint(eager=False)
+    if n_shards == 1:
+        bitmap, m, k = build_gram_bloom(
+            benchmark, text_col=text_col, n=n, fp_rate=fp_rate,
+            expected_grams=expected_grams, balance=balance,
+        )
+        bc = spark.sparkContext.broadcast(bitmap)
+        probed = pruned.mapInArrow(
+            make_probe(bc, m, k, 0), out_schema
+        ).localCheckpoint(eager=False)
+    else:
+        shard_frames = []
+        for shard in range(n_shards):
+            bitmap, m, k = build_gram_bloom(
+                benchmark, text_col=text_col, n=n, fp_rate=fp_rate,
+                expected_grams=(
+                    max(1, expected_grams // n_shards)
+                    if expected_grams is not None
+                    else None
+                ),
+                balance=balance,
+                n_shards=n_shards,
+                shard=shard,
+            )
+            bc = spark.sparkContext.broadcast(bitmap)
+            # EAGER checkpoint: the pass must run NOW, while this
+            # shard's bitmap is the only one alive — a lazy plan would
+            # execute every shard's probe in one job with every bitmap
+            # broadcast simultaneously, defeating the memory bound
+            frame = pruned.mapInArrow(
+                make_probe(bc, m, k, shard), out_schema
+            ).localCheckpoint(eager=True)
+            bc.unpersist()
+            shard_frames.append(frame)
+        union = shard_frames[0]
+        for frame in shard_frames[1:]:
+            union = union.unionByName(frame)
+        probed = (
+            union.groupBy(id_col)
+            .agg(
+                F.sum("n_grams").alias("n_grams"),
+                F.sum("bloom_hits").alias("bloom_hits"),
+                # a candidate's text is identical in every shard that
+                # flagged it; max() picks it over the NULLs of shards
+                # that did not
+                F.max(text_col).alias(text_col),
+            )
+            .localCheckpoint(eager=False)
+        )
 
     # exact verify tail: string grams of candidate docs vs the
     # benchmark's distinct string grams. The candidate side is tiny

@@ -214,3 +214,80 @@ def test_bloom_job_count_with_known_sizing(spark, planted):
     build_jobs = sc.statusTracker().getJobIdsForGroup("bloom_build_gate")
     assert len(build_jobs) == 1, f"expected 1 build job, ran {len(build_jobs)}"
     assert _rows(out) == exact
+
+
+def test_bloom_sharded_matches_unsharded(spark, planted):
+    """Round-6 verdict item 5: gram-range sharding (the tier for
+    blocklists past one executor's broadcast budget) must be invisible
+    in the answer — sharded == unsharded == exact, for several shard
+    counts, including more shards than some documents have grams."""
+    corpus, bench = planted
+    exact = _rows(T.contamination(corpus, bench, n=3))
+    for n_shards in (2, 3, 8):
+        got = _rows(bloom_contamination(corpus, bench, n=3, n_shards=n_shards))
+        assert got == exact, f"n_shards={n_shards}"
+
+
+def test_bloom_sharded_random_corpus_and_min_hits(spark):
+    """Sharded parity on the seeded multi-partition word-salad corpus,
+    with min_hits>1 (partial-hit docs must keep exact counts through
+    the per-shard sum) and a flooded fp_rate (the verify tail scrubs
+    per-shard false positives too)."""
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(300)]
+    bench_rows = [
+        Row(doc_id=1000 + i, text=" ".join(rng.choices(vocab, k=30)))
+        for i in range(8)
+    ]
+    bench_texts = [r.text for r in bench_rows]
+    corpus_rows = []
+    for i in range(150):
+        words = rng.choices(vocab, k=40)
+        if i % 13 == 0:
+            leak = bench_texts[i % 8].split()[:8]
+            words[5:5] = leak
+        corpus_rows.append(Row(doc_id=i, text=" ".join(words)))
+    corpus = spark.createDataFrame(corpus_rows).repartition(7)
+    bench = spark.createDataFrame(bench_rows).repartition(3)
+    exact = _rows(T.contamination(corpus, bench, n=3, min_hits=2))
+    got = _rows(
+        bloom_contamination(
+            corpus, bench, n=3, min_hits=2, n_shards=4, fp_rate=0.5
+        )
+    )
+    assert got == exact
+    assert any(t[4] for t in got)  # planted leaks actually flagged
+
+
+def test_bloom_shard_mask_partitions_gram_space():
+    """The shard slices must partition the hash space exactly: the
+    per-shard pieces of any hash set are disjoint and their union is
+    the whole set (this is what makes per-doc counts SUM across
+    shards)."""
+    from jsl_engine.bloom import _shard_mask
+
+    rng = np.random.default_rng(42)
+    g = np.unique(rng.integers(0, 2**63, size=5000, dtype=np.uint64))
+    for n_shards in (1, 2, 5):
+        pieces = [_shard_mask(g, n_shards, s) for s in range(n_shards)]
+        assert sum(p.size for p in pieces) == g.size
+        assert np.array_equal(np.sort(np.concatenate(pieces)), g)
+
+
+def test_bloom_sharded_build_is_smaller_and_complete(spark, planted):
+    """Each shard's filter is sized for its slice (smaller than the
+    monolithic filter) and has no false negatives for its own grams."""
+    from jsl_engine.bloom import _shard_mask
+    from jsl_engine.text_ops_arrow import _shingle_hashes
+
+    _, bench = planted
+    texts = [r.text for r in bench.collect()]
+    all_grams = np.unique(
+        np.concatenate([_shingle_hashes(t, 3) for t in texts])
+    )
+    mono, m_mono, _ = build_gram_bloom(bench, n=3)
+    for shard in range(2):
+        bm, m, k = build_gram_bloom(bench, n=3, n_shards=2, shard=shard)
+        assert m <= m_mono
+        mine = _shard_mask(all_grams, 2, shard)
+        assert _test_all_k(bm, _probe_matrix(mine, k, m)).all()
