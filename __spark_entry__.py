@@ -818,35 +818,63 @@ def q_stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return stratified_sample(docs, ["lang"], 5)
 
 
-def q_mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted training-mix sampling: per-source keep rates applied via
-    the deterministic id-hash permille bucket (nested: raising a rate
-    keeps previously selected rows). Reported as per-source kept counts;
-    fully oracled — the rate CASE and hash arithmetic run verbatim in
-    SQL."""
-    from jsl_engine.sampling import mixture_sample
+def q_sampling_mix_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO sampling operators in one oracled row (the round-5 merge
+    pattern, freeing a correctness slot for ``vocabulary_drift``):
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    - ``variant='mixture'``: weighted training-mix sampling — per-source
+      keep rates via the deterministic id-hash permille bucket (nested:
+      raising a rate keeps previously selected rows), reported as
+      per-source kept counts (``key`` = source, ``split`` NULL).
+    - ``variant='split'``: deterministic train/eval split (id-hash
+      permille bucket; stable under repartitioning and corpus growth),
+      reported as per-lang per-split counts (``key`` = lang).
+
+    Both arms' hash arithmetic and rate CASEs run verbatim in the
+    DuckDB oracle, so either operator diverging is a hash mismatch."""
+    from jsl_engine.sampling import hash_split, mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
-    return (
+    mix = (
         mixture_sample(docs, rates, default_rate=0.1)
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("mixture").alias("variant"),
+            F.col("source").alias("key"),
+            F.lit(None).cast("string").alias("split"),
+            F.col("n"),
+        )
     )
-
-
-def q_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic train/eval split (id-hash permille bucket; stable
-    under repartitioning and corpus growth) — reported as per-lang split
-    counts, fully oracled via the same arithmetic in SQL."""
-    from jsl_engine.sampling import hash_split
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
-    return (
+    spl = (
         hash_split(docs, eval_permille=50)
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("split").alias("variant"),
+            F.col("lang").alias("key"),
+            F.col("split"),
+            F.col("n"),
+        )
     )
+    return mix.unionByName(spl)
+
+
+def q_vocabulary_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest Jensen-Shannon divergence of per-source token
+    distributions over the global top-512 vocabulary plus a collapsed
+    ``<oov>`` bucket — the content-drift monitor (a source whose
+    vocabulary shifted moves JSD even when every numeric column looks
+    stable). Promoted from pytest-only to the full DuckDB hash gate in
+    round 6: the token aggregation, deterministic top-K tie-break
+    (count desc, token asc), oov bucketing, dense parts × buckets grid,
+    and the 0·ln0 = 0 JSD convention are all replayed verbatim in SQL.
+    vocab_size=512 keeps the oov bucket exercised at every test SF."""
+    from jsl_engine.text_ops import vocabulary_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocabulary_drift(docs, "source", vocab_size=512)
 
 
 #: License anchor sentences planted in-query (testdata documents carry no
@@ -1201,8 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_contamination_documents": q_fuzzy_contamination_documents,
         # sampling / export
         "stratified_sample_documents": q_stratified_sample_documents,
-        "mixture_sample_documents": q_mixture_sample_documents,
-        "hash_split_documents": q_hash_split_documents,
+        "sampling_mix_split_documents": q_sampling_mix_split_documents,
+        "vocabulary_drift_documents": q_vocabulary_drift_documents,
         "shuffle_export_documents": q_shuffle_export_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         # similarity search
@@ -2444,8 +2472,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rk <= 5
         """,
-        "mixture_sample_documents": f"""
-            SELECT source, COUNT(*)::BIGINT AS n_kept FROM (
+        "sampling_mix_split_documents": f"""
+            SELECT 'mixture' AS variant, source AS key,
+                   CAST(NULL AS VARCHAR) AS split, COUNT(*)::BIGINT AS n
+            FROM (
                 SELECT source,
                        {_order_hash_sql("doc_id", _SALT_MIXTURE)} % 1000 AS frac,
                        CASE WHEN source = 'src0' THEN 1000.0
@@ -2454,13 +2484,72 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 100.0 END AS rate
                 FROM documents
             ) WHERE frac < rate GROUP BY source
-        """,
-        "hash_split_documents": f"""
-            SELECT lang,
+            UNION ALL
+            SELECT 'split' AS variant, lang AS key,
                    CASE WHEN {_order_hash_sql("doc_id", _SALT_SPLIT)} % 1000 < 50
                         THEN 'eval' ELSE 'train' END AS split,
                    COUNT(*)::BIGINT AS n
-            FROM documents GROUP BY 1, 2
+            FROM documents GROUP BY 1, 2, 3
+        """,
+        # vocabulary_drift: the engine's token aggregation, top-K
+        # membership (count desc, token asc tie-break), oov bucketing,
+        # dense grid, and 0*ln0=0 JSD terms replayed step for step
+        "vocabulary_drift_documents": """
+            WITH toks AS (
+                SELECT source AS part, unnest(regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+            ),
+            pc AS (
+                SELECT part, token, COUNT(*)::BIGINT AS c
+                FROM toks WHERE token <> '' GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT token FROM (
+                    SELECT token, SUM(c) AS ct FROM pc GROUP BY token
+                ) ORDER BY ct DESC, token ASC LIMIT 512
+            ),
+            bucketed AS (
+                SELECT part,
+                       CASE WHEN t.token IS NOT NULL THEN pc.token
+                            ELSE '<oov>' END AS bucket,
+                       SUM(c)::BIGINT AS c_part
+                FROM pc LEFT JOIN top t USING (token) GROUP BY 1, 2
+            ),
+            tb AS (SELECT bucket, SUM(c_part)::BIGINT AS c_tot
+                   FROM bucketed GROUP BY 1),
+            parts AS (SELECT part, SUM(c_part)::BIGINT AS n_part
+                      FROM bucketed GROUP BY 1),
+            parts2 AS (
+                SELECT part, n_part,
+                       (SELECT SUM(n_part) FROM parts) - n_part AS n_rest
+                FROM parts
+            ),
+            j AS (
+                SELECT g.part, g.n_part, g.n_rest, g.c_tot,
+                       COALESCE(b.c_part, 0) AS c_part,
+                       g.c_tot - COALESCE(b.c_part, 0) AS c_rest
+                FROM (SELECT p.*, tb.bucket, tb.c_tot
+                      FROM parts2 p CROSS JOIN tb) g
+                LEFT JOIN bucketed b
+                  ON g.part = b.part AND g.bucket = b.bucket
+            )
+            SELECT part AS source,
+                   MAX(n_part)::BIGINT AS n_tokens,
+                   ROUND(SUM(
+                       CASE WHEN c_part > 0 THEN
+                           0.5 * (c_part / CAST(n_part AS DOUBLE)) * ln(
+                               (c_part / CAST(n_part AS DOUBLE)) /
+                               ((c_part / CAST(n_part AS DOUBLE)
+                                 + c_rest / CAST(n_rest AS DOUBLE)) / 2))
+                       ELSE 0 END
+                     + CASE WHEN c_rest > 0 THEN
+                           0.5 * (c_rest / CAST(n_rest AS DOUBLE)) * ln(
+                               (c_rest / CAST(n_rest AS DOUBLE)) /
+                               ((c_part / CAST(n_part AS DOUBLE)
+                                 + c_rest / CAST(n_rest AS DOUBLE)) / 2))
+                       ELSE 0 END), 6) AS js_divergence
+            FROM j GROUP BY part
         """,
         # simhash_near_dup_documents: rows-only — xxhash64 bit patterns
         # have no DuckDB analogue; pytest gates recall + exact verify.
