@@ -247,6 +247,11 @@ def test_bloom_sharded_random_corpus_and_min_hits(spark):
             leak = bench_texts[i % 8].split()[:8]
             words[5:5] = leak
         corpus_rows.append(Row(doc_id=i, text=" ".join(words)))
+    # degenerate rows a production corpus contains: NULL and empty text
+    # (NULL must stay a non-candidate with NULL hit_rate in EVERY shard
+    # — `t or ""` style handling would give it the empty doc's shingle)
+    corpus_rows.append(Row(doc_id=900, text=None))
+    corpus_rows.append(Row(doc_id=901, text=""))
     corpus = spark.createDataFrame(corpus_rows).repartition(7)
     bench = spark.createDataFrame(bench_rows).repartition(3)
     exact = _rows(T.contamination(corpus, bench, n=3, min_hits=2))
@@ -257,6 +262,8 @@ def test_bloom_sharded_random_corpus_and_min_hits(spark):
     )
     assert got == exact
     assert any(t[4] for t in got)  # planted leaks actually flagged
+    null_row = [t for t in got if t[0] == 900]
+    assert null_row and null_row[0][1] == 0 and null_row[0][3] is None
 
 
 def test_bloom_shard_mask_partitions_gram_space():
