@@ -410,7 +410,14 @@ def bloom_contamination(
             frame = pruned.mapInArrow(
                 make_probe(bc, m, k, shard), out_schema
             ).localCheckpoint(eager=True)
-            bc.unpersist()
+            # destroy(), not unpersist(): unpersist only evicts executor
+            # copies — the DRIVER keeps the master bitmap (and in local
+            # mode driver == executor), so the loop would accumulate
+            # every shard's bitmap and defeat the bound it exists for.
+            # Safe here: the checkpoint is materialized, nothing can
+            # re-run the probe lambda. blocking=True so the next shard's
+            # build doesn't overlap the previous bitmap's eviction.
+            bc.destroy(blocking=True)
             shard_frames.append(frame)
         union = shard_frames[0]
         for frame in shard_frames[1:]:

@@ -113,9 +113,15 @@ def _local_stratum_topn(
                 ("__h", "ascending"),
                 (id_col, "ascending"),
             ]
-            order = pc.sort_indices(tbl, sort_keys=keys).to_numpy(
-                zero_copy_only=False
-            )
+            # at_start: Spark's ascending order is NULLS FIRST — a
+            # NULL-id row (order_hash(NULL) is NULL) ranks FIRST in the
+            # window, so the cut must keep it first too (Arrow's default
+            # at_end would cut the row Spark ranks #1; the placement
+            # also applies to the strata keys, where grouping only needs
+            # contiguity, so it is free there)
+            order = pc.sort_indices(
+                tbl, sort_keys=keys, null_placement="at_start"
+            ).to_numpy(zero_copy_only=False)
             changed = np.zeros(order.size, dtype=bool)
             changed[0] = True
             for c in strata_cols:
@@ -179,10 +185,13 @@ def stratified_sample(
         winners = F.broadcast(winners)
     left = df.alias("__ss_l")
     right = winners.alias("__ss_r")
-    # null-safe equality on the strata keys: a NULL-stratum winner must
-    # still match its source rows (plain `=` never matches NULL, which
-    # would silently drop the NULL stratum from the sample)
-    cond = left[id_col] == right[id_col]
+    # null-safe equality on EVERY key: a NULL-stratum winner must still
+    # match its source rows, and a NULL-id row — which the reference
+    # window ranks FIRST (NULLS FIRST hash order) — must survive the
+    # join too (plain `=` never matches NULL; at most one NULL id can
+    # exist under the unique-id precondition, so null-safe matching
+    # cannot over-return)
+    cond = left[id_col].eqNullSafe(right[id_col])
     for c in strata_cols:
         if c != id_col:
             cond = cond & left[c].eqNullSafe(right[c])

@@ -1765,7 +1765,6 @@ def connected_components(
         import warnings
 
         labels.unpersist()
-        edges.unpersist()
         warnings.warn(
             f"connected_components did not converge within {max_iterations} "
             "min-label rounds (graph diameter exceeds a near-dup shape); "
@@ -1773,7 +1772,17 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-        return connected_components_star(pairs, a_col=a_col, b_col=b_col)
+        # hand star the CACHED symmetrized edge list, not `pairs`: star
+        # eagerly checkpoints its edge set on entry, so re-deriving it
+        # from `pairs` would re-run the whole upstream candidate
+        # pipeline (banding + verify over the corpus) — the escalation
+        # must degrade the components step, not triple the most
+        # expensive stages of the job. Safe to unpersist after the call
+        # returns (star's eager checkpoints have already materialized).
+        try:
+            return connected_components_star(edges, a_col="src", b_col="dst")
+        finally:
+            edges.unpersist()
     edges.unpersist()
     return labels.select("id", "component")
 

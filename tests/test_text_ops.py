@@ -495,9 +495,15 @@ def test_stratified_sample_matches_reference_window_bit_for_bit(spark):
     ]
     rows += [Row(doc_id=1000 + i, lang="tiny", text="small stratum")
              for i in range(2)]
+    # a NULL id hashes to NULL, which the window ranks FIRST (ascending
+    # NULLS FIRST) — the cut and the null-safe semi-join must both keep
+    # it (round-6 review finding: plain `=` dropped it, and Arrow's
+    # default null placement cut the row Spark ranks #1)
+    rows.append(Row(doc_id=None, lang="en", text="null id"))
     df = spark.createDataFrame(rows)
     want = sorted(
-        map(tuple, _windowed_reference_stratified(df, ["lang"], 5).collect())
+        map(tuple, _windowed_reference_stratified(df, ["lang"], 5).collect()),
+        key=repr,
     )
     for nparts in (1, 7, 32):
         got = sorted(
@@ -506,7 +512,8 @@ def test_stratified_sample_matches_reference_window_bit_for_bit(spark):
                 S.stratified_sample(
                     df.repartition(nparts), ["lang"], 5
                 ).collect(),
-            )
+            ),
+            key=repr,
         )
         assert got == want, f"nparts={nparts}"
     # the tiny stratum contributes BOTH its rows, the NULL stratum is kept
@@ -514,6 +521,7 @@ def test_stratified_sample_matches_reference_window_bit_for_bit(spark):
     for _id, lang, _t in want:
         langs[lang] = langs.get(lang, 0) + 1
     assert langs == {"en": 5, "de": 5, "fr": 5, None: 5, "tiny": 2}
+    assert any(_id is None for _id, _l, _t in want)  # the NULL id won a slot
     # non-broadcast arm (pathological strata cardinality): same rows
     got = sorted(
         map(
@@ -521,7 +529,8 @@ def test_stratified_sample_matches_reference_window_bit_for_bit(spark):
             S.stratified_sample(
                 df.repartition(7), ["lang"], 5, broadcast_winners=False
             ).collect(),
-        )
+        ),
+        key=repr,
     )
     assert got == want
 
