@@ -535,6 +535,44 @@ def test_stratified_sample_matches_reference_window_bit_for_bit(spark):
     assert got == want
 
 
+def test_stratified_sample_seeded_fuzz_vs_reference_window(spark):
+    """Seeded fuzz over the scale-safe path: random stratum shapes
+    (multi-column strata, NULLs in either column, empty strings, skewed
+    and tiny strata, n larger than some strata), each frame pinned
+    bit-for-bit against the reference window under a random partition
+    count — the same fuzz convention the oracle corners use."""
+    import random
+
+    from jsl_engine import sampling as S
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        n = rng.choice([1, 3, 7])
+        rows = []
+        for i in range(rng.randint(50, 500)):
+            lang = rng.choice(["en", "de", "fr", "", None])
+            src = rng.choice(["a", "b", None])
+            rows.append(Row(doc_id=i * 7 + trial, lang=lang, source=src))
+        # skew one stratum hard
+        rows += [Row(doc_id=10_000 + j, lang="en", source="a")
+                 for j in range(rng.randint(0, 300))]
+        df = spark.createDataFrame(rows)
+        strata = rng.choice([["lang"], ["lang", "source"]])
+        want = sorted(
+            map(tuple,
+                _windowed_reference_stratified(df, strata, n).collect()),
+            key=repr,
+        )
+        got = sorted(
+            map(tuple,
+                S.stratified_sample(
+                    df.repartition(rng.choice([1, 5, 17])), strata, n
+                ).collect()),
+            key=repr,
+        )
+        assert got == want, f"trial={trial} strata={strata} n={n}"
+
+
 def test_stratified_window_input_is_o_partitions_not_o_rows(spark):
     """The row-count gate (round-5 verdict item 1): the rank window's
     input — the pruned narrow frame — must carry ≤ strata × n × batches
