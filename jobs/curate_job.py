@@ -35,6 +35,13 @@ reassigns an existing document's fate:
    join — shuffle bounded by actual contamination);
 5. **mixture**: :func:`jsl_engine.sampling.mixture_sample` applies
    per-source keep rates (codegen filter; nested under rate increases);
+5b. **stratify** (with ``--stratify COL=N``): a class-balanced hard cap
+   via :func:`jsl_engine.sampling.stratified_sample` — at most N docs
+   per value of COL (e.g. per language), chosen by the deterministic
+   content hash; scale-safe (the corpus is never shuffled: batch-local
+   lossless top-n cut + exact window over the tiny survivors +
+   broadcast semi-join back), and independent of the mixture's hash
+   (distinct salts) so the two stages compose without bias;
 6. **redaction** (with ``--redact``):
    :func:`jsl_engine.redaction.redact_secrets` replaces detected
    secrets/PII with placeholders (map-only JVM regexp);
@@ -50,11 +57,13 @@ Usage::
         [--langs en,de,fr] [--licenses mit,apache-2.0]
         [--benchmark PARQUET]
         [--contamination-ngram 3] [--rate SRC=R ...] [--default-rate 1.0]
+        [--stratify COL=N]
         [--redact] [--eval-permille 50] [--cpus 8] [--keep-output]
 
 Prints one JSON line: docs_in, quality_dropped, repetition_dropped,
 lang_dropped, fluency_dropped, license_dropped, contamination_dropped,
-mixture_dropped, secrets_redacted, train, eval, seconds, docs_per_sec.
+mixture_dropped, stratify_dropped, secrets_redacted, train, eval,
+seconds, docs_per_sec.
 """
 
 from __future__ import annotations
@@ -130,6 +139,13 @@ def main() -> int:
                          "source sizes (rate_s = (n_s/n_min)^(T-1); T=1 "
                          "natural, T->0 uniform); exclusive with --rate")
     ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--stratify", default=None,
+                    help="COL=N class-balanced cap after the mixture: keep "
+                         "at most N docs per value of COL (e.g. lang=50000 "
+                         "balances languages), chosen by the deterministic "
+                         "content hash — the scale-safe stratified sampler "
+                         "(corpus never shuffled; batch-local lossless cut "
+                         "+ broadcast semi-join)")
     ap.add_argument("--eval-permille", type=int, default=50)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--keep-output", action="store_true")
@@ -279,6 +295,17 @@ def main() -> int:
     mixed = mixture_sample(survivors, rates, default_rate=args.default_rate)
     n_mixed = mixed.count()
 
+    if args.stratify:
+        from jsl_engine.sampling import stratified_sample
+
+        col, sep, cap = args.stratify.partition("=")
+        if not sep or not col or not cap.isdigit():
+            ap.error(f"--stratify expects COL=N, got {args.stratify!r}")
+        mixed = stratified_sample(mixed, [col], int(cap)).localCheckpoint()
+        n_stratified = mixed.count()
+    else:
+        n_stratified = n_mixed
+
     n_redactions = 0
     if args.redact:
         red = redact_secrets(mixed).localCheckpoint()
@@ -306,6 +333,7 @@ def main() -> int:
         "license_dropped": n_fluency - n_license,
         "contamination_dropped": n_license - n_decon,
         "mixture_dropped": n_decon - n_mixed,
+        "stratify_dropped": n_mixed - n_stratified,
         "secrets_redacted": int(n_redactions),
         "train": counts.get("train", 0),
         "eval": counts.get("eval", 0),

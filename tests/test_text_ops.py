@@ -969,6 +969,23 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert written.where("doc_id = 102").count() == 0
     assert written.where("doc_id = 104").count() == 0
 
+    # class-balanced cap (--stratify COL=N): at most 3 docs per source
+    # after the mixture, chosen by the scale-safe stratified sampler;
+    # report math consistent and the selection deterministic
+    strat_dir = str(tmp_path / "cur_strat")
+    rep4 = run("--stratify", "source=3", "--output", strat_dir,
+               "--keep-output")
+    assert rep4["stratify_dropped"] > 0        # s0 has 18 survivors > 3
+    assert rep4["train"] + rep4["eval"] == \
+        33 - rep4["mixture_dropped"] - rep4["stratify_dropped"]
+    strat = spark.read.parquet(f"{strat_dir}/documents")
+    per_src = {r["source"]: r["n"] for r in
+               strat.groupBy("source").count().withColumnRenamed(
+                   "count", "n").collect()}
+    assert per_src["s0"] == 3 and all(n <= 3 for n in per_src.values())
+    rep5 = run("--stratify", "source=3")
+    assert drop_timing(rep5) == drop_timing(rep4)
+
 
 def test_components_self_loop_vertex_parity(spark):
     """A vertex whose only edge is a self-loop appears in BOTH component
