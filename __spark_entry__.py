@@ -861,6 +861,43 @@ def q_sampling_mix_split_documents(spark: SparkSession, sf_dir: str) -> DataFram
     return mix.unionByName(spl)
 
 
+#: dsir_sample_documents constants, shared with the generated oracle.
+_DSIR_BUCKETS = 8192
+_DSIR_ALPHA = 0.5
+_DSIR_K = 100
+
+
+def q_dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023) toward a target
+    domain (here: ``source = 'src0'``): hashed uni+bigram
+    likelihood-ratio log-weights under Lidstone-smoothed multinomials,
+    then deterministic Gumbel-top-k selection. Fully oracled — the
+    polynomial gram hash, the Knuth bucket mix, the log-ratio table,
+    and the Gumbel keys are replayed in DuckDB from the same constants
+    (:mod:`jsl_engine.dsir`), so a drift anywhere in the feature
+    hashing, smoothing arithmetic, or selection order is a hash
+    mismatch. Scale shape: two map-only count folds (shuffle carries
+    <= n_buckets rows), one map-only scoring pass, and
+    TakeOrderedAndProject for the top-k — the corpus never shuffles
+    (plan-gated in tests/test_dsir.py)."""
+    from jsl_engine.dsir import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = dsir_sample(
+        docs,
+        docs.where(F.col("source") == "src0"),
+        _DSIR_K,
+        n_buckets=_DSIR_BUCKETS,
+        alpha=_DSIR_ALPHA,
+    )
+    return sel.select(
+        "doc_id",
+        "n_grams",
+        F.round("logweight", 6).alias("logweight"),
+        F.round("sample_key", 6).alias("sample_key"),
+    )
+
+
 def q_vocabulary_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-vs-rest Jensen-Shannon divergence of per-source token
     distributions over the global top-512 vocabulary plus a collapsed
@@ -903,23 +940,38 @@ def _docs_with_licenses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_license_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """License classification over documents with one of five SPDX
-    anchor headers planted per doc_id%9 (5..8 stay unlicensed) —
-    map-only JVM regexp with priority order; oracle SQL generated from
-    the same LICENSE_PATTERNS table."""
-    from jsl_engine.code_ops import license_scan
+    """TWO license operators in one oracled row (the rotation pattern —
+    round 6 merges them to free a slot for ``dsir_sample_documents``),
+    over documents with one of five SPDX anchor headers planted per
+    doc_id%9 (5..8 stay unlicensed):
 
-    return license_scan(_docs_with_licenses(spark, sf_dir))
+    - ``variant='scan'``: per-document classification — map-only JVM
+      regexp with priority order (``key`` = doc_id, counts NULL);
+    - ``variant='rollup'``: repo-level (here: source-level) majority
+      call — the call a corpus filter keys on; majority over matching
+      files, deterministic tie-break, 'unknown' only when no file
+      matched (``key`` = source).
 
+    Both arms' CASE chains are generated from the same
+    LICENSE_PATTERNS table into the DuckDB oracle."""
+    from jsl_engine.code_ops import license_rollup, license_scan
 
-def q_license_rollup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Repo-level (here: source-level) majority license call over the
-    same planted headers — the call a corpus filter keys on; majority
-    over matching files, deterministic tie-break, 'unknown' only when no
-    file matched. Fully oracled."""
-    from jsl_engine.code_ops import license_rollup
-
-    return license_rollup(_docs_with_licenses(spark, sf_dir), repo_col="source")
+    docs = _docs_with_licenses(spark, sf_dir)
+    scan = license_scan(docs).select(
+        F.lit("scan").alias("variant"),
+        F.col("doc_id").cast("string").alias("key"),
+        "license",
+        F.lit(None).cast("long").alias("n_files"),
+        F.lit(None).cast("long").alias("n_matching"),
+    )
+    roll = license_rollup(docs, repo_col="source").select(
+        F.lit("rollup").alias("variant"),
+        F.col("source").alias("key"),
+        "license",
+        F.col("n_files").cast("long").alias("n_files"),
+        F.col("n_matching").cast("long").alias("n_matching"),
+    )
+    return scan.unionByName(roll)
 
 
 def q_code_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1179,7 +1231,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unigram_logprob_score, both formerly pytest-only); and
     ``pq_topk_embeddings`` now unions the full-probe IVF-PQ arm under a
     ``variant`` column (the ``topk_cosine_embeddings`` merge pattern),
-    promoting ``ivfpq_topk`` to the hash gate without a new slot."""
+    promoting ``ivfpq_topk`` to the hash gate without a new slot.
+
+    Round-6 rotation: ``license_rollup_documents`` merged INTO
+    ``license_scan_documents`` under a ``variant`` column (the rollup
+    is one bounded aggregation over the same planted scan), freeing the
+    slot for ``dsir_sample_documents`` — DSIR hashed-n-gram importance
+    resampling, fully oracled."""
     return {
         # flagship JSL validation surface
         "jsl_validate_events": q_jsl_validate_events,
@@ -1214,7 +1272,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": q_line_dedup_documents,
         "repetition_logprob_documents": q_repetition_logprob_documents,
         "license_scan_documents": q_license_scan_documents,
-        "license_rollup_documents": q_license_rollup_documents,
         "code_profile_documents": q_code_profile_documents,
         "curate_fused_documents": q_curate_fused_documents,
         # dedup / decontamination
@@ -1230,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling / export
         "stratified_sample_documents": q_stratified_sample_documents,
         "sampling_mix_split_documents": q_sampling_mix_split_documents,
+        "dsir_sample_documents": q_dsir_sample_documents,
         "vocabulary_drift_documents": q_vocabulary_drift_documents,
         "shuffle_export_documents": q_shuffle_export_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1588,6 +1646,78 @@ def _order_hash_sql(col: str, salt: int) -> str:
     a = f"((({col} % {_MOD}) + {salt * _SALT_STRIDE}) * {_KNUTH}) % {_MOD}"
     g = f"xor({a}, ({a}) >> 15)"
     return f"((({g}) * {_KNUTH2}) % {_MOD})"
+
+
+def _dsir_oracle_sql() -> str:
+    """DuckDB replica of the full DSIR pipeline (jsl_engine/dsir.py) —
+    generated from the SAME constants: the little-endian base-31
+    polynomial gram hash becomes a ``list_reduce`` character fold (the
+    engine's prefix-polynomial slice trick is algebraically identical),
+    the bucket mix reuses :func:`_order_hash_sql`, and the Lidstone
+    log-ratio table, per-doc gram-sum weights, and Gumbel-top-k keys
+    replay verbatim. Float policy: the only doubles are ln() terms and
+    their per-doc sums (abs error ~1e-13 vs numpy's pairwise sum),
+    rounded to 6 decimals like every float gate in this file."""
+    from jsl_engine.sampling import SALT_DSIR_BUCKET, SALT_DSIR_GUMBEL, _MOD
+
+    b, alpha, k = _DSIR_BUCKETS, _DSIR_ALPHA, _DSIR_K
+    denom = f"{alpha} * {b}"
+    ph = (
+        "list_reduce(list_prepend(0::BIGINT, list_reverse(list_transform("
+        "string_split(g, ''), c -> ascii(c)::BIGINT))), "
+        f"(a, c) -> (a * 31 + c) % {_MOD})"
+    )
+
+    def grams(name: str, where: str) -> str:
+        return f"""{name}_w AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(
+                           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                           t -> t <> '') AS w
+                FROM documents WHERE text IS NOT NULL{where}
+            ),
+            {name} AS (
+                SELECT doc_id, ({_order_hash_sql("ph", SALT_DSIR_BUCKET)}) % {b} AS bucket
+                FROM (
+                    SELECT doc_id, {ph} AS ph FROM (
+                        SELECT doc_id, unnest(w || list_transform(
+                                   generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])) AS g
+                        FROM {name}_w WHERE len(w) >= 1
+                    )
+                )
+            )"""
+
+    return f"""
+        WITH {grams("tgt", " AND source = 'src0'")},
+        {grams("raw", "")},
+        tc AS (SELECT bucket, COUNT(*)::BIGINT AS c FROM tgt GROUP BY bucket),
+        tn AS (SELECT COUNT(*)::DOUBLE AS n FROM tgt),
+        rc AS (SELECT bucket, COUNT(*)::BIGINT AS c FROM raw GROUP BY bucket),
+        rn AS (SELECT COUNT(*)::DOUBLE AS n FROM raw),
+        lam AS (
+            SELECT r.range AS bucket,
+                   ln((COALESCE(tc.c, 0) + {alpha}) / (tn.n + {denom}))
+                 - ln((COALESCE(rc.c, 0) + {alpha}) / (rn.n + {denom})) AS lam
+            FROM range({b}) r
+            LEFT JOIN tc ON r.range = tc.bucket
+            LEFT JOIN rc ON r.range = rc.bucket
+            CROSS JOIN tn CROSS JOIN rn
+        ),
+        score AS (
+            SELECT d.doc_id, COUNT(*)::BIGINT AS n_grams, SUM(l.lam) AS logweight
+            FROM raw d JOIN lam l USING (bucket) GROUP BY d.doc_id
+        ),
+        keyed AS (
+            SELECT doc_id, n_grams, logweight,
+                   logweight - ln(-ln(
+                       (({_order_hash_sql("doc_id", SALT_DSIR_GUMBEL)}) + 0.5)
+                       / {float(_MOD)})) AS sample_key
+            FROM score
+        )
+        SELECT doc_id, n_grams, ROUND(logweight, 6) AS logweight,
+               ROUND(sample_key, 6) AS sample_key
+        FROM keyed ORDER BY sample_key DESC NULLS LAST, doc_id LIMIT {k}
+    """
 
 
 def _line_dedup_oracle_sql() -> str:
@@ -2410,8 +2540,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id NOT IN (SELECT id FROM dropped)
             GROUP BY d.lang
         """,
-        "license_scan_documents": _license_scan_oracle_sql(),
-        "license_rollup_documents": _license_rollup_oracle_sql(),
+        "license_scan_documents": f"""
+            SELECT 'scan' AS variant, CAST(doc_id AS VARCHAR) AS key, license,
+                   CAST(NULL AS BIGINT) AS n_files, CAST(NULL AS BIGINT) AS n_matching
+            FROM ({_license_scan_oracle_sql()})
+            UNION ALL
+            SELECT 'rollup' AS variant, source AS key, license, n_files, n_matching
+            FROM ({_license_rollup_oracle_sql()})
+        """,
+        "dsir_sample_documents": _dsir_oracle_sql(),
         "code_profile_documents": _code_profile_oracle_sql(),
         "curate_fused_documents": _curate_fused_oracle_sql(),
         "snapshot_diff_documents": """

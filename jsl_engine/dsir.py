@@ -1,0 +1,283 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Selects the corpus documents whose hashed n-gram feature distribution
+makes them look like a TARGET corpus: per-bucket log likelihood ratios
+between two smoothed multinomials (target vs raw), summed per document,
+then Gumbel-top-k resampling — Data Selection via Importance Resampling
+(Xie et al., NeurIPS 2023, arXiv:2302.03169), the standard recipe for
+steering a web-scale pretraining mix toward a quality/domain reference.
+
+Reference scope: the reference engine (/root/reference, jsl) has no
+data-selection surface — this module belongs to the engine's
+LLM-pipeline layer and follows the determinism contract of
+:mod:`jsl_engine.sampling`: every decision derives from row CONTENT via
+plain 2^31-modular BIGINT arithmetic, so any SQL engine reproduces the
+selection bit-for-bit (the DuckDB oracle replays the full pipeline —
+hash, buckets, likelihood ratios, Gumbel keys — from the same
+constants), and the result is invariant under partitioning, retries,
+and engine choice.
+
+Feature hashing (the part that must be portable): a gram's hash is the
+little-endian base-31 polynomial of its Unicode code points mod 2^31::
+
+    h(gram) = sum_j cp_j * 31^j  (mod 2^31)
+
+computed vectorized from Arrow batches (UTF-32 decode -> prefix
+polynomial -> O(1) per-gram slice extraction, since after whitespace
+normalization every unigram AND bigram is a contiguous substring of the
+document), and replayed in SQL as a ``list_reduce`` character fold. The
+bucket is the same two-round Knuth/xor-shift mix :func:`sampling.order_hash`
+uses (its independence argument carries over), mod ``n_buckets``.
+
+Scale shape (100 TB): three passes, none of which shuffles the corpus —
+(1) target bucket counts and (2) raw bucket counts are map-only
+mapInArrow folds whose shuffle carries at most ``n_buckets`` rows per
+partition before a map-side-combining sum (the two count tables,
+<= n_buckets rows each, are collected: bounded, like the ANN codebook
+collects); (3) scoring is a map-only pass with the log-ratio table a
+closure array (8 KiB at the default 8192 buckets), and the final
+selection is ``orderBy().limit(k)`` — Spark's TakeOrderedAndProject
+(per-partition partial top-k + bounded driver merge, never a global
+sort). Plan-gated in tests/test_dsir.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from jsl_engine.sampling import (
+    _KNUTH,
+    _KNUTH2,
+    _MOD,
+    _SALT_STRIDE,
+    SALT_DSIR_BUCKET,
+    SALT_DSIR_GUMBEL,
+    order_hash,
+)
+from jsl_engine.text_ops_arrow import _WS
+
+_INV31 = pow(31, -1, _MOD)
+
+#: Cached [31^i mod 2^31, 31^-i mod 2^31] tables, grown geometrically —
+#: one table serves every document shorter than its length.
+_POW31 = np.array([1], dtype=np.int64)
+_IPOW31 = np.array([1], dtype=np.int64)
+
+
+def _pow_tables(n: int) -> tuple[np.ndarray, np.ndarray]:
+    global _POW31, _IPOW31
+    if _POW31.size <= n:
+        new = max(n + 1, 2 * _POW31.size)
+        p = np.empty(new, dtype=np.int64)
+        q = np.empty(new, dtype=np.int64)
+        old = _POW31.size
+        p[:old], q[:old] = _POW31, _IPOW31
+        for i in range(old, new):  # one-time, then cached
+            p[i] = (p[i - 1] * 31) % _MOD
+            q[i] = (q[i - 1] * _INV31) % _MOD
+        _POW31, _IPOW31 = p, q
+    return _POW31, _IPOW31
+
+
+def _gram_buckets(text: str, n_buckets: int) -> np.ndarray:
+    """Feature-hash buckets (int64, WITH multiplicity) of one document's
+    unigrams + bigrams under the portable polynomial/Knuth-mix scheme.
+
+    Normalization matches :func:`jsl_engine.text_ops.normalized`
+    (ASCII-whitespace collapse, lowercase, space-trim), so the grams are
+    exactly the SQL oracle's ``regexp_split_to_array`` words and their
+    adjacent space-joined pairs. Zero-token documents return an empty
+    array. Vectorized: the prefix polynomial over the normalized string
+    makes every gram's hash an O(1) slice difference — no per-character
+    Python."""
+    norm = _WS.sub(" ", text.lower()).strip(" ")
+    if not norm:
+        return np.empty(0, dtype=np.int64)
+    cp = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    length = cp.size
+    p, q = _pow_tables(length)
+    terms = (cp % _MOD) * p[:length] % _MOD
+    prefix = np.zeros(length + 1, dtype=np.int64)
+    np.cumsum(terms, out=prefix[1:])  # < L * 2^31: safe in int64 to L ~ 2^32
+    prefix %= _MOD
+    spaces = np.flatnonzero(cp == 32)
+    starts = np.r_[0, spaces + 1]
+    ends = np.r_[spaces, length]
+    s = np.r_[starts, starts[:-1]]  # unigrams, then bigrams [start_i, end_{i+1})
+    e = np.r_[ends, ends[1:]]
+    h = ((prefix[e] - prefix[s]) % _MOD) * q[s] % _MOD
+    a = ((h + SALT_DSIR_BUCKET * _SALT_STRIDE) * _KNUTH) % _MOD
+    g = a ^ (a >> 15)
+    return (g * _KNUTH2) % _MOD % n_buckets
+
+
+def _bucket_counts(df: DataFrame, text_col: str, n_buckets: int) -> np.ndarray:
+    """Corpus-wide gram counts per feature bucket, as a dense int64
+    array of length ``n_buckets`` — ONE map-only Arrow pass folds each
+    partition to <= ``n_buckets`` (bucket, c) rows, a map-side-combining
+    sum merges them, and the bounded result (8192 rows at the default)
+    is collected, the same bounded-collect tier as the ANN codebooks."""
+    import pyarrow as pa
+
+    out_schema = StructType(
+        [StructField("bucket", LongType(), False), StructField("c", LongType(), False)]
+    )
+
+    def fold(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        acc = np.zeros(n_buckets, dtype=np.int64)
+        for batch in batches:
+            for t in batch.column(0).to_pylist():
+                if t is not None:
+                    b = _gram_buckets(t, n_buckets)
+                    if b.size:
+                        acc += np.bincount(b, minlength=n_buckets)
+        nz = np.flatnonzero(acc)
+        if nz.size:
+            yield pa.record_batch(
+                [pa.array(nz, type=pa.int64()), pa.array(acc[nz], type=pa.int64())],
+                names=["bucket", "c"],
+            )
+
+    rows = (
+        df.select(text_col)
+        .mapInArrow(fold, out_schema)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    )
+    counts = np.zeros(n_buckets, dtype=np.int64)
+    for r in rows:
+        counts[r["bucket"]] = r["c"]
+    return counts
+
+
+def log_ratio_table(
+    target_counts: np.ndarray, raw_counts: np.ndarray, alpha: float
+) -> np.ndarray:
+    """Per-bucket log likelihood ratio ln p_target(b) - ln p_raw(b)
+    under Lidstone-smoothed multinomials (the importance weight of one
+    gram occurrence in bucket b)::
+
+        p(b) = (count_b + alpha) / (total + alpha * n_buckets)
+    """
+    n_buckets = target_counts.size
+    nt = float(target_counts.sum())
+    nr = float(raw_counts.sum())
+    if nt == 0:
+        raise ValueError("DSIR target corpus has no tokens")
+    if nr == 0:
+        raise ValueError("DSIR raw corpus has no tokens")
+    return np.log((target_counts + alpha) / (nt + alpha * n_buckets)) - np.log(
+        (raw_counts + alpha) / (nr + alpha * n_buckets)
+    )
+
+
+def ngram_importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight of ``df`` toward
+    ``target``::
+
+        <id_col>, n_grams, logweight
+
+    ``logweight`` is the sum over the document's gram occurrences of the
+    per-bucket log ratio — the log importance weight of the document
+    under the hashed-n-gram bag-of-grams model. Documents with NULL or
+    token-free text emit NO row (they carry no evidence either way and
+    must never be selected — the convention of the fingerprint kernels).
+    Eager stages: the two bucket-count passes run at call time; the
+    returned scoring DataFrame is lazy and map-only."""
+    lam = log_ratio_table(
+        _bucket_counts(target, text_col, n_buckets),
+        _bucket_counts(df, text_col, n_buckets),
+        alpha,
+    )
+
+    import pyarrow as pa
+
+    narrow = df.select(id_col, text_col)
+    id_field = narrow.schema[0]
+    out_schema = StructType(
+        [
+            id_field,
+            StructField("n_grams", LongType(), False),
+            StructField("logweight", DoubleType(), False),
+        ]
+    )
+
+    def score(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            ids, texts = batch.column(0), batch.column(1).to_pylist()
+            keep, n_grams, logw = [], [], []
+            for i, t in enumerate(texts):
+                if t is None:
+                    continue
+                b = _gram_buckets(t, n_buckets)
+                if not b.size:
+                    continue
+                keep.append(i)
+                n_grams.append(b.size)
+                logw.append(float(lam[b].sum()))
+            if keep:
+                yield pa.record_batch(
+                    [
+                        ids.take(pa.array(keep, type=pa.int64())),
+                        pa.array(n_grams, type=pa.int64()),
+                        pa.array(logw, type=pa.float64()),
+                    ],
+                    names=[id_field.name, "n_grams", "logweight"],
+                )
+
+    return narrow.mapInArrow(score, out_schema)
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Gumbel-top-k importance resample: the ``k`` documents of ``df``
+    maximizing ``logweight + Gumbel(doc)``, i.e. a without-replacement
+    sample proportional to the importance weights — DSIR's selection
+    step, made deterministic: the Gumbel noise ``-ln(-ln(u))`` draws its
+    uniform from :func:`sampling.order_hash` on the id (its own salt, so
+    the draw is independent of every other sampling decision in the
+    engine)::
+
+        <id_col>, n_grams, logweight, sample_key
+
+    A NULL-id row scores but never wins (NULL key orders last); ties are
+    impossible (ids are unique and break them). ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject — per-partition top-k, no global
+    sort — so the whole selection pass is map-only over the corpus."""
+    w = ngram_importance_weights(
+        df,
+        target,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        alpha=alpha,
+    )
+    u = (order_hash(id_col, SALT_DSIR_GUMBEL) + F.lit(0.5)) / F.lit(float(_MOD))
+    key = F.col("logweight") - F.log(-F.log(u))
+    return (
+        w.withColumn("sample_key", key)
+        .orderBy(F.desc_nulls_last("sample_key"), F.asc(id_col))
+        .limit(k)
+    )

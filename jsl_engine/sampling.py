@@ -38,6 +38,8 @@ SALT_MIXTURE = 2
 SALT_SPLIT = 3
 SALT_SHUFFLE = 4  # shared by shuffle_export + pack_sequences (one layout)
 SALT_TRAIN_SAMPLE = 5  # similarity.py train_permille quantizer sampling
+SALT_DSIR_GUMBEL = 6  # dsir.py Gumbel-top-k resampling draw (per doc id)
+SALT_DSIR_BUCKET = 7  # dsir.py feature-hash bucket mix (per gram hash)
 
 
 def order_hash(id_col, salt: int = 0):

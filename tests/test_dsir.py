@@ -1,0 +1,211 @@
+"""DSIR importance resampling (jsl_engine/dsir.py): portable-hash
+parity with DuckDB, a pure-Python model oracle, determinism under
+repartitioning, degenerate-input totality, and the map-only plan gate.
+"""
+
+import math
+import random
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from jsl_engine.dsir import (
+    _gram_buckets,
+    dsir_sample,
+    log_ratio_table,
+    ngram_importance_weights,
+)
+from jsl_engine.sampling import (
+    _KNUTH,
+    _KNUTH2,
+    _MOD,
+    _SALT_STRIDE,
+    SALT_DSIR_BUCKET,
+    SALT_DSIR_GUMBEL,
+)
+
+B = 512  # small bucket count: collisions exercised, tables readable
+
+
+def _py_buckets(text: str, n_buckets: int) -> list[int]:
+    """Character-fold reference model of the vectorized kernel: the
+    little-endian base-31 polynomial over code points, then the Knuth
+    mix — written the way the DuckDB oracle writes it (no prefix-table
+    algebra), so the two implementations can only agree if the slice
+    trick is algebraically correct."""
+    norm = re.sub(r"\s+", " ", text.lower(), flags=re.ASCII).strip(" ")
+    if not norm:
+        return []
+    toks = norm.split(" ")
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    out = []
+    for g in grams:
+        h = 0
+        for cp in reversed([ord(c) for c in g]):
+            h = (h * 31 + cp) % _MOD
+        a = ((h + SALT_DSIR_BUCKET * _SALT_STRIDE) * _KNUTH) % _MOD
+        m = ((a ^ (a >> 15)) * _KNUTH2) % _MOD
+        out.append(m % n_buckets)
+    return out
+
+
+CORPUS = [
+    "Hello  World foo",
+    "héllo wörld çedilla",
+    "a",
+    "one two three four five",
+    "UPPER lower MiXeD 123 !@#$%",
+    "tab\tand\nnewline  collapse",
+    "repeated repeated repeated",
+]
+
+
+def test_gram_buckets_match_python_reference():
+    for t in CORPUS:
+        got = _gram_buckets(t, B).tolist()
+        assert got == _py_buckets(t, B), t
+
+
+def test_gram_buckets_match_duckdb_fold():
+    """The kernel's buckets equal DuckDB's list_reduce character fold +
+    the generated Knuth mix — the exact expressions the oracle runs —
+    over seeded random strings (ASCII + accented letters)."""
+    import duckdb
+
+    rng = random.Random(42)
+    alphabet = "abc defé 01ü"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 40)))
+        for _ in range(200)
+    ]
+    grams, want = [], []
+    for t in texts:
+        bs = _gram_buckets(t, B)
+        norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip(" ")
+        toks = norm.split(" ") if norm else []
+        gs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert len(gs) == bs.size
+        grams.extend(gs)
+        want.extend(int(x) for x in bs)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g(i INT, gram VARCHAR)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", list(enumerate(grams)))
+    a = f"(((ph % {_MOD}) + {SALT_DSIR_BUCKET * _SALT_STRIDE}) * {_KNUTH}) % {_MOD}"
+    got = [
+        r[0]
+        for r in con.execute(
+            f"""SELECT ((xor({a}, ({a}) >> 15) * {_KNUTH2}) % {_MOD}) % {B}
+                FROM (SELECT i, list_reduce(list_prepend(0::BIGINT,
+                          list_reverse(list_transform(string_split(gram, ''),
+                          c -> ascii(c)::BIGINT))),
+                          (x, y) -> (x * 31 + y) % {_MOD}) AS ph
+                      FROM g) ORDER BY i"""
+        ).fetchall()
+    ]
+    assert got == want
+
+
+def test_weights_match_model_oracle(spark):
+    """End-to-end logweights equal a pure-Python recomputation of the
+    DSIR model (bucket counts, Lidstone log-ratios, per-doc sums)."""
+    rows = [Row(doc_id=i, text=t, source="s") for i, t in enumerate(CORPUS)]
+    df = spark.createDataFrame(rows).repartition(3)
+    target = df.where("doc_id % 2 = 0")
+    got = {
+        r.doc_id: (r.n_grams, r.logweight)
+        for r in ngram_importance_weights(df, target, n_buckets=B).collect()
+    }
+    tc, rc = np.zeros(B), np.zeros(B)
+    for r in rows:
+        bs = _py_buckets(r.text, B)
+        for b_ in bs:
+            rc[b_] += 1
+            if r.doc_id % 2 == 0:
+                tc[b_] += 1
+    lam = log_ratio_table(tc, rc, 0.5)
+    for r in rows:
+        bs = _py_buckets(r.text, B)
+        assert got[r.doc_id][0] == len(bs)
+        assert got[r.doc_id][1] == pytest.approx(
+            float(np.sum(lam[bs])), abs=1e-9
+        )
+
+
+def test_sample_is_partitioning_invariant(spark):
+    """Same selection (ids AND keys) under 1 vs 7 input partitions —
+    every decision is content-derived."""
+    rows = [
+        Row(doc_id=i, text=f"doc {i} about {'cats' if i % 3 else 'dogs'} "
+                           f"number {i * 7 % 13}")
+        for i in range(120)
+    ]
+    df1 = spark.createDataFrame(rows).coalesce(1)
+    df7 = spark.createDataFrame(rows).repartition(7)
+    tgt = "text LIKE '%dogs%'"
+    s1 = {(r.doc_id, round(r.sample_key, 9))
+          for r in dsir_sample(df1, df1.where(tgt), 20, n_buckets=B).collect()}
+    s7 = {(r.doc_id, round(r.sample_key, 9))
+          for r in dsir_sample(df7, df7.where(tgt), 20, n_buckets=B).collect()}
+    assert s1 == s7 and len(s1) == 20
+
+
+def test_sample_shifts_toward_target(spark):
+    """Documents sharing the target's vocabulary win: with a target of
+    'dog'-domain docs, the top-k over a mixed corpus over-selects the
+    dog docs (the whole point of DSIR)."""
+    dog = [Row(doc_id=i, text="the quick dog runs and barks at the park "
+                              f"with bone {i}") for i in range(50)]
+    cat = [Row(doc_id=100 + i, text="a lazy cat sleeps and purrs on the "
+                                    f"sofa with yarn {i}") for i in range(50)]
+    df = spark.createDataFrame(dog + cat)
+    target = spark.createDataFrame(
+        [Row(doc_id=-1, text="dog barks bone park runs")]
+    )
+    sel = dsir_sample(df, target, 30, n_buckets=B).collect()
+    n_dog = sum(1 for r in sel if r.doc_id < 100)
+    assert n_dog >= 25, n_dog  # ~15 expected under uniform selection
+
+
+def test_degenerate_inputs(spark):
+    """NULL text, empty text, whitespace-only text and a NULL id are
+    total: no-token docs emit no row; a NULL-id doc scores but never
+    outranks a real id (NULL key orders last)."""
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="real words here"),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text=""),
+            Row(doc_id=4, text="   \t  "),
+            Row(doc_id=None, text="real words too"),
+        ]
+    )
+    target = df.where("doc_id = 1")
+    w = ngram_importance_weights(df, target, n_buckets=B).collect()
+    assert {r.doc_id for r in w} == {1, None}
+    sel = dsir_sample(df, target, 1, n_buckets=B).collect()
+    assert [r.doc_id for r in sel] == [1]
+    # k larger than the scoring population returns every scoring doc
+    assert len(dsir_sample(df, target, 99, n_buckets=B).collect()) == 2
+
+
+def test_empty_target_raises(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="some words")])
+    with pytest.raises(ValueError, match="target"):
+        ngram_importance_weights(df, df.where("doc_id < 0"), n_buckets=B)
+
+
+def test_sample_plan_is_map_only(spark):
+    """Scale gate: the selection plan is scan -> MapInArrow ->
+    TakeOrderedAndProject with ZERO Exchange — the corpus never
+    shuffles; only the two bounded count folds (separate, pre-executed
+    jobs) touch a shuffle, and those carry <= n_buckets rows."""
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"words number {i}") for i in range(40)]
+    )
+    plan = dsir_sample(df, df.where("doc_id % 2 = 0"), 5, n_buckets=B)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan
