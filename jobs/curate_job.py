@@ -42,6 +42,12 @@ reassigns an existing document's fate:
    lossless top-n cut + exact window over the tiny survivors +
    broadcast semi-join back), and independent of the mixture's hash
    (distinct salts) so the two stages compose without bias;
+5c. **DSIR selection** (with ``--dsir-target PARQUET --dsir-k N``):
+   :func:`jsl_engine.dsir.dsir_sample` keeps the N surviving documents
+   most like the target corpus under hashed-n-gram importance
+   resampling (Gumbel-top-k over likelihood-ratio log-weights) — the
+   domain/quality-targeting selection step of a pretraining mix;
+   deterministic, map-only over the corpus;
 6. **redaction** (with ``--redact``):
    :func:`jsl_engine.redaction.redact_secrets` replaces detected
    secrets/PII with placeholders (map-only JVM regexp);
@@ -57,13 +63,13 @@ Usage::
         [--langs en,de,fr] [--licenses mit,apache-2.0]
         [--benchmark PARQUET]
         [--contamination-ngram 3] [--rate SRC=R ...] [--default-rate 1.0]
-        [--stratify COL=N]
+        [--stratify COL=N] [--dsir-target PARQUET --dsir-k N]
         [--redact] [--eval-permille 50] [--cpus 8] [--keep-output]
 
 Prints one JSON line: docs_in, quality_dropped, repetition_dropped,
 lang_dropped, fluency_dropped, license_dropped, contamination_dropped,
-mixture_dropped, stratify_dropped, secrets_redacted, train, eval,
-seconds, docs_per_sec.
+mixture_dropped, stratify_dropped, dsir_dropped, secrets_redacted,
+train, eval, seconds, docs_per_sec.
 """
 
 from __future__ import annotations
@@ -146,6 +152,15 @@ def main() -> int:
                          "content hash — the scale-safe stratified sampler "
                          "(corpus never shuffled; batch-local lossless cut "
                          "+ broadcast semi-join)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet path of a target/reference corpus: keep "
+                         "only the --dsir-k surviving docs most like it "
+                         "under DSIR hashed-n-gram importance resampling "
+                         "(Gumbel-top-k over likelihood-ratio weights; "
+                         "deterministic, corpus never shuffled)")
+    ap.add_argument("--dsir-k", type=int, default=None,
+                    help="number of docs the DSIR stage keeps "
+                         "(required with --dsir-target)")
     ap.add_argument("--eval-permille", type=int, default=50)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--keep-output", action="store_true")
@@ -306,6 +321,20 @@ def main() -> int:
     else:
         n_stratified = n_mixed
 
+    if args.dsir_target:
+        if not args.dsir_k:
+            ap.error("--dsir-target requires --dsir-k")
+        from jsl_engine.dsir import dsir_sample
+
+        tgt = spark.read.parquet(args.dsir_target)
+        keep = dsir_sample(mixed, tgt, args.dsir_k).select("doc_id")
+        mixed = (
+            mixed.join(F.broadcast(keep), "doc_id", "semi").localCheckpoint()
+        )
+        n_dsir = mixed.count()
+    else:
+        n_dsir = n_stratified
+
     n_redactions = 0
     if args.redact:
         red = redact_secrets(mixed).localCheckpoint()
@@ -334,6 +363,7 @@ def main() -> int:
         "contamination_dropped": n_license - n_decon,
         "mixture_dropped": n_decon - n_mixed,
         "stratify_dropped": n_mixed - n_stratified,
+        "dsir_dropped": n_stratified - n_dsir,
         "secrets_redacted": int(n_redactions),
         "train": counts.get("train", 0),
         "eval": counts.get("eval", 0),

@@ -986,6 +986,20 @@ def test_curate_job_end_to_end(spark, tmp_path):
     rep5 = run("--stratify", "source=3")
     assert drop_timing(rep5) == drop_timing(rep4)
 
+    # DSIR stage (--dsir-target/--dsir-k): keeps the k survivors most
+    # like the target corpus; the target reuses the shared good-doc
+    # vocabulary so the stage is a pure deterministic down-selection
+    dsir_dir = str(tmp_path / "dsir_tgt")
+    spark.createDataFrame(
+        [Row(doc_id=0, text=good)]
+    ).write.parquet(dsir_dir)
+    rep6 = run("--dsir-target", dsir_dir, "--dsir-k", "10")
+    assert rep6["train"] + rep6["eval"] == 10
+    assert rep6["dsir_dropped"] == \
+        33 - rep6["mixture_dropped"] - rep6["stratify_dropped"] - 10
+    assert drop_timing(run("--dsir-target", dsir_dir, "--dsir-k", "10")) \
+        == drop_timing(rep6)
+
 
 def test_components_self_loop_vertex_parity(spark):
     """A vertex whose only edge is a self-loop appears in BOTH component
