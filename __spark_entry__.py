@@ -623,21 +623,47 @@ def q_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicates (SRP bucket -> oversized-bucket
-    guard -> exact cosine >= threshold) — fully oracled: the seeded
-    hyperplanes are deterministic Python data, so the oracle embeds the
-    same plane literals and replicates bucketing, the max_bucket guard
-    (QUALIFY window count) and the re-rank in SQL."""
-    from jsl_engine.similarity import embedding_near_duplicates
+    """TWO embedding-dedup operators in one oracled row (the rotation
+    pattern), both on the banded-SRP candidate machinery:
+
+    - ``variant='pairs'``: embedding-cosine near-duplicate pairs (SRP
+      bucket -> oversized-bucket guard -> exact cosine >= threshold) —
+      the seeded hyperplanes are deterministic Python data, so the
+      oracle embeds the same plane literals and replicates bucketing,
+      the max_bucket guard (QUALIFY window count) and the re-rank in
+      SQL (``id_a, id_b, cos_sim``; status/n_dups NULL);
+    - ``variant='semdedup'``: SemDeDup-style semantic deduplication
+      (:func:`jsl_engine.similarity.semantic_dedup`) — one row per
+      input vector with ``status`` ('kept'/'dropped' under the
+      deterministic lowest-id keep rule) and ``n_dups`` (verified
+      near-dup neighbor count; ``id_a`` = vec_id, id_b/cos_sim NULL).
+      The oracle re-derives both from the same verified pair CTE, so
+      the keep decision is pinned end-to-end."""
+    from jsl_engine.similarity import embedding_near_duplicates, semantic_dedup
 
     # the testdata embeddings are random gaussians (max within-bucket
     # cosine ~0.34), so the threshold is lowered to 0.2 to produce
     # value-bearing rows for the hash gate; real corpora run 0.95+ (the
     # planted-clone pytest covers that regime)
-    return embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.2, n_planes=12, seed=42,
-        max_bucket=1024, dim=64,
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = dict(threshold=0.2, n_planes=12, seed=42, max_bucket=1024, dim=64)
+    pairs = embedding_near_duplicates(emb, **kw).select(
+        F.lit("pairs").alias("variant"),
+        "id_a",
+        "id_b",
+        "cos_sim",
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("long").alias("n_dups"),
     )
+    sem = semantic_dedup(emb, **kw).select(
+        F.lit("semdedup").alias("variant"),
+        F.col("vec_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("cos_sim"),
+        F.when(F.col("kept"), F.lit("kept")).otherwise(F.lit("dropped")).alias("status"),
+        F.col("n_dups"),
+    )
+    return pairs.unionAll(sem)
 
 
 def q_winnow_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1975,7 +2001,12 @@ def _embedding_near_dup_oracle_sql() -> str:
     the Spark operator uses, embedded as literals per band, so per-band
     bucketing, the per-(band, bucket) oversized guard (``QUALIFY count
     <= max_bucket``), cross-band candidate dedup and the exact-cosine
-    verify replicate bit-for-bit."""
+    verify replicate bit-for-bit. The ``semdedup`` variant (SemDeDup
+    keep/drop + neighbor degree) is re-derived from the same verified
+    pair CTE: dropped = distinct id_b side (pairs are emitted with
+    id_a < id_b, so "has a lower-id neighbor" is exactly membership
+    there); vectors outside the pair list — including NULL-component
+    rows the engines cannot score — are kept with n_dups = 0."""
     from jsl_engine.similarity import _random_planes
 
     n_planes, n_bands = 12, 8
@@ -2010,23 +2041,37 @@ def _embedding_near_dup_oracle_sql() -> str:
             FROM g a JOIN g bb
               ON a.band = bb.band AND a.bucket = bb.bucket
              AND a.vec_id < bb.vec_id
-        )
+        ),
         -- isnan CASE = the engine's corrupt-vector pin (cosine nanvl):
         -- a NaN-component vector would otherwise satisfy >= threshold
         -- in BOTH engines (NaN compares greater) and pair with every
         -- bucketmate
-        SELECT id_a, id_b, cos_sim FROM (
-            SELECT c.id_a, c.id_b,
-                   ROUND(CASE WHEN isnan(list_dot_product(va.e, vb.e)
-                         / (sqrt(list_dot_product(va.e, va.e))
-                            * sqrt(list_dot_product(vb.e, vb.e)))) THEN NULL
-                         ELSE list_dot_product(va.e, vb.e)
-                         / (sqrt(list_dot_product(va.e, va.e))
-                            * sqrt(list_dot_product(vb.e, vb.e))) END, 6) AS cos_sim
-            FROM cands c
-            JOIN v va ON va.vec_id = c.id_a
-            JOIN v vb ON vb.vec_id = c.id_b
-        ) WHERE cos_sim >= 0.2
+        p AS (
+            SELECT id_a, id_b, cos_sim FROM (
+                SELECT c.id_a, c.id_b,
+                       ROUND(CASE WHEN isnan(list_dot_product(va.e, vb.e)
+                             / (sqrt(list_dot_product(va.e, va.e))
+                                * sqrt(list_dot_product(vb.e, vb.e)))) THEN NULL
+                             ELSE list_dot_product(va.e, vb.e)
+                             / (sqrt(list_dot_product(va.e, va.e))
+                                * sqrt(list_dot_product(vb.e, vb.e))) END, 6) AS cos_sim
+                FROM cands c
+                JOIN v va ON va.vec_id = c.id_a
+                JOIN v vb ON vb.vec_id = c.id_b
+            ) WHERE cos_sim >= 0.2
+        )
+        SELECT 'pairs' AS variant, id_a, id_b, cos_sim,
+               CAST(NULL AS VARCHAR) AS status, CAST(NULL AS BIGINT) AS n_dups
+        FROM p
+        UNION ALL
+        SELECT 'semdedup' AS variant, e.vec_id AS id_a,
+               CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cos_sim,
+               CASE WHEN e.vec_id IN (SELECT id_b FROM p)
+                    THEN 'dropped' ELSE 'kept' END AS status,
+               COALESCE((SELECT COUNT(*) FROM
+                         (SELECT id_a AS vid FROM p UNION ALL SELECT id_b FROM p) n
+                         WHERE n.vid = e.vec_id), 0)::BIGINT AS n_dups
+        FROM embeddings e
     """
 
 

@@ -778,3 +778,83 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.98,
+    n_planes: int = 12,
+    n_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1024,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): a vector is DROPPED when it has a near-duplicate
+    neighbor (exact cosine ≥ ``threshold``) with a smaller id — the
+    deterministic pairwise-greedy keep rule ("keep the lowest-id member
+    of every duplicate pair"), which keeps exactly one representative
+    per mutually-similar clique without computing connected components.
+    Returns one row per INPUT vector::
+
+        <id_col>, kept (boolean), n_dups (long)
+
+    ``n_dups`` is the number of verified near-dup neighbors on either
+    side (0 for unique vectors). Degenerate rows follow the engine's
+    ANN totality contract (:func:`cosine`): NULL / NULL-component /
+    zero-norm / NaN vectors never pair, so they are always kept with
+    ``n_dups = 0`` — semantic dedup must not silently delete documents
+    it cannot score.
+
+    Scale shape: SemDeDup's k-means cluster pruning exists to avoid the
+    all-pairs O(n²) sweep; this engine gets the identical effect from
+    the banded-SRP candidate generator it already trusts
+    (:func:`embedding_near_duplicates` — per-(band, bucket) oversized
+    guard, candidates deduped across bands BEFORE the exact verify, the
+    wide vector column never rides the candidate join). On top of the
+    pair list this adds one distinct-project + two id-keyed aggregations
+    and a co-partitioned left join back to the input ids — no new
+    corpus-wide window, no driver state. The paper's "keep the member
+    farthest from the cluster centroid" tie-rule is replaced by the
+    lowest-id rule so the output is a pure deterministic function of
+    the corpus (engine- and partitioning-independent, hence
+    oracle-checkable); at 100 TB that determinism is what makes
+    incremental re-runs and audits possible."""
+    pairs = embedding_near_duplicates(
+        vectors,
+        threshold=threshold,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket=max_bucket,
+        dim=dim,
+    )
+    # neighbor degree: each verified pair contributes to both endpoints
+    deg = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    # dropped = has a lower-id neighbor; pairs are emitted with
+    # id_a < id_b, so the drop set is exactly the distinct id_b side
+    dropped = (
+        pairs.select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        vectors.select(id_col)
+        .join(deg, id_col, "left")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            F.col("__dropped").isNull().alias("kept"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+        )
+    )

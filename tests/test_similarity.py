@@ -541,3 +541,69 @@ def test_nan_vector_cannot_poison_training(spark):
     cb_d = P.train_pq_codebooks_distributed(df, m_sub=4, k_codes=4,
                                             id_col="vec_id")
     assert np.isfinite(cb_d).all()
+
+
+def test_semantic_dedup_keep_rule(spark, vectors):
+    """SemDeDup pairwise-greedy keep rule: in the planted clone pair
+    (5, 10), the lower id is kept and the higher dropped; every vector
+    gets exactly one row; unique vectors keep with n_dups = 0; and the
+    output is a pure function of the verified pair list."""
+    df, _ = vectors
+    out = {r.vec_id: r for r in S.semantic_dedup(df, threshold=0.99, n_planes=8).collect()}
+    assert len(out) == 200
+    assert out[5].kept and out[5].n_dups >= 1
+    assert not out[10].kept and out[10].n_dups >= 1
+    pairs = S.embedding_near_duplicates(df, threshold=0.99, n_planes=8).collect()
+    dropped_expect = {r.id_b for r in pairs}
+    deg = {}
+    for r in pairs:
+        deg[r.id_a] = deg.get(r.id_a, 0) + 1
+        deg[r.id_b] = deg.get(r.id_b, 0) + 1
+    for vid, r in out.items():
+        assert r.kept == (vid not in dropped_expect)
+        assert r.n_dups == deg.get(vid, 0)
+
+
+def test_semantic_dedup_clique_keeps_one(spark):
+    """A mutually-similar clique of 4 clones keeps exactly its lowest id
+    without connected components: every member other than the minimum
+    has a lower-id neighbor above threshold."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=32)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in base + rng.normal(scale=1e-3, size=32)])
+        for i in (3, 7, 9, 12)
+    ] + [
+        Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=32)])
+        for i in (20, 21)
+    ]
+    out = {r.vec_id: r.kept for r in S.semantic_dedup(
+        spark.createDataFrame(rows), threshold=0.99
+    ).collect()}
+    assert out == {3: True, 7: False, 9: False, 12: False, 20: True, 21: True}
+
+
+def test_semantic_dedup_degenerate_vectors_kept(spark):
+    """Totality contract: NULL embeddings, NULL-component, zero-norm and
+    NaN-component vectors can never be scored, so semantic dedup must
+    KEEP them (n_dups = 0) — never silently delete what it cannot
+    compare — while the clean planted clone still dedups."""
+    rng = np.random.default_rng(5)
+    base = [float(x) for x in rng.normal(size=8)]
+    rows = [
+        Row(vec_id=0, embedding=base),
+        Row(vec_id=1, embedding=base),                      # exact clone -> dropped
+        Row(vec_id=2, embedding=None),                      # NULL embedding
+        Row(vec_id=3, embedding=base[:7] + [None]),         # NULL component
+        Row(vec_id=4, embedding=[0.0] * 8),                 # zero norm
+        Row(vec_id=5, embedding=base[:7] + [float("nan")]), # NaN component
+    ]
+    schema = "vec_id long, embedding array<double>"
+    out = {r.vec_id: r for r in S.semantic_dedup(
+        spark.createDataFrame(rows, schema), threshold=0.9, n_planes=4, n_bands=2
+    ).collect()}
+    assert len(out) == 6
+    assert out[0].kept and out[0].n_dups == 1
+    assert not out[1].kept and out[1].n_dups == 1
+    for vid in (2, 3, 4, 5):
+        assert out[vid].kept and out[vid].n_dups == 0, vid
