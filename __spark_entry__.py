@@ -1090,11 +1090,26 @@ def q_shuffle_export_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk sequence packing at a 512-token budget over the
-    whitespace token counts: each doc lands in the training sequence
-    where its first token falls, in deterministic shuffle order within
-    4 hash buckets. One window cumsum per bucket; fully oracled."""
-    from jsl_engine.sampling import pack_sequences
+    """TWO training-layout operators in one oracled row (the rotation
+    pattern), both turning documents into training units:
+
+    - ``variant='pack'``: concat-and-chunk sequence packing at a
+      512-token budget over the whitespace token counts — each doc
+      lands in the training sequence (``unit_id`` = pack_id) where its
+      first token falls, in deterministic shuffle order within 4 hash
+      buckets; ``pos`` = the doc's start offset in its bucket stream.
+      One window cumsum per bucket.
+    - ``variant='chunk'``: sliding-window chunking
+      (:func:`jsl_engine.sampling.chunk_documents`, 32-token windows,
+      8-token overlap — sized so the sf corpus actually slides) —
+      ``unit_id`` = chunk_id, ``pos`` = the chunk's first-token offset
+      IN the document, ``n_tokens`` = window length (short tail
+      allowed), ``sha256`` = hash of the rejoined window so chunk
+      CONTENT is pinned, not just counts. Map-only; bucket NULL.
+
+    Shared honest columns: ``pos`` is always "token offset where this
+    unit's content begins" (bucket stream vs document)."""
+    from jsl_engine.sampling import chunk_documents, pack_sequences
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -1105,7 +1120,27 @@ def q_pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_tok"),
     )
-    return pack_sequences(docs, tokens_col="n_tok", budget=512, n_buckets=4)
+    pack = pack_sequences(docs, tokens_col="n_tok", budget=512, n_buckets=4).select(
+        F.lit("pack").alias("variant"),
+        "doc_id",
+        F.col("pack_id").alias("unit_id"),
+        F.col("start_offset").alias("pos"),
+        "n_tokens",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.lit(None).cast("string").alias("sha256"),
+    )
+    chunk = chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    ).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        F.col("chunk_id").alias("unit_id"),
+        "pos",
+        "n_tokens",
+        F.lit(None).cast("long").alias("bucket"),
+        F.col("chunk_sha256").alias("sha256"),
+    )
+    return pack.unionAll(chunk)
 
 
 def q_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2634,15 +2669,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ),
             c AS (
-                SELECT doc_id, (h % 4)::INT AS bucket, n_tok,
+                SELECT doc_id, (h % 4)::BIGINT AS bucket, n_tok,
                        (SUM(n_tok) OVER (
                             PARTITION BY h % 4 ORDER BY h, doc_id
                             ROWS UNBOUNDED PRECEDING) - n_tok)::BIGINT AS start_offset
                 FROM t
+            ),
+            -- chunk arm: RAW-text whitespace tokens (chunk content is
+            -- case-preserving, unlike the pack arm's count tokenizer)
+            ct AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+                FROM documents WHERE text IS NOT NULL
+            ),
+            cn AS (
+                SELECT doc_id, toks, len(toks)::BIGINT AS n,
+                       CASE WHEN len(toks) <= 32 THEN 1
+                            ELSE 1 + (len(toks) - 32 + 23) // 24 END AS n_chunks
+                FROM ct
+            ),
+            ch AS (
+                SELECT doc_id, toks, n,
+                       unnest(range(n_chunks)) AS chunk_id
+                FROM cn
             )
-            SELECT doc_id, bucket, start_offset, n_tok AS n_tokens,
-                   CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS pack_id
-            FROM c
+            SELECT 'pack' AS variant, doc_id, pack_id AS unit_id,
+                   start_offset AS pos, n_tok AS n_tokens, bucket,
+                   CAST(NULL AS VARCHAR) AS sha256
+            FROM (
+                SELECT doc_id, bucket, start_offset, n_tok,
+                       CAST(FLOOR(start_offset / 512.0) AS BIGINT) AS pack_id
+                FROM c
+            )
+            UNION ALL
+            SELECT 'chunk' AS variant, doc_id, chunk_id AS unit_id,
+                   (chunk_id * 24)::BIGINT AS pos,
+                   len(list_slice(toks, chunk_id * 24 + 1,
+                                  chunk_id * 24 + 32))::BIGINT AS n_tokens,
+                   CAST(NULL AS BIGINT) AS bucket,
+                   sha256(array_to_string(
+                       list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32),
+                       ' ')) AS sha256
+            FROM ch
         """,
         "stratified_sample_documents": f"""
             SELECT doc_id, lang FROM (

@@ -53,6 +53,11 @@ reassigns an existing document's fate:
    secrets/PII with placeholders (map-only JVM regexp);
 7. **split**: :func:`jsl_engine.sampling.hash_split` assigns train/eval
    (stable under corpus growth), written as partition directories.
+8. **chunking** (with ``--chunk TOKENS[:OVERLAP]``):
+   :func:`jsl_engine.sampling.chunk_documents` additionally writes a
+   ``chunks/`` artifact — sliding-window token chunks of the WRITTEN
+   corpus for context-length prep, carrying the split column so the
+   train/eval boundary survives at chunk granularity (map-only).
 
 Usage::
 
@@ -64,12 +69,13 @@ Usage::
         [--benchmark PARQUET]
         [--contamination-ngram 3] [--rate SRC=R ...] [--default-rate 1.0]
         [--stratify COL=N] [--dsir-target PARQUET --dsir-k N]
-        [--redact] [--eval-permille 50] [--cpus 8] [--keep-output]
+        [--redact] [--eval-permille 50] [--chunk TOKENS[:OVERLAP]]
+        [--cpus 8] [--keep-output]
 
 Prints one JSON line: docs_in, quality_dropped, repetition_dropped,
 lang_dropped, fluency_dropped, license_dropped, contamination_dropped,
 mixture_dropped, stratify_dropped, dsir_dropped, secrets_redacted,
-train, eval, seconds, docs_per_sec.
+chunks, train, eval, seconds, docs_per_sec.
 """
 
 from __future__ import annotations
@@ -162,6 +168,13 @@ def main() -> int:
                     help="number of docs the DSIR stage keeps "
                          "(required with --dsir-target)")
     ap.add_argument("--eval-permille", type=int, default=50)
+    ap.add_argument("--chunk", default=None,
+                    help="also write a chunks/ artifact: sliding-window "
+                         "document chunks for context-length prep, "
+                         "TOKENS or TOKENS:OVERLAP (e.g. 128:32; "
+                         "default overlap = TOKENS//4). Chunks carry "
+                         "the split column, so the train/eval boundary "
+                         "is preserved at chunk granularity")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--keep-output", action="store_true")
     args = ap.parse_args()
@@ -347,6 +360,29 @@ def main() -> int:
     final.write.mode("overwrite").partitionBy("split").parquet(
         f"{out_dir}/documents"
     )
+    n_chunks = 0
+    if args.chunk:
+        from jsl_engine.sampling import chunk_documents
+
+        tok, sep, ov = args.chunk.partition(":")
+        if not tok.isdigit() or (sep and not ov.isdigit()):
+            ap.error(f"--chunk expects TOKENS or TOKENS:OVERLAP, got {args.chunk!r}")
+        chunk_tokens = int(tok)
+        overlap = int(ov) if sep else chunk_tokens // 4
+        # chunk the WRITTEN corpus (not the pre-write plan): the chunks
+        # artifact must reflect exactly what landed in documents/, and
+        # re-reading parquet is cheaper than re-running the filter chain
+        chunks = chunk_documents(
+            spark.read.parquet(f"{out_dir}/documents"),
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+            keep_text=True,
+            keep_cols=("split",),
+        )
+        chunks.write.mode("overwrite").partitionBy("split").parquet(
+            f"{out_dir}/chunks"
+        )
+        n_chunks = spark.read.parquet(f"{out_dir}/chunks").count()
     written = spark.read.parquet(f"{out_dir}/documents")
     counts = {r["split"]: r["n"] for r in
               written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -365,6 +401,7 @@ def main() -> int:
         "stratify_dropped": n_mixed - n_stratified,
         "dsir_dropped": n_stratified - n_dsir,
         "secrets_redacted": int(n_redactions),
+        "chunks": int(n_chunks),
         "train": counts.get("train", 0),
         "eval": counts.get("eval", 0),
         "seconds": seconds,

@@ -380,3 +380,88 @@ def temperature_rates(
         # smallest representable nonzero rate.
         out[src] = max(0.001, round(min(1.0, rate) * 1000) / 1000.0)
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    keep_text: bool = False,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sliding-window document chunking for context-length prep (training
+    sequence construction, RAG indexing): the whitespace token stream is
+    cut into windows of ``chunk_tokens`` advancing by ``stride =
+    chunk_tokens - overlap``, so consecutive chunks share ``overlap``
+    tokens and every token is covered. Output, one row per chunk::
+
+        <id_col>, chunk_id, n_chunks, pos, n_tokens, chunk_sha256
+        [, chunk_text with keep_text=True] [, *keep_cols passed through]
+
+    ``pos`` is the chunk's first token's 0-based offset in the document
+    (``chunk_id * stride``); the last chunk may be shorter than
+    ``chunk_tokens``. A document at or under one window yields exactly
+    one chunk; NULL-text rows yield ZERO rows by contract (there is no
+    token stream to window — upstream curation owns NULL handling, and
+    an explicit contract beats a silent NULL-keyed chunk).
+
+    Deterministic and engine-independent — ``chunk_sha256`` hashes the
+    space-rejoined window, so chunk CONTENT (not just counts) is
+    oracle-checkable.
+
+    Scale shape: map-only — split, an integer-arithmetic chunk count,
+    one bounded ``posexplode(sequence(...))`` fan-out, ``slice`` +
+    ``sha2`` per chunk, all whole-stage codegen; no shuffle, no UDF, no
+    driver state. The explode multiplies rows by ~n_tok/stride, the
+    same growth the downstream training sink pays anyway."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .withColumn("__toks", toks)
+        .withColumn("__n", F.size("__toks"))
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("__n") <= chunk_tokens, F.lit(1))
+            .otherwise(
+                F.lit(1)
+                + F.expr(f"(__n - {chunk_tokens} + {stride - 1}) div {stride}")
+            )
+            .cast("long"),
+        )
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    out = (
+        base.select(
+            id_col,
+            "__toks",
+            "n_chunks",
+            F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias(
+                "chunk_id"
+            ),
+            *keep_cols,
+        )
+        .withColumn("__chunk", chunk)
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "n_chunks",
+            (F.col("chunk_id") * stride).cast("long").alias("pos"),
+            F.size("__chunk").cast("long").alias("n_tokens"),
+            F.sha2(F.array_join("__chunk", " "), 256).alias("chunk_sha256"),
+            *([F.array_join("__chunk", " ").alias("chunk_text")] if keep_text else []),
+            *keep_cols,
+        )
+    )
+    return out

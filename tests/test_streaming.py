@@ -739,3 +739,43 @@ def test_line_dedup_composes_with_streams(spark, tmp_path):
                       remove_frequent_lines(batch_df, frequent=[banner]).collect()))
     assert got == want
     assert sum(1 for r in got if r[3] == 1) == 20  # every even doc lost the banner
+
+
+def test_chunking_composes_with_streams(spark, tmp_path):
+    """chunk_documents is a pure map pass (split + bounded explode +
+    slice/sha2 — no aggregation, no window), so it runs unchanged over a
+    file-source stream: streaming chunks == batch chunks, including the
+    sliding-window overlap, across multi-file triggers."""
+    from pyspark.sql import Row
+
+    from jsl_engine.sampling import chunk_documents
+
+    src = str(tmp_path / "ck_src")
+    rows = [
+        Row(doc_id=i, text=" ".join(f"d{i}w{j}" for j in range(10 + 7 * i)))
+        for i in range(24)
+    ]
+    spark.createDataFrame(rows).repartition(4).write.parquet(src)
+    batch_df = spark.read.parquet(src)
+    q = (
+        chunk_documents(
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src),
+            chunk_tokens=16,
+            overlap=4,
+            keep_text=True,
+        )
+        .writeStream.format("memory")
+        .queryName("ck_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ck_stream").collect()))
+    want = sorted(map(tuple, chunk_documents(
+        batch_df, chunk_tokens=16, overlap=4, keep_text=True
+    ).collect()))
+    assert got == want
+    assert len(got) > len(rows)  # the longer docs actually slid

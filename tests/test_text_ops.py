@@ -1000,6 +1000,30 @@ def test_curate_job_end_to_end(spark, tmp_path):
     assert drop_timing(run("--dsir-target", dsir_dir, "--dsir-k", "10")) \
         == drop_timing(rep6)
 
+    # chunking rider (--chunk TOKENS:OVERLAP): a chunks/ artifact of the
+    # WRITTEN corpus, split-partitioned; every written doc appears, each
+    # doc's chunks reconstruct its whitespace token stream, and the
+    # chunk rows inherit the doc's split assignment
+    chunk_dir = str(tmp_path / "cur_chunk")
+    rep7 = run("--chunk", "16:4", "--output", chunk_dir, "--keep-output")
+    chunks = spark.read.parquet(f"{chunk_dir}/chunks")
+    docs_w = spark.read.parquet(f"{chunk_dir}/documents")
+    assert rep7["chunks"] == chunks.count() > 0
+    assert set(r.doc_id for r in chunks.select("doc_id").distinct().collect()) \
+        == set(r.doc_id for r in docs_w.select("doc_id").collect())
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    splits = {r.doc_id: r.split for r in docs_w.collect()}
+    texts = {r.doc_id: r.text for r in docs_w.collect()}
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_id)
+        assert {r.split for r in rs} == {splits[did]}
+        stitched = rs[0].chunk_text.split(" ")
+        for r in rs[1:]:
+            stitched += r.chunk_text.split(" ")[4:]
+        assert stitched == texts[did].split()
+
 
 def test_components_self_loop_vertex_parity(spark):
     """A vertex whose only edge is a self-loop appears in BOTH component
@@ -2091,3 +2115,62 @@ def test_dedup_exact_keeps_one_null_representative(spark):
     groups = {r.content_hash: (r.n_docs, list(r.doc_ids))
               for r in T.exact_duplicates(df).collect()}
     assert groups["__null__"] == (2, [1, 2])
+
+
+def test_chunk_documents_reconstruction(spark):
+    """Sliding-window invariants: stitching chunk 0 plus each later
+    chunk's post-overlap tail reproduces the exact token stream; every
+    consecutive pair shares exactly the overlap tokens; pos/n_chunks
+    follow the integer formula."""
+    from jsl_engine.sampling import chunk_documents
+
+    words = [f"w{i}" for i in range(237)]
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=64, overlap=16, keep_text=True).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    stride = 64 - 16
+    import math
+    assert rows[0].n_chunks == 1 + math.ceil((237 - 64) / stride) == len(rows)
+    stitched = rows[0].chunk_text.split(" ")
+    for prev, cur in zip(rows, rows[1:]):
+        ptoks, ctoks = prev.chunk_text.split(" "), cur.chunk_text.split(" ")
+        assert ptoks[-16:] == ctoks[:16]          # shared overlap
+        assert cur.pos == cur.chunk_id * stride
+        stitched += ctoks[16:]
+    assert stitched == words                       # lossless coverage
+    assert rows[-1].n_tokens == 237 - rows[-1].pos  # short tail chunk
+
+
+def test_chunk_documents_edges(spark):
+    """Contract edges: a doc at/under one window is exactly one chunk, a
+    doc of exactly chunk+1 tokens gains a second; NULL text yields zero
+    rows; sha256 matches the rejoined window; overlap >= chunk raises."""
+    from jsl_engine.sampling import chunk_documents
+    import hashlib
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"t{i}" for i in range(8))),
+            Row(doc_id=2, text=" ".join(f"t{i}" for i in range(9))),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text="  lone   token  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=8, overlap=4, keep_text=True)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_tokens == 8
+    assert len(by_doc[2]) == 2 and by_doc[2][1].pos == 4
+    assert by_doc[4][0].chunk_text == "lone token"
+    for rs in by_doc.values():
+        for r in rs:
+            assert r.chunk_sha256 == hashlib.sha256(
+                r.chunk_text.encode()
+            ).hexdigest()
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
