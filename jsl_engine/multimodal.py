@@ -11,10 +11,14 @@ Decoding is REAL for formats that need no codec library:
   ``frombuffer``), with genuine nearest-neighbor resize in
   :func:`resize_images` and decoded-pixel pooled features in
   :func:`extract_features`;
+* **PNG images (8-bit, non-interlaced; gray/RGB/palette/alpha)** —
+  :func:`decode_png` / :func:`encode_png` (round 6): stdlib ``zlib``
+  inflate + numpy per-scanline unfiltering of all five spec filters —
+  PNG's critical path never needed a codec library;
 * **WAV PCM audio** — :func:`decode_wav` (stdlib ``wave`` + numpy), with
   real windowed RMS-energy + zero-crossing features.
 
-Formats that DO require codec libraries (JPEG/PNG/MP4 — no Pillow or
+Formats that DO require codec libraries (JPEG/MP4 — no Pillow or
 torchcodec in this container) fall back to the clearly-labeled
 ``decode_stub``; swapping it for a real codec changes one function, not
 the pipeline.
@@ -186,6 +190,161 @@ def encode_netpbm(arr) -> bytes:
     return magic + f" {w} {h} 255\n".encode() + arr.tobytes()
 
 
+def decode_png(payload: bytes):
+    """Decode an 8-bit-depth, non-interlaced PNG to a numpy array of
+    shape (h, w) for grayscale or (h, w, 3) for color — stdlib ``zlib``
+    inflate + numpy per-scanline unfiltering, NO codec library (the
+    point: "needs Pillow" was never true for PNG's critical path).
+
+    Coverage: color types 0 (gray), 2 (RGB), 3 (palette via PLTE),
+    4 (gray+alpha) and 6 (RGBA); alpha planes are dropped for the
+    feature/resize pipeline (compositing policy belongs to the caller).
+    Returns ``None`` — routing the caller to the stub fallback, never
+    crashing the Spark task — for non-PNG payloads, 16-bit depth,
+    interlaced images, or truncated/malformed chunk structure. Chunk
+    CRCs are not verified (a decode-for-features pass trusts storage
+    integrity to the parquet layer's own checksums).
+
+    Unfiltering per the PNG spec (RFC 2083 §6): filter 0/2 (None/Up)
+    are whole-row numpy ops; filter 1 (Sub) is a per-lane cumulative
+    sum mod 256 (addition mod 256 distributes over cumsum); filters
+    3/4 (Average/Paeth) are genuinely sequential in the reconstructed
+    left neighbor, so those rows fall back to a per-pixel loop —
+    correctness over speed; a production media pipeline swaps in a
+    codec library and keeps this as the dependency-free fallback."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        pos = 8
+        idat: list[bytes] = []
+        plte = None
+        w = h = channels = ctype = None
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos:pos + 4])
+            typ = payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            if len(data) < length:
+                return None
+            if typ == b"IHDR":
+                w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data[:13]
+                )
+                if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                    return None
+                channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+                if channels is None or w <= 0 or h <= 0:
+                    return None
+            elif typ == b"PLTE":
+                plte = np.frombuffer(
+                    data[: 3 * (len(data) // 3)], np.uint8
+                ).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            return None
+        raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+        ftypes = raw[:, 0]
+        rows = raw[:, 1:].astype(np.int32)
+        out = np.zeros((h, stride), np.uint8)
+        prev = np.zeros(stride, np.int32)
+        bpp = channels
+        for y in range(h):
+            f = int(ftypes[y])
+            rec = rows[y]
+            if f == 0:
+                pass
+            elif f == 1:  # Sub: per-lane cumsum mod 256
+                pad = (-stride) % bpp
+                lanes = np.pad(rec, (0, pad)).reshape(-1, bpp)
+                rec = (np.cumsum(lanes, axis=0, dtype=np.int64) & 255).reshape(
+                    -1
+                )[:stride].astype(np.int32)
+            elif f == 2:  # Up
+                rec = (rec + prev) & 255
+            elif f == 3:  # Average — sequential in reconstructed left
+                for x in range(stride):
+                    left = rec[x - bpp] if x >= bpp else 0
+                    rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 255
+            elif f == 4:  # Paeth — sequential in reconstructed left
+                for x in range(stride):
+                    a = rec[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (rec[x] + pred) & 255
+            else:
+                return None
+            rec = rec & 255
+            out[y] = rec
+            prev = rec
+    except Exception:
+        # malformed zlib stream / chunk structure routes to the stub
+        # fallback, never a task crash
+        return None
+    img = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None or int(img.max(initial=0)) >= len(plte):
+            return None
+        return plte[img[:, :, 0]]
+    if ctype == 0:
+        return img[:, :, 0]
+    if ctype == 4:  # gray + alpha -> gray
+        return img[:, :, 0]
+    if ctype == 6:  # RGBA -> RGB
+        return img[:, :, :3]
+    return img
+
+
+def encode_png(arr) -> bytes:
+    """Encode a (h, w) or (h, w, 3) uint8 array as a valid PNG (filter 0
+    scanlines, one zlib IDAT, correct CRCs) — stdlib only. Round-trips
+    through :func:`decode_png` bit-for-bit."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    ctype = 2 if arr.ndim == 3 else 0
+    body = arr.reshape(h, -1)
+    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes):
+    """Try every dependency-free image codec (netpbm, then PNG); None if
+    the payload is neither — the caller's stub-fallback contract."""
+    arr = decode_netpbm(payload)
+    return arr if arr is not None else decode_png(payload)
+
+
 def resize_nearest(arr, nw: int, nh: int):
     """Nearest-neighbor resize via index striding — exact, deterministic,
     numpy-only."""
@@ -295,7 +454,7 @@ def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
                 # stub only covers codec-library formats (mp4 here)
                 feat = None
                 if kind == "image":
-                    arr = decode_netpbm(payload)
+                    arr = decode_image(payload)
                     if arr is not None:
                         feat = image_feature(arr, dim)
                 elif kind == "audio":
@@ -345,15 +504,18 @@ def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
                     continue
                 scale = max_side / side
                 nw, nh = max(1, int(w[i] * scale)), max(1, int(h[i] * scale))
-                arr = decode_netpbm(bytes(payloads[i]))
+                raw = bytes(payloads[i])
+                arr = decode_netpbm(raw)
                 if arr is not None:
-                    # REAL resize on decoded pixels
+                    # REAL resize on decoded pixels, same container out
                     payloads[i] = encode_netpbm(resize_nearest(arr, nw, nh))
+                elif (arr := decode_png(raw)) is not None:
+                    payloads[i] = encode_png(resize_nearest(arr, nw, nh))
                 else:
                     # STUB for codec-library formats: deterministic payload
                     # transform standing in for decode→resize→encode
                     payloads[i] = hashlib.blake2b(
-                        bytes(payloads[i]), digest_size=32,
+                        raw, digest_size=32,
                         person=f"{nw}x{nh}".encode()[:8],
                     ).digest()
                 w[i], h[i] = nw, nh

@@ -267,3 +267,176 @@ def test_malformed_media_routes_to_stub_not_crash():
     assert len(f) == 16 and not any(math.isnan(v) for v in f)
     assert f[-1] == 0.0
     assert M.audio_feature(np.array([0.1, -0.1]), dim=1) == [0.0]
+
+
+def test_png_unfilter_all_five_filters():
+    """Decode is pinned against an INDEPENDENT forward implementation of
+    the PNG spec's scanline filters, written here from RFC 2083 §6: the
+    test filters known pixels with every filter type (one per row, all
+    five exercised), assembles a real PNG container, and decode_png must
+    invert it exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from jsl_engine.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    h, w, ch = 5, 11, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    bpp = ch
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+
+    def forward_filter(y, ftype):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        out = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (cur[x] - pred) & 255
+        return out.astype(np.uint8)
+
+    raw = b"".join(
+        bytes([f]) + forward_filter(y, f).tobytes()
+        for y, f in enumerate([0, 1, 2, 3, 4])
+    )
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    got = decode_png(payload)
+    assert got is not None and got.shape == (h, w, 3)
+    assert np.array_equal(got, img)
+
+
+def test_png_roundtrip_gray_rgb_palette_alpha():
+    """encode_png -> decode_png is bit-for-bit for gray and RGB; palette
+    (type 3) resolves through PLTE; alpha planes (types 4/6) are dropped
+    to gray/RGB; multi-IDAT streams concatenate."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from jsl_engine.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(9)
+    gray = rng.integers(0, 256, size=(6, 4), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(gray)), gray)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    def png(ctype, channels, w, h, body, extra=b""):
+        raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+        z = zlib.compress(raw)
+        # split the stream across two IDAT chunks
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+                + extra
+                + chunk(b"IDAT", z[:7]) + chunk(b"IDAT", z[7:])
+                + chunk(b"IEND", b""))
+
+    # palette: 4 colors, indices cycle
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    idx = (np.arange(12, dtype=np.uint8) % 4).reshape(3, 4)
+    p3 = png(3, 1, 4, 3, idx.reshape(3, 4), extra=chunk(b"PLTE", plte.tobytes()))
+    assert np.array_equal(decode_png(p3), plte[idx])
+
+    # gray+alpha -> gray plane only
+    ga = rng.integers(0, 256, size=(2, 3, 2), dtype=np.uint8)
+    assert np.array_equal(decode_png(png(4, 2, 3, 2, ga.reshape(2, -1))), ga[:, :, 0])
+
+    # RGBA -> RGB planes only
+    rgba = rng.integers(0, 256, size=(2, 2, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(png(6, 4, 2, 2, rgba.reshape(2, -1))), rgba[:, :, :3])
+
+
+def test_png_malformed_returns_none():
+    """Non-PNG, 16-bit, interlaced, truncated-IDAT and bad-filter-byte
+    payloads all route to the stub fallback (None), never raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from jsl_engine.multimodal import decode_png, encode_png
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    assert decode_png(b"JFIF not png") is None
+    assert decode_png(sig + chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)) + chunk(b"IEND", b"")) is None  # 16-bit
+    assert decode_png(sig + chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)) + chunk(b"IEND", b"")) is None   # interlaced
+    ok = encode_png(np.zeros((4, 4), np.uint8))
+    assert decode_png(ok[:40]) is None                                     # truncated
+    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)) \
+        + chunk(b"IDAT", zlib.compress(b"\x07\x00")) + chunk(b"IEND", b"")
+    assert decode_png(bad) is None                                         # filter 7
+
+
+def test_png_takes_real_path_in_spark_pipeline(spark):
+    """extract_features computes POOLED-PIXEL features (not the byte
+    stub) for PNG payloads, and resize_images decodes/resizes/re-encodes
+    PNG in-container: the output payload is a valid PNG of the new
+    dimensions whose pixels are the nearest-neighbor downscale."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine.multimodal import (
+        decode_png,
+        decode_stub,
+        encode_png,
+        extract_features,
+        image_feature,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
+    payload = encode_png(img)
+    from jsl_engine.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame([Row(
+        media_id=1, kind="image", mime="image/png", width=48, height=64,
+        duration_ms=None, n_bytes=len(payload), payload=bytearray(payload),
+    )], MEDIA_SCHEMA)
+    [feat] = extract_features(df, dim=16).collect()
+    assert feat.feature == [float(np.float32(v)) for v in image_feature(img, 16)]
+    assert feat.feature != [float(np.float32(v))
+                            for v in decode_stub(payload, "image", 16)]
+
+    [rz] = resize_images(df, max_side=32).collect()
+    assert (rz.width, rz.height) == (24, 32)
+    out = decode_png(bytes(rz.payload))
+    assert out is not None
+    assert np.array_equal(out, resize_nearest(img, 24, 32))
