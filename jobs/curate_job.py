@@ -58,6 +58,12 @@ reassigns an existing document's fate:
    ``chunks/`` artifact — sliding-window token chunks of the WRITTEN
    corpus for context-length prep, carrying the split column so the
    train/eval boundary survives at chunk granularity (map-only).
+9. **tokenizer training** (with ``--bpe-merges N``):
+   :func:`jsl_engine.bpe.train_bpe` learns a BPE merge table ON the
+   written train split only (the tokenizer never sees eval text),
+   writes it as a ``bpe_merges/`` artifact, and reports the train
+   split's token budget in the tokenizer's own units via the map-only
+   :func:`jsl_engine.bpe.bpe_encode`.
 
 Usage::
 
@@ -70,12 +76,13 @@ Usage::
         [--contamination-ngram 3] [--rate SRC=R ...] [--default-rate 1.0]
         [--stratify COL=N] [--dsir-target PARQUET --dsir-k N]
         [--redact] [--eval-permille 50] [--chunk TOKENS[:OVERLAP]]
-        [--cpus 8] [--keep-output]
+        [--bpe-merges N] [--cpus 8] [--keep-output]
 
 Prints one JSON line: docs_in, quality_dropped, repetition_dropped,
 lang_dropped, fluency_dropped, license_dropped, contamination_dropped,
 mixture_dropped, stratify_dropped, dsir_dropped, secrets_redacted,
-chunks, train, eval, seconds, docs_per_sec.
+chunks, bpe_merges, bpe_tokens_train, train, eval, seconds,
+docs_per_sec.
 """
 
 from __future__ import annotations
@@ -175,6 +182,12 @@ def main() -> int:
                          "default overlap = TOKENS//4). Chunks carry "
                          "the split column, so the train/eval boundary "
                          "is preserved at chunk granularity")
+    ap.add_argument("--bpe-merges", type=int, default=None,
+                    help="train a BPE tokenizer ON the written train "
+                         "split (N merges), write the merge table as a "
+                         "bpe_merges/ artifact, and report the train "
+                         "split's token budget in the tokenizer's own "
+                         "units (bpe_tokens_train)")
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--keep-output", action="store_true")
     args = ap.parse_args()
@@ -383,6 +396,26 @@ def main() -> int:
             f"{out_dir}/chunks"
         )
         n_chunks = spark.read.parquet(f"{out_dir}/chunks").count()
+    n_bpe_merges = 0
+    n_bpe_tokens = 0
+    if args.bpe_merges:
+        from jsl_engine.bpe import bpe_encode, train_bpe
+
+        # train on the WRITTEN train split only: the tokenizer must never
+        # see eval text (the same leakage rule the benchmark
+        # decontamination stage enforces for documents)
+        train_docs = spark.read.parquet(f"{out_dir}/documents").where(
+            "split = 'train'"
+        )
+        merges = train_bpe(train_docs, n_merges=args.bpe_merges)
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, left string, right string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/bpe_merges")
+        n_bpe_merges = len(merges)
+        n_bpe_tokens = bpe_encode(train_docs, merges).agg(
+            F.sum("n_tokens")
+        ).first()[0] or 0
     written = spark.read.parquet(f"{out_dir}/documents")
     counts = {r["split"]: r["n"] for r in
               written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -402,6 +435,8 @@ def main() -> int:
         "dsir_dropped": n_stratified - n_dsir,
         "secrets_redacted": int(n_redactions),
         "chunks": int(n_chunks),
+        "bpe_merges": int(n_bpe_merges),
+        "bpe_tokens_train": int(n_bpe_tokens),
         "train": counts.get("train", 0),
         "eval": counts.get("eval", 0),
         "seconds": seconds,

@@ -1,0 +1,136 @@
+"""BPE tokenizer tests: the incremental trainer is pinned against an
+independent naive recount-per-iteration implementation; encoding
+round-trips, memoizes, and is total over degenerate rows."""
+
+import pytest
+from pyspark.sql import Row
+
+from jsl_engine.bpe import (
+    END,
+    bpe_encode,
+    encode_word,
+    train_bpe,
+    _apply_merge,
+)
+
+
+def _naive_bpe(word_counts: dict[str, int], n_merges: int):
+    """Reference trainer: re-count every pair from scratch each
+    iteration (the textbook O(iterations x corpus) formulation) with the
+    same (count desc, pair lexicographic) tie-break."""
+    vocab = {}
+    for w, n in word_counts.items():
+        syms = tuple(w[:-1]) + (w[-1] + END,)
+        vocab[syms] = vocab.get(syms, 0) + n
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, n in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        # rebuild the whole vocab from scratch through the merge chain —
+        # deliberately the slow, obviously-correct formulation
+        vocab = {}
+        for w, n in word_counts.items():
+            syms = tuple(w[:-1]) + (w[-1] + END,)
+            for m in merges:
+                syms = _apply_merge(syms, m, m[0] + m[1])
+            vocab[syms] = vocab.get(syms, 0) + n
+    return merges
+
+
+def test_trainer_matches_naive_reference(spark):
+    """The incremental pair-count/reverse-index trainer must produce the
+    EXACT merge sequence of the naive recount-from-scratch reference on
+    the Sennrich-style corpus — bookkeeping bugs (stale pair counts,
+    missed reverse-index updates) surface as a sequence divergence."""
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "new": 2}
+    rows = [
+        Row(doc_id=i, text=" ".join(w for w, c in counts.items() for _ in range(c)))
+        for i in range(1)
+    ]
+    df = spark.createDataFrame(rows)
+    got = train_bpe(df, n_merges=12)
+    want = _naive_bpe(counts, 12)
+    assert got == want
+    assert got[0] == ("e", "s")  # count 9, lexicographic winner of the tie
+    assert ("es", "t" + END) in got[:3]
+
+
+def test_trainer_stops_when_nothing_repeats(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="ab cd ef")])
+    merges = train_bpe(df, n_merges=100)
+    # every word is unique and shares no repeated pair: nothing repeats
+    # at all -> trainer must stop immediately, not emit singleton merges
+    assert merges == []
+
+
+def test_encode_roundtrip_and_monotonicity(spark):
+    """Concatenating a word's tokens reproduces the word + END marker at
+    ANY number of merges; token counts decrease monotonically as merges
+    grow; zero merges = character count per word."""
+    text = "the cat sat on the mat the cat sat"
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    prev = None
+    for k in (0, 2, 6, 20):
+        merges = train_bpe(df, n_merges=k)
+        [r] = bpe_encode(df, merges, keep_tokens=True).collect()
+        words = text.split()
+        assert r.n_words == len(words)
+        assert r.n_tokens == len(r.tokens)
+        # reconstruct: tokens concatenated = words with END after each
+        assert "".join(r.tokens) == "".join(w + END for w in words)
+        if k == 0:
+            assert r.n_tokens == sum(len(w) for w in words)
+        if prev is not None:
+            assert r.n_tokens <= prev
+        prev = r.n_tokens
+
+
+def test_encode_totality_and_determinism(spark):
+    """NULL text reports 0/0 (never a dropped row); the same corpus
+    encodes identically under repartitioning (memo is per-batch state,
+    not cross-batch state)."""
+    rows = [Row(doc_id=1, text="aa ab aa ab aa"), Row(doc_id=2, text=None),
+            Row(doc_id=3, text="  aa   ab  ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=4)
+    out1 = {r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe_encode(df, merges).collect()}
+    out2 = {r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe_encode(df.repartition(7), merges).collect()}
+    assert out1 == out2
+    assert out1[2] == (0, 0)
+    assert out1[3] == (2, out1[3][1])
+    assert out1[1][0] == 5
+
+
+def test_encode_word_greedy_rank_order():
+    """Apply order is lowest-rank-first (training order), not left-to-
+    right: with merges [(b,c), (a,bc)] the word 'abc' becomes ['abc</w>']
+    only if bc merges before ab can block it."""
+    ranks = {("b", "c" + END): 0, ("a", "bc" + END): 1}
+    assert encode_word("abc", ranks) == ["abc" + END]
+    # an unknown word falls back to characters
+    assert encode_word("xyz", {}) == ["x", "y", "z" + END]
+
+
+def test_max_word_types_cap(spark):
+    """The driver materializes at most max_word_types types — the cap
+    keeps the most frequent ones, so the learned merges come from the
+    corpus head, deterministically."""
+    rows = [Row(doc_id=i, text=("hello world " * 5) + f"rare{i}")
+            for i in range(50)]
+    df = spark.createDataFrame(rows)
+    merges_capped = train_bpe(df, n_merges=6, max_word_types=2)
+    merges_full = train_bpe(
+        spark.createDataFrame([Row(doc_id=0, text="hello world " * 250)]),
+        n_merges=6,
+    )
+    assert merges_capped == merges_full

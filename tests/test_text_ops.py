@@ -1005,7 +1005,27 @@ def test_curate_job_end_to_end(spark, tmp_path):
     # doc's chunks reconstruct its whitespace token stream, and the
     # chunk rows inherit the doc's split assignment
     chunk_dir = str(tmp_path / "cur_chunk")
-    rep7 = run("--chunk", "16:4", "--output", chunk_dir, "--keep-output")
+    rep7 = run("--chunk", "16:4", "--output", chunk_dir, "--keep-output",
+               "--bpe-merges", "40")
+    # tokenizer rider: the merges artifact reproduces the reported train
+    # token budget through an independent re-encode, and the tokenizer
+    # never saw eval text (trained on the written train split only)
+    from jsl_engine.bpe import bpe_encode
+    from pyspark.sql import functions as F
+
+    merge_rows = sorted(
+        spark.read.parquet(f"{chunk_dir}/bpe_merges").collect(),
+        key=lambda r: r.rank,
+    )
+    assert rep7["bpe_merges"] == len(merge_rows) == 40
+    merges = [(r.left, r.right) for r in merge_rows]
+    train_docs = spark.read.parquet(f"{chunk_dir}/documents").where(
+        "split = 'train'"
+    )
+    recount = bpe_encode(train_docs, merges).agg(
+        F.sum("n_tokens")
+    ).first()[0]
+    assert rep7["bpe_tokens_train"] == recount > 0
     chunks = spark.read.parquet(f"{chunk_dir}/chunks")
     docs_w = spark.read.parquet(f"{chunk_dir}/documents")
     assert rep7["chunks"] == chunks.count() > 0
