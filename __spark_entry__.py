@@ -647,7 +647,12 @@ def q_embedding_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
     # planted-clone pytest covers that regime)
     emb = _t(spark, sf_dir, "embeddings")
     kw = dict(threshold=0.2, n_planes=12, seed=42, max_bucket=1024, dim=64)
-    pairs = embedding_near_duplicates(emb, **kw).select(
+    # ONE banded-SRP candidate pass feeds both arms: the pair list is
+    # O(near-dups) — tiny next to the corpus — so localCheckpoint
+    # materializes it once instead of re-running bucketize+join+verify
+    # per consuming branch
+    raw_pairs = embedding_near_duplicates(emb, **kw).localCheckpoint()
+    pairs = raw_pairs.select(
         F.lit("pairs").alias("variant"),
         "id_a",
         "id_b",
@@ -655,7 +660,7 @@ def q_embedding_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
         F.lit(None).cast("string").alias("status"),
         F.lit(None).cast("long").alias("n_dups"),
     )
-    sem = semantic_dedup(emb, **kw).select(
+    sem = semantic_dedup(emb, pairs=raw_pairs, **kw).select(
         F.lit("semdedup").alias("variant"),
         F.col("vec_id").alias("id_a"),
         F.lit(None).cast("long").alias("id_b"),

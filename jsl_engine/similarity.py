@@ -791,6 +791,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_bucket: int = 1024,
     dim: int | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): a vector is DROPPED when it has a near-duplicate
@@ -822,18 +823,26 @@ def semantic_dedup(
     lowest-id rule so the output is a pure deterministic function of
     the corpus (engine- and partitioning-independent, hence
     oracle-checkable); at 100 TB that determinism is what makes
-    incremental re-runs and audits possible."""
-    pairs = embedding_near_duplicates(
-        vectors,
-        threshold=threshold,
-        n_planes=n_planes,
-        n_bands=n_bands,
-        seed=seed,
-        id_col=id_col,
-        vec_col=vec_col,
-        max_bucket=max_bucket,
-        dim=dim,
-    )
+    incremental re-runs and audits possible.
+
+    Pass ``pairs`` (a precomputed ``id_a, id_b, cos_sim`` frame from
+    :func:`embedding_near_duplicates`, ideally materialized) when the
+    caller ALSO consumes the pair list: Spark re-executes a plan subtree
+    once per consuming branch, so sharing one checkpointed pair list
+    halves the dominant candidate-generation cost instead of doubling
+    it."""
+    if pairs is None:
+        pairs = embedding_near_duplicates(
+            vectors,
+            threshold=threshold,
+            n_planes=n_planes,
+            n_bands=n_bands,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_bucket=max_bucket,
+            dim=dim,
+        )
     # neighbor degree: each verified pair contributes to both endpoints
     deg = (
         pairs.select(F.col("id_a").alias(id_col))
