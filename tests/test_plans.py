@@ -90,3 +90,21 @@ def test_fan_out_probes_only_shuffle_free_plans(spark, tmp_path):
     # broadcast-join plans carry a BroadcastExchange — also skipped
     joined = scan.join(F.broadcast(spark.range(100)), "id")
     assert fan_out(joined) is joined
+
+
+def test_chunk_documents_plan_is_map_only(spark):
+    """chunk_documents must stay a single map-side pipeline: no Exchange
+    (nothing to shuffle), no Python evaluation node (the kernel is pure
+    JVM expressions), and one Generate for the bounded chunk explode."""
+    from pyspark.sql import Row
+
+    from jsl_engine.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g h i j k l m n o p")]
+    )
+    plan = chunk_documents(df, chunk_tokens=4, overlap=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Python" not in plan and "ArrowEval" not in plan, plan[:2000]
+    assert plan.count("Generate") == 1, plan[:2000]

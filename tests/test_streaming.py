@@ -779,3 +779,37 @@ def test_chunking_composes_with_streams(spark, tmp_path):
     ).collect()))
     assert got == want
     assert len(got) > len(rows)  # the longer docs actually slid
+
+
+def test_bpe_encode_composes_with_streams(spark, tmp_path):
+    """bpe_encode is a map-only Arrow kernel with broadcast ranks (the
+    per-batch word memo is batch-local, not cross-batch state), so it
+    runs unchanged over a file-source stream: streaming token counts ==
+    batch token counts across multi-file triggers."""
+    from pyspark.sql import Row
+
+    from jsl_engine.bpe import bpe_encode, train_bpe
+
+    src = str(tmp_path / "bpe_src")
+    rows = [Row(doc_id=i, text="the cat sat on the mat " * (1 + i % 3))
+            for i in range(20)]
+    spark.createDataFrame(rows).repartition(4).write.parquet(src)
+    batch_df = spark.read.parquet(src)
+    merges = train_bpe(batch_df, n_merges=10)
+    q = (
+        bpe_encode(
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src),
+            merges,
+        )
+        .writeStream.format("memory")
+        .queryName("bpe_stream")
+        .option("checkpointLocation", str(tmp_path / "bpe_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM bpe_stream").collect()))
+    want = sorted(map(tuple, bpe_encode(batch_df, merges).collect()))
+    assert got == want and len(got) == 20
