@@ -1,0 +1,141 @@
+"""ANN index lifecycle job: build a persisted IVF-PQ index once, serve
+top-k queries against it many times.
+
+At 10^12 vectors the corpus encode is the expensive pass; a serving
+deployment runs it ONCE (``--build``) and answers every query batch from
+the persisted artifacts (``--query``) — the narrow ``(id, cell, codes)``
+table plus the one-row model parquet (centroids, codebooks, params). The
+query path scans only the code table; the original vectors are touched
+only by the optional ``--refine`` exact-rerank tail, which reads back
+≤ refine candidate rows per query.
+
+Usage::
+
+    # build (train coarse quantizer + codebooks, encode, persist)
+    python jobs/ann_job.py --build --input EMB.parquet --index DIR
+        [--cells 64] [--msub 4] [--kcodes 16] [--residual] [--seed 7]
+        [--cpus 8]
+
+    # query (load artifacts, answer top-k)
+    python jobs/ann_job.py --query --index DIR --queries Q.parquet
+        [--k 10] [--n-probe 8] [--refine 50 --vectors EMB.parquet]
+        [--output DIR] [--cpus 8]
+
+Each mode prints one JSON line. Build: n_vectors, n_cells, dim,
+seconds, vectors_per_sec. Query: n_queries, k, n_probe, result_rows,
+seconds, queries_per_sec. Query vectors parquet must carry
+``(query_id, embedding)``.
+
+The fresh-index == persisted-index equality is pinned bit-for-bit in
+``tests/test_pq.py``; this job is the operational wrapper.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from jsl_engine.partitioning import get_spark
+from jsl_engine.pq import build_ivfpq_index, ivfpq_query, load_ivfpq_index
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    mode = ap.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--build", action="store_true")
+    mode.add_argument("--query", action="store_true")
+    ap.add_argument("--index", required=True, help="index directory")
+    ap.add_argument("--input", default=None,
+                    help="embeddings parquet (build mode)")
+    ap.add_argument("--queries", default=None,
+                    help="query vectors parquet (query mode)")
+    ap.add_argument("--vectors", default=None,
+                    help="original embeddings parquet for the --refine "
+                         "exact-rerank tail (query mode)")
+    ap.add_argument("--output", default=None,
+                    help="write query results parquet here (else counted "
+                         "only)")
+    ap.add_argument("--cells", type=int, default=64)
+    ap.add_argument("--msub", type=int, default=4)
+    ap.add_argument("--kcodes", type=int, default=16)
+    ap.add_argument("--residual", action="store_true")
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--n-probe", type=int, default=8)
+    ap.add_argument("--refine", type=int, default=0)
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+    if args.build and not args.input:
+        ap.error("--build requires --input")
+    if args.query and not args.queries:
+        ap.error("--query requires --queries")
+    if args.refine and not args.vectors:
+        ap.error("--refine requires --vectors (the exact tail re-ranks "
+                 "against the original embeddings)")
+
+    spark = get_spark(
+        f"local[{args.cpus}]",
+        app_name="jsl-ann-job",
+        shuffle_partitions=max(8, args.cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+
+    if args.build:
+        meta = build_ivfpq_index(
+            spark.read.parquet(args.input),
+            args.index,
+            n_cells=args.cells,
+            m_sub=args.msub,
+            k_codes=args.kcodes,
+            seed=args.seed,
+            residual=args.residual,
+        )
+        seconds = round(time.time() - t0, 3)
+        print(json.dumps({
+            "mode": "build",
+            "n_vectors": meta["n_vectors"],
+            "n_cells": meta["n_cells"],
+            "dim": meta["dim"],
+            "residual": meta["residual"],
+            "seconds": seconds,
+            "vectors_per_sec": round(meta["n_vectors"] / seconds, 1),
+        }))
+        return 0
+
+    codes, cent, cb, meta = load_ivfpq_index(spark, args.index)
+    queries = spark.read.parquet(args.queries)
+    n_queries = queries.count()
+    out = ivfpq_query(
+        codes, queries, cent, cb,
+        k=args.k, n_probe=args.n_probe, refine=args.refine,
+        residual=meta["residual"],
+        vectors=(spark.read.parquet(args.vectors) if args.vectors else None),
+    )
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        result_rows = spark.read.parquet(args.output).count()
+    else:
+        result_rows = out.count()
+    seconds = round(time.time() - t0, 3)
+    print(json.dumps({
+        "mode": "query",
+        "n_queries": n_queries,
+        "k": args.k,
+        "n_probe": args.n_probe,
+        "refine": args.refine,
+        "result_rows": result_rows,
+        "seconds": seconds,
+        "queries_per_sec": round(n_queries / seconds, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,7 @@ single documents; reference scope src/lib.rs:114-118).
 from __future__ import annotations
 
 import hashlib
+import json
 from typing import Iterator
 
 import numpy as np
@@ -444,9 +445,38 @@ def ivfpq_topk(
     _check_divisible(dim, codebooks.shape[0])
     m_sub_, k_codes_, sub = codebooks.shape
 
-    # --- index: one Arrow pass -> (id, cell, codes) ---
+    encoded = ivfpq_encode(
+        vectors, cent, codebooks, residual=residual,
+        vec_col=vec_col, id_col=id_col,
+    )
+    return ivfpq_query(
+        encoded, queries, cent, codebooks,
+        k=k, n_probe=n_probe, refine=refine, residual=residual,
+        vectors=vectors, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids,
+    codebooks: np.ndarray,
+    *,
+    residual: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONE Arrow pass producing the IVF-PQ index table ``(id, cell,
+    codes)`` — coarse assignment via the broadcast centroid matmul + PQ
+    encode (of the residual when ``residual=True``). This is the narrow
+    table a 10^12-vector deployment persists
+    (:func:`build_ivfpq_index`); degenerate vectors (NULL/NaN/Inf
+    components) are not encodable and are excluded, mirroring every
+    other ANN entry point."""
+    spark = vectors.sparkSession
+    cent = np.array(centroids, dtype=np.float64)
     bc = spark.sparkContext.broadcast((cent, codebooks))
-    pruned = vectors.select(id_col, vec_col)
+    pruned = _finite(vectors, vec_col).select(id_col, vec_col)
     idx_schema = StructType(
         [
             pruned.schema[id_col],
@@ -474,7 +504,156 @@ def ivfpq_topk(
                 names=[batch.schema.field(0).name, "cell", "codes"],
             )
 
-    encoded = pruned.mapInArrow(index, idx_schema)
+    return pruned.mapInArrow(index, idx_schema)
+
+
+def build_ivfpq_index(
+    vectors: DataFrame,
+    index_dir: str,
+    *,
+    n_cells: int = 16,
+    n_iterations: int = 10,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    seed: int = 7,
+    residual: bool = False,
+    train_codebooks: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Build and PERSIST an IVF-PQ index: train the coarse quantizer and
+    codebooks, encode the corpus in one Arrow pass, and write::
+
+        <index_dir>/codes/   (id, cell, codes) parquet — the only thing
+                             query time scans; ~64x narrower than the
+                             vectors
+        <index_dir>/model/   one-row parquet: centroids, flattened
+                             codebooks + shape, and the build params
+
+    Returns the meta dict. The index is immutable build output — the
+    train-once / query-many lifecycle: at 10^12 vectors the corpus
+    encode is the expensive pass, and re-running it per query batch
+    (what :func:`ivfpq_topk` does for one-shot use) would dominate every
+    serving workload. :func:`load_ivfpq_index` +
+    :func:`ivfpq_query` answer against the artifacts without touching
+    the original vectors (except an optional ``refine`` tail).
+
+    Codebooks are TRAINED by default (bounded-sample Lloyd per
+    subspace; residual codebooks when ``residual=True``) — a persisted
+    production index should spend the one-time training cost;
+    ``train_codebooks=False`` keeps the deterministic random codebook
+    the hash-gate oracle replays."""
+    from jsl_engine.similarity import train_ivf_centroids
+
+    spark = vectors.sparkSession
+    centroids = train_ivf_centroids(
+        vectors, n_cells=n_cells, iterations=n_iterations,
+        vec_col=vec_col, id_col=id_col, seed=seed,
+    )
+    cent = np.array(centroids, dtype=np.float64)
+    dim = cent.shape[1]
+    if train_codebooks:
+        if residual:
+            codebooks = train_residual_pq_codebooks(
+                vectors, cent, m_sub=m_sub, k_codes=k_codes,
+                vec_col=vec_col, id_col=id_col, seed=seed,
+            )
+        else:
+            codebooks = train_pq_codebooks(
+                vectors, m_sub=m_sub, k_codes=k_codes,
+                vec_col=vec_col, id_col=id_col, seed=seed,
+            )
+    else:
+        codebooks = make_random_codebooks(
+            dim, m_sub=m_sub, k_codes=k_codes, seed=seed
+        )
+    encoded = ivfpq_encode(
+        vectors, cent, codebooks, residual=residual,
+        vec_col=vec_col, id_col=id_col,
+    )
+    encoded.write.mode("overwrite").parquet(f"{index_dir}/codes")
+    n_vectors = spark.read.parquet(f"{index_dir}/codes").count()
+    meta = {
+        "dim": int(dim),
+        "n_cells": int(n_cells),
+        "m_sub": int(m_sub),
+        "k_codes": int(k_codes),
+        "seed": int(seed),
+        "residual": bool(residual),
+        "trained_codebooks": bool(train_codebooks),
+        "id_col": id_col,
+        "n_vectors": int(n_vectors),
+    }
+    spark.createDataFrame(
+        [(
+            [[float(v) for v in row] for row in cent],
+            [float(v) for v in codebooks.reshape(-1)],
+            json.dumps(meta),
+        )],
+        "centroids array<array<double>>, codebooks_flat array<double>, "
+        "meta string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/model")
+    return meta
+
+
+def load_ivfpq_index(spark, index_dir: str):
+    """Load a persisted IVF-PQ index:
+    ``(codes DataFrame, centroids list, codebooks ndarray, meta dict)``.
+    The codes table is a lazy scan — nothing is materialized here."""
+    [m] = spark.read.parquet(f"{index_dir}/model").collect()
+    meta = json.loads(m["meta"])
+    codebooks = np.array(m["codebooks_flat"], dtype=np.float64).reshape(
+        meta["m_sub"], meta["k_codes"], meta["dim"] // meta["m_sub"]
+    )
+    centroids = [list(row) for row in m["centroids"]]
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    return codes, centroids, codebooks, meta
+
+
+def ivfpq_query(
+    codes: DataFrame,
+    queries: DataFrame,
+    centroids,
+    codebooks: np.ndarray,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 0,
+    residual: bool = False,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The IVF-PQ QUERY path over an already-encoded ``(id, cell,
+    codes)`` table — what a deployment runs against a PERSISTED index
+    (:func:`build_ivfpq_index` / :func:`load_ivfpq_index`): the
+    10^12-row corpus is encoded once at build time; query time scans
+    only the narrow code table and never re-touches the vectors (except
+    the bounded ``refine`` tail, which needs the original ``vectors``
+    frame to exact-rerank its ≤ refine candidates per query).
+
+    Identical semantics to the tail of :func:`ivfpq_topk` — which now
+    calls this — so fresh-index and persisted-index answers are pinned
+    equal bit-for-bit in pytest."""
+    spark = codes.sparkSession
+    q_rows = _finite(queries, vec_col).select(query_id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError(
+            "no usable query vectors: the queries DataFrame is empty or "
+            "every query embedding is NULL/NaN/Inf (degenerate vectors "
+            "are excluded from quantized scoring)"
+        )
+    _check_int_query_ids([r[0] for r in q_rows])
+    qx = _normalize_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
+    cent = np.array(centroids, dtype=np.float64)
+    _check_divisible(qx.shape[1], codebooks.shape[0])
+    m_sub_, k_codes_, sub = codebooks.shape
+    if refine > 0 and vectors is None:
+        raise ValueError(
+            "refine > 0 needs the original vectors frame for the exact "
+            "re-rank tail (pass vectors=...)"
+        )
 
     # --- probe table: (query_id, cell, bias, flat LUT) broadcast ---
     probe_rows = []
@@ -497,9 +676,9 @@ def ivfpq_topk(
         F.element_at(F.col("lut"), F.lit(m * k_codes_) + F.element_at(F.col("codes"), m + 1) + 1)
         for m in range(m_sub_)
     )
-    id_name = pruned.schema[0].name
+    id_name = codes.schema[0].name
     n_keep = max(k, refine)
-    scored = encoded.join(probe, "cell").select(
+    scored = codes.join(probe, "cell").select(
         "query_id", F.col("cell"), F.col(id_name),
         F.round(score, 6).alias("adc_sim"),
     )
@@ -524,7 +703,7 @@ def ivfpq_topk(
     if refine <= 0:
         return ranked.where(F.col("rank") <= k)
     return _exact_refine(
-        vectors, queries, ranked, id_name=id_name,
+        _finite(vectors, vec_col), queries, ranked, id_name=id_name,
         vec_col=vec_col, query_id_col=query_id_col, k=k,
     )
 

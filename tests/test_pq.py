@@ -388,3 +388,98 @@ def test_pq_trainer_deterministic(spark, gaussian):
     a = P.train_pq_codebooks(df, m_sub=4, k_codes=8)
     b = P.train_pq_codebooks(df.repartition(5), m_sub=4, k_codes=8)
     assert np.array_equal(a, b)
+
+
+def test_persisted_index_equals_fresh(spark, tmp_path):
+    """The train-once / query-many lifecycle: build_ivfpq_index ->
+    load_ivfpq_index -> ivfpq_query must reproduce ivfpq_topk (fresh
+    index, same centroids/codebooks) BIT-FOR-BIT, plain and residual,
+    with and without the exact-refine tail — the persisted artifacts
+    carry the full model."""
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(6, 32))
+    vecs = np.concatenate(
+        [c + rng.normal(scale=0.05, size=(20, 32)) for c in centers]
+    )
+    df = _df(spark, vecs)
+    queries = spark.createDataFrame(
+        [Row(query_id=i, embedding=[float(x) for x in centers[i]])
+         for i in range(4)]
+    )
+    for residual in (False, True):
+        d = str(tmp_path / f"idx_{residual}")
+        meta = P.build_ivfpq_index(
+            df, d, n_cells=6, m_sub=4, k_codes=8, seed=3, residual=residual,
+        )
+        assert meta["n_vectors"] == 120 and meta["dim"] == 32
+        codes, cent, cb, meta2 = P.load_ivfpq_index(spark, d)
+        assert meta2 == meta
+        for refine in (0, 10):
+            got = sorted(map(tuple, P.ivfpq_query(
+                codes, queries, cent, cb, k=5, n_probe=3,
+                residual=residual, refine=refine,
+                vectors=df if refine else None,
+            ).collect()))
+            want = sorted(map(tuple, P.ivfpq_topk(
+                df, queries, k=5, n_probe=3, n_cells=6,
+                centroids=cent, codebooks=cb,
+                residual=residual, refine=refine,
+            ).collect()))
+            assert got == want, (residual, refine)
+            assert len(got) == 4 * 5
+
+
+def test_ivfpq_query_refine_requires_vectors(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    df = _df(spark, rng.normal(size=(40, 16)))
+    d = str(tmp_path / "idx_rq")
+    P.build_ivfpq_index(df, d, n_cells=4, m_sub=4, k_codes=4)
+    codes, cent, cb, _ = P.load_ivfpq_index(spark, d)
+    queries = df.limit(1).selectExpr("vec_id as query_id", "embedding")
+    with pytest.raises(ValueError, match="refine"):
+        P.ivfpq_query(codes, queries, cent, cb, refine=5)
+
+
+def test_ann_job_end_to_end(spark, tmp_path):
+    """The ANN lifecycle job: --build persists the index from a parquet
+    corpus, --query answers from the artifacts (with the exact-refine
+    tail), and corpus queries return themselves at rank 1."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    rng = np.random.default_rng(17)
+    vecs = rng.normal(size=(200, 32))
+    src = str(tmp_path / "emb")
+    _df(spark, vecs).write.parquet(src)
+    qsrc = str(tmp_path / "queries")
+    _df(spark, vecs[:4]).selectExpr(
+        "vec_id as query_id", "embedding"
+    ).write.parquet(qsrc)
+    idx = str(tmp_path / "index")
+    out = str(tmp_path / "results")
+    repo = Path(__file__).resolve().parent.parent
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, str(repo / "jobs" / "ann_job.py"), *args],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(
+            [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    rep = run("--build", "--input", src, "--index", idx,
+              "--cells", "8", "--cpus", "4")
+    assert rep["n_vectors"] == 200 and rep["dim"] == 32
+
+    rep2 = run("--query", "--index", idx, "--queries", qsrc,
+               "--k", "3", "--n-probe", "4",
+               "--refine", "10", "--vectors", src,
+               "--output", out, "--cpus", "4")
+    assert rep2["result_rows"] == 4 * 3
+    got = spark.read.parquet(out)
+    top1 = {r.query_id: r.vec_id for r in got.where("rank = 1").collect()}
+    assert top1 == {0: 0, 1: 1, 2: 2, 3: 3}  # self at rank 1, exact tail
