@@ -440,3 +440,208 @@ def session_stats_stream(
             6,
         ).alias("duration_secs"),
     )
+
+
+def embedding_near_dup_stream(
+    stream: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.98,
+    n_planes: int = 12,
+    n_bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    max_bucket: int = 64,
+    state_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Streaming embedding-cosine near-duplicate detection — the
+    embedding-modality twin of :func:`near_dup_stream`: every arriving
+    vector is EXACT-cosine-compared against the vectors already seen in
+    its banded-SRP buckets, emitting ``id_a, id_b, band, cos_sim`` pairs
+    incrementally (continuous semantic dedup over an embedding landing
+    zone).
+
+    Same banding as the batch operator
+    (:func:`jsl_engine.similarity.embedding_near_duplicates` — seeded
+    hyperplanes, ``n_bands × n_planes``), same exact float64 cosine with
+    ROUND(_, 6), so under-cap pair sets are gated equal to batch in
+    pytest (cross-band dedup on ``(id_a, id_b)`` at the consumer, as in
+    the text stream). Degenerate vectors (NULL / NULL-component /
+    zero-norm / NaN) are excluded BEFORE banding — the batch totality
+    pin; a stream has no verify tail to drop them later.
+
+    State per (band, bucket) key: at most ``max_bucket`` ``(id,
+    vector)`` entries (8·dim bytes each — vectors must live in state
+    because the exact score needs them; the batch pipeline's
+    fetch-vectors-back-by-id join has no streaming analogue). A bucket
+    exceeding ``max_bucket`` saturates exactly like the text stream:
+    stops storing, stops emitting, pairs already emitted stand. For
+    unbounded streams set ``state_timeout_minutes`` (idle-bucket
+    eviction) — bounded state, cross-epoch recall traded away.
+
+    Unlike the batch plan — which bands only ``(id, band, bucket)`` and
+    re-joins vectors after candidate dedup — the streaming banded rows
+    CARRY the vector (``n_bands`` copies per input row cross the
+    micro-batch shuffle). That is the documented price of incremental
+    emission; the stream-stream self-join alternative needs watermarked
+    full-corpus state on both sides and still cannot retract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from jsl_engine.similarity import _random_planes
+
+    planes = np.array(
+        _random_planes(dim, n_planes * n_bands, seed), dtype=np.float64
+    )
+    weights = np.tile(2 ** np.arange(n_planes, dtype=np.int64), n_bands)
+    spark = stream.sparkSession
+    bc = spark.sparkContext.broadcast((planes, weights, n_bands, n_planes))
+
+    # degenerate-vector exclusion, JVM-side (the similarity._finite pin,
+    # inlined: _finite targets batch plans and this must stream)
+    finite = (
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull() | F.isnan(x))
+    )
+    pruned = stream.where(finite).select(id_col, vec_col)
+
+    import pyarrow as pa
+
+    band_schema = StructType(
+        [
+            pruned.schema[id_col],
+            StructField("band", IntegerType(), False),
+            StructField("bucket", LongType(), False),
+            StructField("vec", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def bucketize(batches):
+        p, wts, nb, npl = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_pylist()
+            x = np.array(batch.column(1).to_pylist(), dtype=np.float64)
+            bits = (x @ p.T >= 0).astype(np.int64) * wts
+            bkt = bits.reshape(len(x), nb, npl).sum(axis=2)
+            out_ids, out_band, out_bucket, out_vec = [], [], [], []
+            for i, vid in enumerate(ids):
+                row = [float(v) for v in x[i]]
+                for b in range(nb):
+                    out_ids.append(vid)
+                    out_band.append(b)
+                    out_bucket.append(int(bkt[i, b]))
+                    out_vec.append(row)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=batch.schema.field(0).type),
+                    pa.array(out_band, type=pa.int32()),
+                    pa.array(out_bucket, type=pa.int64()),
+                    pa.array(out_vec, type=pa.list_(pa.float64())),
+                ],
+                names=[batch.schema.field(0).name, "band", "bucket", "vec"],
+            )
+
+    banded = pruned.mapInArrow(bucketize, band_schema)
+
+    out_type = StructType(
+        [
+            StructField("id_a", LongType(), False),
+            StructField("id_b", LongType(), False),
+            StructField("band", IntegerType(), False),
+            StructField("cos_sim", DoubleType(), False),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("ids", ArrayType(LongType()), True),
+            StructField("flat", ArrayType(DoubleType()), True),
+            StructField("n_seen", LongType(), True),
+        ]
+    )
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "band": pd.Series([], dtype="int32"),
+                 "cos_sim": pd.Series([], dtype="float64")}
+            )
+            return
+        if state.exists:
+            ids, flat, n_seen = (
+                list(state.get[0]),
+                list(state.get[1]),
+                int(state.get[2]),
+            )
+        else:
+            ids, flat, n_seen = [], [], 0
+        seen_ids = set(ids)
+        band = int(key[0])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_c: list[float] = []
+        for pdf in pdf_iter:
+            for vid, vec in zip(pdf[id_col], pdf["vec"]):
+                vid = int(vid)
+                if vid in seen_ids:
+                    continue  # at-least-once replay idempotence
+                n_seen += 1
+                if n_seen > max_bucket:
+                    continue  # saturated: guard semantics, state bounded
+                v = np.asarray(list(vec), dtype=np.float64)
+                nv = float(np.linalg.norm(v))
+                if ids and nv > 0.0:
+                    stored = np.asarray(flat, dtype=np.float64).reshape(
+                        -1, dim
+                    )
+                    norms = np.linalg.norm(stored, axis=1) * nv
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = np.where(
+                            norms > 0.0, stored @ v / norms, np.nan
+                        )
+                    # HALF_UP like Spark's ROUND (np.round is half-even —
+                    # a tie at the 7th digit would diverge from batch)
+                    cos = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+                    for other, c in zip(ids, cos):
+                        if np.isfinite(c) and c >= threshold and other != vid:
+                            out_a.append(min(other, vid))
+                            out_b.append(max(other, vid))
+                            out_c.append(float(c))
+                ids.append(vid)
+                seen_ids.add(vid)
+                flat.extend(float(x) for x in v)
+        state.update((ids, flat, n_seen))
+        if state_timeout_minutes is not None:
+            state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "band": pd.Series([band] * len(out_a), dtype="int32"),
+                "cos_sim": pd.Series(out_c, dtype="float64"),
+            }
+        )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update, out_type, state_type, "append", timeout_conf
+    )

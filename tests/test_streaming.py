@@ -813,3 +813,73 @@ def test_bpe_encode_composes_with_streams(spark, tmp_path):
     got = sorted(map(tuple, spark.sql("SELECT * FROM bpe_stream").collect()))
     want = sorted(map(tuple, bpe_encode(batch_df, merges).collect()))
     assert got == want and len(got) == 20
+
+
+def test_embedding_near_dup_stream_matches_batch(spark, tmp_path):
+    """Streaming embedding near-dup (banded SRP + exact cosine in state)
+    finds exactly the batch pipeline's pairs while buckets stay under the
+    cap — TWO availableNow queries over a shared checkpoint, with the
+    second arrival containing clones of first-arrival vectors, prove
+    state carries vectors across restarts. Degenerate rows (NULL
+    embedding, NULL component, NaN component) ride along and must pair
+    with nothing on either surface."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine.similarity import embedding_near_duplicates
+    from jsl_engine.streaming import embedding_near_dup_stream
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(30, 16))
+    kw = dict(threshold=0.97, n_planes=6, n_bands=4, seed=11, dim=16)
+
+    def row(i, v):
+        return Row(vec_id=i, embedding=[float(x) for x in v])
+
+    a_rows = [row(i, base[i]) for i in range(30)]
+    a_rows.append(Row(vec_id=900, embedding=None))
+    b_rows = [row(100 + i, base[i] + rng.normal(scale=0.01, size=16))
+              for i in range(30)]
+    b_rows.append(Row(vec_id=901,
+                      embedding=[None] + [1.0] * 15))
+    b_rows.append(Row(vec_id=902,
+                      embedding=[float("nan")] + [1.0] * 15))
+    landing = str(tmp_path / "end_landing")
+    out_dir = str(tmp_path / "end_out")
+    ckpt = str(tmp_path / "end_ckpt")
+    schema = "vec_id bigint, embedding array<double>"
+
+    def run_once():
+        q = (
+            embedding_near_dup_stream(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(landing),
+                **kw,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    spark.createDataFrame(a_rows, schema).repartition(3).write.parquet(landing)
+    run_once()
+    spark.createDataFrame(b_rows, schema).repartition(3).write.mode(
+        "append"
+    ).parquet(landing)
+    run_once()
+
+    got = {(r.id_a, r.id_b): r.cos_sim
+           for r in spark.read.parquet(out_dir)
+           .select("id_a", "id_b", "cos_sim").distinct().collect()}
+    batch = {(r.id_a, r.id_b): r.cos_sim
+             for r in embedding_near_duplicates(
+                 spark.createDataFrame(a_rows + b_rows, schema), **kw
+             ).collect()}
+    assert batch, "fixture must plant real near-dups"
+    assert got == batch  # pair set AND exact rounded scores
+    assert not {900, 901, 902} & {v for p in got for v in p}
