@@ -134,3 +134,29 @@ def test_max_word_types_cap(spark):
         n_merges=6,
     )
     assert merges_capped == merges_full
+
+
+def test_bpe_fuzz_roundtrip_and_trainer_parity(spark):
+    """Seeded fuzz: random Zipf-ish corpora (unicode tokens, repeated
+    words, singletons) — the incremental trainer equals the naive
+    reference on every corpus, and encoding at the full merge budget
+    still round-trips every word exactly."""
+    import random
+
+    rng = random.Random(41)
+    alphabet = ["lo", "low", "er", "ne", "west", "wid", "é", "ß", "界"]
+    for trial in range(4):
+        word_counts = {}
+        for _ in range(rng.randrange(4, 12)):
+            w = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randrange(1, 5)))
+            word_counts[w] = rng.randrange(1, 9)
+        text = " ".join(w for w, c in word_counts.items() for _ in range(c))
+        df = spark.createDataFrame([Row(doc_id=trial, text=text)])
+        n = rng.randrange(3, 25)
+        got = train_bpe(df, n_merges=n)
+        assert got == _naive_bpe(word_counts, n), (trial, word_counts)
+        [r] = bpe_encode(df, got, keep_tokens=True).collect()
+        assert "".join(r.tokens) == "".join(
+            w + END for w in text.split()
+        ), trial

@@ -2194,3 +2194,45 @@ def test_chunk_documents_edges(spark):
             ).hexdigest()
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_fuzz_reconstruction(spark):
+    """Seeded fuzz over adversarial texts (unicode, long whitespace runs,
+    single tokens, lengths straddling every boundary regime): for every
+    (chunk_tokens, overlap) tried, stitching post-overlap tails
+    reproduces each document's exact normalized token stream and the
+    chunk count matches the integer formula — the operator can never
+    drop or duplicate a token."""
+    import math
+    import random
+
+    from jsl_engine.sampling import chunk_documents
+
+    rng = random.Random(99)
+    alphabet = ["tok", "Ω≠", "a", "xxé", "0", "世界", "z" * 30]
+    rows = []
+    for i in range(60):
+        n = rng.choice([1, 2, 3, 7, 8, 9, 15, 16, 17, 31, 32, 33, 100])
+        words = [rng.choice(alphabet) + str(rng.randrange(10)) for _ in range(n)]
+        sep = rng.choice([" ", "  ", " \n ", "\t"])
+        rows.append(Row(doc_id=i, text=sep.join(words)))
+    df = spark.createDataFrame(rows)
+    for chunk, ov in ((8, 0), (8, 4), (16, 15), (5, 1)):
+        stride = chunk - ov
+        out = {}
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=ov,
+                                 keep_text=True).collect():
+            out.setdefault(r.doc_id, []).append(r)
+        assert set(out) == set(range(60))
+        for i, rs in out.items():
+            rs.sort(key=lambda r: r.chunk_id)
+            want = rows[i].text.split()
+            assert rs[0].n_chunks == max(
+                1, 1 + math.ceil(max(0, len(want) - chunk) / stride)
+            ) == len(rs)
+            stitched = rs[0].chunk_text.split(" ")
+            for r in rs[1:]:
+                toks = r.chunk_text.split(" ")
+                assert toks == want[r.pos:r.pos + chunk]
+                stitched += toks[ov:]
+            assert stitched == want, (i, chunk, ov)
