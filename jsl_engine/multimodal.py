@@ -15,6 +15,9 @@ Decoding is REAL for formats that need no codec library:
   :func:`decode_png` / :func:`encode_png` (round 6): stdlib ``zlib``
   inflate + numpy per-scanline unfiltering of all five spec filters —
   PNG's critical path never needed a codec library;
+* **BMP images (uncompressed 24/32-bit BI_RGB)** — :func:`decode_bmp` /
+  :func:`encode_bmp` (round 6): struct header parse + numpy row
+  restride (bottom-up/top-down, 4-byte padding, BGR→RGB);
 * **WAV PCM audio** — :func:`decode_wav` (stdlib ``wave`` + numpy), with
   real windowed RMS-energy + zero-crossing features.
 
@@ -338,11 +341,81 @@ def encode_png(arr) -> bytes:
     )
 
 
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed (BI_RGB) 24/32-bit Windows BMP to an
+    (h, w, 3) uint8 RGB array — pure struct + numpy. Rows are stored
+    bottom-up (top-down when height is negative) and padded to 4-byte
+    multiples; pixels are BGR(A), so channels reverse. Returns ``None``
+    for non-BMP, compressed, paletted, or truncated payloads (stub
+    fallback, never a task crash)."""
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    try:
+        (data_off,) = struct.unpack_from("<I", payload, 10)
+        (hdr_size,) = struct.unpack_from("<I", payload, 14)
+        if hdr_size < 40:
+            return None  # BITMAPCOREHEADER not supported
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+        if planes != 1 or bpp not in (24, 32) or compression != 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h <= 0:
+            return None
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3
+        need = data_off + stride * h
+        if len(payload) < need:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        img = rows[:, : w * nch].reshape(h, w, nch)
+        if not top_down:
+            img = img[::-1]
+        return img[:, :, 2::-1].copy()  # BGR(A) -> RGB, alpha dropped
+    except Exception:
+        return None
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an (h, w) or (h, w, 3) uint8 array as an uncompressed
+    24-bit bottom-up BMP. Round-trips through :func:`decode_bmp`."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = arr[:, :, ::-1]
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].tobytes() + pad
+    size = 54 + len(body)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
 def decode_image(payload: bytes):
-    """Try every dependency-free image codec (netpbm, then PNG); None if
-    the payload is neither — the caller's stub-fallback contract."""
-    arr = decode_netpbm(payload)
-    return arr if arr is not None else decode_png(payload)
+    """Try every dependency-free image codec (netpbm, PNG, then BMP);
+    None if the payload is none of them — the caller's stub-fallback
+    contract."""
+    for dec in (decode_netpbm, decode_png, decode_bmp):
+        arr = dec(payload)
+        if arr is not None:
+            return arr
+    return None
 
 
 def resize_nearest(arr, nw: int, nh: int):
@@ -505,12 +578,14 @@ def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
                 scale = max_side / side
                 nw, nh = max(1, int(w[i] * scale)), max(1, int(h[i] * scale))
                 raw = bytes(payloads[i])
-                arr = decode_netpbm(raw)
-                if arr is not None:
-                    # REAL resize on decoded pixels, same container out
-                    payloads[i] = encode_netpbm(resize_nearest(arr, nw, nh))
-                elif (arr := decode_png(raw)) is not None:
-                    payloads[i] = encode_png(resize_nearest(arr, nw, nh))
+                # REAL resize on decoded pixels, same container out
+                for dec, enc in ((decode_netpbm, encode_netpbm),
+                                 (decode_png, encode_png),
+                                 (decode_bmp, encode_bmp)):
+                    arr = dec(raw)
+                    if arr is not None:
+                        payloads[i] = enc(resize_nearest(arr, nw, nh))
+                        break
                 else:
                     # STUB for codec-library formats: deterministic payload
                     # transform standing in for decode→resize→encode

@@ -440,3 +440,72 @@ def test_png_takes_real_path_in_spark_pipeline(spark):
     out = decode_png(bytes(rz.payload))
     assert out is not None
     assert np.array_equal(out, resize_nearest(img, 24, 32))
+
+
+def test_bmp_roundtrip_padding_and_orientation():
+    """encode_bmp -> decode_bmp is exact for widths that force row
+    padding (w*3 % 4 != 0); a hand-built top-down (negative height)
+    32-bit BMP decodes to the same pixels as its bottom-up 24-bit twin
+    (alpha dropped); malformed payloads return None."""
+    import struct as st
+
+    import numpy as np
+
+    from jsl_engine.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for w in (3, 4, 5, 7):  # strides 9,12,15,21 -> padding 3,0,1,3
+        img = rng.integers(0, 256, size=(4, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    gray = rng.integers(0, 256, size=(2, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(gray)),
+                          np.stack([gray] * 3, axis=2))
+
+    img = rng.integers(0, 256, size=(3, 2, 3), dtype=np.uint8)
+    # hand-build: 32bpp, top-down (h = -3), BGRA pixel order
+    body = b""
+    for y in range(3):
+        for x in range(2):
+            r, g, b = (int(v) for v in img[y, x])
+            body += bytes([b, g, r, 255])
+    payload = (b"BM" + st.pack("<IHHI", 54 + len(body), 0, 0, 54)
+               + st.pack("<IiiHHIIiiII", 40, 2, -3, 1, 32, 0, len(body),
+                         0, 0, 0, 0) + body)
+    assert np.array_equal(decode_bmp(payload), img)
+
+    assert decode_bmp(b"not a bmp") is None
+    assert decode_bmp(encode_bmp(img)[:30]) is None          # truncated
+    rle = bytearray(encode_bmp(img)); rle[30] = 1             # BI_RLE8
+    assert decode_bmp(bytes(rle)) is None
+
+
+def test_bmp_takes_real_path_in_spark_pipeline(spark):
+    """resize_images decodes/resizes/re-encodes BMP in-container and
+    extract_features pools real pixels for BMP payloads."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine.multimodal import (
+        MEDIA_SCHEMA,
+        decode_bmp,
+        encode_bmp,
+        extract_features,
+        image_feature,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(40, 30, 3), dtype=np.uint8)
+    payload = encode_bmp(img)
+    df = spark.createDataFrame([Row(
+        media_id=7, kind="image", mime="image/bmp", width=30, height=40,
+        duration_ms=None, n_bytes=len(payload), payload=bytearray(payload),
+    )], MEDIA_SCHEMA)
+    [feat] = extract_features(df, dim=16).collect()
+    assert feat.feature == [float(np.float32(v))
+                            for v in image_feature(img, 16)]
+    [rz] = resize_images(df, max_side=20).collect()
+    assert (rz.width, rz.height) == (15, 20)
+    assert np.array_equal(decode_bmp(bytes(rz.payload)),
+                          resize_nearest(img, 15, 20))
