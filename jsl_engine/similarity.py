@@ -843,27 +843,28 @@ def semantic_dedup(
             max_bucket=max_bucket,
             dim=dim,
         )
-    # neighbor degree: each verified pair contributes to both endpoints
-    deg = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+    # ONE aggregation over the pair list carries both signals — neighbor
+    # degree (each verified pair contributes to both endpoints) and the
+    # drop flag (pairs are emitted with id_a < id_b, so "has a lower-id
+    # neighbor" is exactly "appears on the id_b side") — so the
+    # corpus-sized id frame is shuffled into ONE left join, not two
+    flags = (
+        pairs.select(F.col("id_a").alias(id_col), F.lit(False).alias("__b"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias(id_col), F.lit(True).alias("__b"))
+        )
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_dups"))
-    )
-    # dropped = has a lower-id neighbor; pairs are emitted with
-    # id_a < id_b, so the drop set is exactly the distinct id_b side
-    dropped = (
-        pairs.select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("__dropped", F.lit(True))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("__b").alias("__dropped"),
+        )
     )
     return (
         vectors.select(id_col)
-        .join(deg, id_col, "left")
-        .join(dropped, id_col, "left")
+        .join(flags, id_col, "left")
         .select(
             id_col,
-            F.col("__dropped").isNull().alias("kept"),
+            (~F.coalesce(F.col("__dropped"), F.lit(False))).alias("kept"),
             F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
         )
     )
