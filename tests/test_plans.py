@@ -108,3 +108,19 @@ def test_chunk_documents_plan_is_map_only(spark):
     assert "Exchange" not in plan, plan[:2000]
     assert "Python" not in plan and "ArrowEval" not in plan, plan[:2000]
     assert plan.count("Generate") == 1, plan[:2000]
+
+
+def test_bpe_type_cut_is_take_ordered(spark):
+    """train_bpe's word-type cut (orderBy count desc + limit) must
+    compile to TakeOrderedAndProject — a per-partition top-K merge, not
+    a global sort of the type table."""
+    from pyspark.sql import Row, functions as F
+
+    from jsl_engine.bpe import _word_types
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c a b a")])
+    q = _word_types(df, "text", False).orderBy(
+        F.col("n").desc(), F.col("word")
+    ).limit(100)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
