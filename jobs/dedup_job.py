@@ -239,6 +239,14 @@ def main() -> int:
                          "of any retained document enters, new-batch "
                          "internal dups collapse, retained decisions are "
                          "never revisited")
+    ap.add_argument("--eval-sample", type=int, default=None,
+                    help="measure the banding's pair recall and candidate "
+                         "precision on a deterministic N-doc sample of THIS "
+                         "corpus against the exact inverted-index truth "
+                         "(text_ops.lsh_recall_report) and report "
+                         "eval_recall / eval_candidate_precision — the "
+                         "tuning evidence for (num_hashes, bands) at the "
+                         "chosen threshold")
     ap.add_argument("--keep-output", action="store_true")
     args = ap.parse_args()
 
@@ -268,6 +276,20 @@ def main() -> int:
                 "computed against retained documents"
             )
         return _incremental(spark, docs, docs_in, args, out_dir, state_dir, t0)
+
+    eval_report = {}
+    if args.eval_sample:
+        from jsl_engine.text_ops import lsh_recall_report
+
+        [ev] = lsh_recall_report(
+            docs, threshold=args.threshold, sample_docs=args.eval_sample
+        ).collect()
+        eval_report = {
+            "eval_docs": ev.n_docs,
+            "eval_true_pairs": ev.true_pairs,
+            "eval_recall": ev.recall,
+            "eval_candidate_precision": ev.candidate_precision,
+        }
 
     # localCheckpoint: survivors feeds three actions (count, signature
     # kernel, final anti-join write) and pairs feeds two (components,
@@ -346,6 +368,7 @@ def main() -> int:
         "docs_per_sec": round(docs_in / seconds, 1),
         "strategy": "star" if args.star else "propagation",
         "verify": "exact" if args.exact_verify else "estimate",
+        **eval_report,
     }))
     if not args.keep_output and args.output is None:
         shutil.rmtree(out_dir, ignore_errors=True)

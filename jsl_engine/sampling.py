@@ -40,6 +40,7 @@ SALT_SHUFFLE = 4  # shared by shuffle_export + pack_sequences (one layout)
 SALT_TRAIN_SAMPLE = 5  # similarity.py train_permille quantizer sampling
 SALT_DSIR_GUMBEL = 6  # dsir.py Gumbel-top-k resampling draw (per doc id)
 SALT_DSIR_BUCKET = 7  # dsir.py feature-hash bucket mix (per gram hash)
+SALT_RECALL_EVAL = 8  # text_ops.lsh_recall_report deterministic eval sample
 
 
 def order_hash(id_col, salt: int = 0):

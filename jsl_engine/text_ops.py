@@ -2239,3 +2239,150 @@ def incremental_near_dup_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "a_is_new", "b_is_new", "est_jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# recall evaluation (sample-scale truth oracle)
+# ---------------------------------------------------------------------------
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    *,
+    threshold: float,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 100_000,
+) -> DataFrame:
+    """ALL pairs at exact word-``n``-gram Jaccard ≥ ``threshold`` via a
+    distributed inverted index (``id_a, id_b, jaccard``) — the truth
+    oracle the banded accelerators are measured against
+    (:func:`lsh_recall_report`), in the engine itself rather than only
+    in the DuckDB gate.
+
+    Deliberately exact and therefore quadratic in the worst case (a
+    gram shared by m docs contributes m² join rows): this is a
+    SAMPLE-scale tool, guarded by ``max_docs`` (counted up front — one
+    action; an eval utility may spend it). The production dedup path
+    remains the banded generators + exact verify; this operator exists
+    so their recall on the REAL corpus distribution is a measured
+    number, not a formula trusted blind.
+
+    Contract matches :func:`verified_jaccard_pairs` exactly (distinct
+    shingles, NULL-text docs excluded — Jaccard over an undefined set
+    is no pair, never a certified one), so found ⊆ truth holds by
+    construction for any generator verified through that tail."""
+    docs = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+        )
+    )
+    n_docs = docs.count()
+    if n_docs > max_docs:
+        raise ValueError(
+            f"exact_jaccard_pairs is the quadratic truth oracle for "
+            f"SAMPLES: got {n_docs} docs > max_docs={max_docs}; sample "
+            f"first (see lsh_recall_report) or raise max_docs knowingly"
+        )
+    sizes = docs.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv = docs.select(F.col(id_col), F.explode("sh").alias("gram"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("__nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__inter").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    *,
+    threshold: float = 0.8,
+    sample_docs: int = 2000,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Measure the MinHash-LSH configuration's recall and candidate
+    precision ON THIS CORPUS against the exact truth, over a
+    deterministic content-hash sample. One-row DataFrame::
+
+        n_docs, true_pairs, candidate_pairs, verified_pairs,
+        recall, candidate_precision
+
+    ``recall`` = verified pairs / exact pairs at the threshold on the
+    sample (the verify tail certifies only exact-Jaccard matches, so
+    verified ⊆ truth and this IS the banding's pair recall);
+    ``candidate_precision`` = verified / candidates (how much exact
+    verification the banding forces downstream). Banding analysis gives
+    the recall formula under uniform hashing — this report measures it
+    under the corpus's actual similarity distribution, which is what a
+    production run tunes (num_hashes, bands, threshold) against.
+
+    The sample is the ``sample_docs`` lowest salted content hashes
+    (engine-portable, stable under repartition/growth — the sampling
+    module's contract), so successive tuning runs score the same
+    sample."""
+    from jsl_engine.sampling import SALT_RECALL_EVAL, order_hash
+
+    pruned = df.select(id_col, text_col)
+    sampled = (
+        pruned.withColumn("__h", order_hash(id_col, SALT_RECALL_EVAL))
+        .orderBy("__h", id_col)
+        .limit(sample_docs)
+        .drop("__h")
+        .localCheckpoint()
+    )
+    truth = exact_jaccard_pairs(
+        sampled, threshold=threshold, n=shingle_n,
+        text_col=text_col, id_col=id_col, max_docs=sample_docs,
+    )
+    sigs = minhash_signatures(sampled, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, bands, max_bucket=max_bucket, num_hashes=num_hashes
+    )
+    verified = verified_jaccard_pairs(
+        sampled, cands, text_col, id_col, n=shingle_n, threshold=threshold
+    )
+    n_docs = sampled.count()
+    n_true = truth.count()
+    n_cand = cands.count()
+    n_ver = verified.count()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            n_docs, n_true, n_cand, n_ver,
+            round(n_ver / n_true, 6) if n_true else None,
+            round(n_ver / n_cand, 6) if n_cand else None,
+        )],
+        "n_docs long, true_pairs long, candidate_pairs long, "
+        "verified_pairs long, recall double, candidate_precision double",
+    )

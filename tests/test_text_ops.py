@@ -817,7 +817,8 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     spark.createDataFrame(rows).repartition(2).write.parquet(src)
 
     repo = Path(__file__).resolve().parent.parent
-    for flag in ([], ["--star"], ["--exact-verify"]):
+    for flag in ([], ["--star"], ["--exact-verify"],
+                 ["--eval-sample", "43"]):
         out = subprocess.run(
             [sys.executable, str(repo / "jobs" / "dedup_job.py"),
              "--input", src, "--threshold", "0.6", "--cpus", "4", *flag],
@@ -831,6 +832,13 @@ def test_dedup_job_end_to_end(spark, tmp_path):
         assert rep["docs_out"] == 41
         assert rep["docs_in"] - rep["exact_dropped"] - rep["near_dropped"] == rep["docs_out"]
         assert rep["verify"] == ("exact" if "--exact-verify" in flag else "estimate")
+        if "--eval-sample" in flag:
+            # sample covers the whole corpus: truth = the planted
+            # 100-101 exact pair + both near pairs to 102; defaults
+            # catch all of them at threshold 0.6
+            assert rep["eval_docs"] == 43
+            assert rep["eval_true_pairs"] == 3
+            assert rep["eval_recall"] == 1.0
 
 
 def test_dedup_job_embedding_mode(spark, tmp_path):
@@ -2236,3 +2244,98 @@ def test_chunk_documents_fuzz_reconstruction(spark):
                 assert toks == want[r.pos:r.pos + chunk]
                 stitched += toks[ov:]
             assert stitched == want, (i, chunk, ov)
+
+
+def test_exact_jaccard_pairs_is_the_truth(spark):
+    """The inverted-index truth oracle equals a from-scratch python
+    computation of every pair's word-n-gram Jaccard, and matches
+    verified_jaccard_pairs run over ALL pairs (shared contract)."""
+    from itertools import combinations
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy dog tonight",
+        3: "a completely different sentence about gardening and rich soil",
+        4: "the quick brown fox jumps over the lazy dog today",  # clone of 1
+        5: None,
+        6: "tiny",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in docs.items()],
+        "doc_id long, text string",
+    )
+
+    def grams(t, n=3):
+        w = t.lower().split()
+        k = max(len(w) - n + 1, 1)
+        return {" ".join(w[i:i + n]) for i in range(k)}
+
+    want = {}
+    for a, b in combinations(sorted(k for k, v in docs.items() if v), 2):
+        ga, gb = grams(docs[a]), grams(docs[b])
+        j = len(ga & gb) / len(ga | gb)
+        if j >= 0.3:
+            want[(a, b)] = round(j, 6)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in T.exact_jaccard_pairs(df, threshold=0.3, n=3).collect()}
+    assert got == want and (1, 4) in got and got[(1, 4)] == 1.0
+
+    all_pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in combinations(range(1, 7), 2)]
+    )
+    via_verify = {(r.id_a, r.id_b): r.jaccard
+                  for r in T.verified_jaccard_pairs(
+                      df, all_pairs, n=3, threshold=0.3).collect()}
+    assert via_verify == got
+
+    with pytest.raises(ValueError, match="max_docs"):
+        T.exact_jaccard_pairs(df, threshold=0.3, max_docs=2)
+
+
+def test_lsh_recall_report_measures_banding(spark):
+    """On a corpus of planted near-dup pairs, the default banding scores
+    recall 1.0 with measured candidate precision; a deliberately starved
+    config (one band = single 64-bit bucket) measurably loses recall on
+    borderline pairs — the report detects bad tunings, which is its
+    job."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        words = [f"w{i}_{j}" for j in range(60)]
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+        # near-dup partner at moderate jaccard: 3 swapped words kill at
+        # most 15 of the 56 5-grams -> exact jaccard >= 41/71 ~ 0.58
+        for j in rng.sample(range(60), 3):
+            words[j] = f"alt{i}_{j}"
+        rows.append(Row(doc_id=1000 + i, text=" ".join(words)))
+    df = spark.createDataFrame(rows)
+
+    # 16 bands x 4 hashes at pair jaccard ~0.58: banding theory gives
+    # 1-(1-p^4)^16 ~ 0.85 — the report must MEASURE that, not the
+    # formula's uniform-hash idealization of some other corpus
+    [mid] = T.lsh_recall_report(
+        df, threshold=0.5, sample_docs=80, num_hashes=64, bands=16
+    ).collect()
+    assert mid.n_docs == 80
+    assert mid.true_pairs >= 35            # the planted pairs survive at 0.5
+    assert 0.6 <= mid.recall < 1.0         # measured 0.85 on this corpus
+    assert mid.candidate_precision == 1.0  # nothing random collides here
+
+    # 32 bands x 2 hashes: 1-(1-p^2)^32 ~ 1 at p >= 0.55 — the tuning
+    # the report would recommend for this threshold
+    [good] = T.lsh_recall_report(
+        df, threshold=0.5, sample_docs=80, num_hashes=64, bands=32
+    ).collect()
+    assert good.true_pairs == mid.true_pairs
+    assert good.recall >= 0.95
+
+    [bad] = T.lsh_recall_report(
+        df, threshold=0.5, sample_docs=80, num_hashes=64, bands=1
+    ).collect()
+    # one 64-hash band: collision needs ALL 64 minhashes equal — at
+    # jaccard ~0.55-0.7 that is p^64 ~ 0 for planted pairs
+    assert bad.true_pairs == mid.true_pairs
+    assert (bad.recall or 0.0) < 0.2
+    assert bad.recall < mid.recall and mid.recall < good.recall
