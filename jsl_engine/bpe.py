@@ -171,7 +171,15 @@ def bpe_encode(
     Map-only: the merge ranks broadcast once; inside each Arrow batch
     every DISTINCT word is encoded once and memoized, so repeated words
     (most of any real corpus, by Zipf) cost a dict hit. NULL-text rows
-    report 0/0 — totality over degenerate rows, never a dropped doc."""
+    report 0/0 — totality over degenerate rows, never a dropped doc.
+
+    Word boundaries are the JVM's ``\\s`` (ASCII whitespace), NOT
+    Python's ``str.split()`` (Unicode whitespace): training word-types
+    come from a Spark ``regexp_replace(text, '\\s+', ' ')`` split, so a
+    non-breaking space is word-INTERNAL there — the encoder must see
+    the identical types or trained merges silently never apply."""
+    import re
+
     import pyarrow as pa
     from pyspark.sql.types import (
         ArrayType,
@@ -194,6 +202,9 @@ def bpe_encode(
         fields.append(StructField("tokens", ArrayType(StringType()), False))
     schema = StructType(fields)
 
+    # Java-regex \s, exactly — the training tokenizer's boundary set
+    _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         rks, lower = bc.value
         memo: dict[str, list[str]] = {}
@@ -211,7 +222,7 @@ def bpe_encode(
                     continue
                 if lower:
                     t = t.lower()
-                words = [w for w in t.split() if w]
+                words = [w for w in _ws.split(t) if w]
                 total = 0
                 doc_toks: list[str] = []
                 for w in words:

@@ -160,3 +160,19 @@ def test_bpe_fuzz_roundtrip_and_trainer_parity(spark):
         assert "".join(r.tokens) == "".join(
             w + END for w in text.split()
         ), trial
+
+
+def test_encode_split_matches_training_tokenizer(spark):
+    """Train and encode must agree on word boundaries: the JVM's \\s is
+    ASCII whitespace, so a non-breaking space is word-INTERNAL on both
+    sides. Python's str.split() would split it — merges trained on the
+    NBSP-joined type would then silently never apply."""
+    text = "a\u00a0b a\u00a0b a\u00a0b c c"  # NBSP inside each ab word
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    merges = train_bpe(df, n_merges=10)
+    # the NBSP word trains merges across the U+00A0 (one 3-char type)
+    assert any("\u00a0" in a + b for a, b in merges)
+    [r] = bpe_encode(df, merges, keep_tokens=True).collect()
+    assert r.n_words == 5                       # NOT 8
+    assert r.tokens.count("a\u00a0b" + END) == 3  # merges APPLY to the type
+    assert "".join(r.tokens) == ("a\u00a0b" + END) * 3 + ("c" + END) * 2
