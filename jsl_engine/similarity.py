@@ -816,8 +816,9 @@ def semantic_dedup(
     (:func:`embedding_near_duplicates` — per-(band, bucket) oversized
     guard, candidates deduped across bands BEFORE the exact verify, the
     wide vector column never rides the candidate join). On top of the
-    pair list this adds one distinct-project + two id-keyed aggregations
-    and a co-partitioned left join back to the input ids — no new
+    pair list this adds ONE aggregation over the exploded pair endpoints
+    (degree + drop flag together) and one co-partitioned left join back
+    to the input ids — no new
     corpus-wide window, no driver state. The paper's "keep the member
     farthest from the cluster centroid" tie-rule is replaced by the
     lowest-id rule so the output is a pure deterministic function of
