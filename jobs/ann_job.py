@@ -64,6 +64,11 @@ def main() -> int:
     ap.add_argument("--msub", type=int, default=4)
     ap.add_argument("--kcodes", type=int, default=16)
     ap.add_argument("--residual", action="store_true")
+    ap.add_argument("--distributed-train", action="store_true",
+                    help="train the coarse quantizer with the distributed "
+                         "Lloyd (one Spark pass per iteration — sees the "
+                         "whole corpus) instead of the bounded driver "
+                         "sample")
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n-probe", type=int, default=8)
@@ -96,6 +101,7 @@ def main() -> int:
             k_codes=args.kcodes,
             seed=args.seed,
             residual=args.residual,
+            distributed_train=args.distributed_train,
         )
         seconds = round(time.time() - t0, 3)
         print(json.dumps({

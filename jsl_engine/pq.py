@@ -518,6 +518,7 @@ def build_ivfpq_index(
     seed: int = 7,
     residual: bool = False,
     train_codebooks: bool = True,
+    distributed_train: bool = False,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> dict:
@@ -543,13 +544,27 @@ def build_ivfpq_index(
     production index should spend the one-time training cost;
     ``train_codebooks=False`` keeps the deterministic random codebook
     the hash-gate oracle replays."""
-    from jsl_engine.similarity import train_ivf_centroids
+    from jsl_engine.similarity import (
+        train_ivf_centroids,
+        train_ivf_centroids_distributed,
+    )
 
     spark = vectors.sparkSession
-    centroids = train_ivf_centroids(
-        vectors, n_cells=n_cells, iterations=n_iterations,
-        vec_col=vec_col, id_col=id_col, seed=seed,
-    )
+    # the bounded driver-sample trainer is the default (constant cost in
+    # corpus size); distributed_train=True runs the one-Spark-pass-per-
+    # iteration Lloyd instead — the trainer that sees the whole corpus,
+    # for builds where a fixed sample degrades cell balance (very large
+    # n_cells or heavily clustered corpora)
+    if distributed_train:
+        centroids = train_ivf_centroids_distributed(
+            vectors, n_cells=n_cells, iterations=n_iterations,
+            vec_col=vec_col, id_col=id_col, seed=seed,
+        )
+    else:
+        centroids = train_ivf_centroids(
+            vectors, n_cells=n_cells, iterations=n_iterations,
+            vec_col=vec_col, id_col=id_col, seed=seed,
+        )
     cent = np.array(centroids, dtype=np.float64)
     dim = cent.shape[1]
     if train_codebooks:
