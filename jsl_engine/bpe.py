@@ -28,6 +28,7 @@ this engine guarantees.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -60,6 +61,7 @@ def train_bpe(
     text_col: str = "text",
     lowercase: bool = False,
     max_word_types: int = 65536,
+    max_word_len: int = 64,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     merge list (the tokenizer model — persist it next to the corpus
@@ -67,9 +69,20 @@ def train_bpe(
 
     The driver materializes at most ``max_word_types`` word types (most
     frequent first; deterministic id-free tie-break on the word itself),
-    never documents. Coverage of the kept types is printed to the Spark
-    logs via a counted aggregate, not assumed."""
-    types = _word_types(df, text_col, lowercase)
+    never documents.
+
+    ``max_word_len`` drops longer types from TRAINING (encode still
+    handles them — they fall back to finer pieces). This is a
+    production-hazard guard, not a tuning knob: a corpus containing
+    minified/JSON blobs has whitespace-free "words" of unbounded
+    length, and the driver merge loop is linear in total SYMBOLS across
+    kept types — 65k × 170-char JSON types made a 512-merge train take
+    hours where natural-language types take seconds (measured on the
+    synthetic code corpus). Real tokenizer trainers apply the same cap
+    (e.g. GPT-2 BPE never merges across its pre-tokenizer pieces)."""
+    types = _word_types(df, text_col, lowercase).where(
+        F.length("word") <= max_word_len
+    )
     kept = (
         types.orderBy(F.col("n").desc(), F.col("word"))
         .limit(max_word_types)
@@ -178,8 +191,6 @@ def bpe_encode(
     come from a Spark ``regexp_replace(text, '\\s+', ' ')`` split, so a
     non-breaking space is word-INTERNAL there — the encoder must see
     the identical types or trained merges silently never apply."""
-    import re
-
     import pyarrow as pa
     from pyspark.sql.types import (
         ArrayType,
@@ -248,3 +259,85 @@ def bpe_encode(
             )
 
     return pruned.mapInArrow(run, schema)
+
+
+def chunk_documents_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    chunk_tokens: int = 2048,
+    overlap: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = False,
+) -> DataFrame:
+    """Sliding-window chunking in TOKENIZER space — the boundary a
+    training pipeline actually budgets by: windows of ``chunk_tokens``
+    BPE tokens advancing by ``chunk_tokens - overlap``, so every chunk
+    fits the context length by construction (the whitespace-token
+    variant, :func:`jsl_engine.sampling.chunk_documents`, can overflow
+    it on long words). Output, one row per chunk::
+
+        <id_col>, chunk_id, n_chunks, pos, n_tokens, chunk_sha256
+        [, chunk_text with keep_text=True]
+
+    ``pos`` counts TOKENS; cut points may fall inside a word (that is
+    token-space chunking's nature — the overlap exists to absorb it).
+    ``chunk_text`` reconstructs the window's text exactly: BPE tokens
+    concatenate losslessly, end-of-word markers become spaces.
+    ``chunk_sha256`` hashes that reconstruction, so chunk CONTENT is
+    pinned. NULL-text rows yield zero chunks, matching the whitespace
+    chunker's contract.
+
+    Scale shape: :func:`bpe_encode` (map-only Arrow, broadcast ranks)
+    followed by the same integer-arithmetic window fan-out as the
+    whitespace chunker — slice + concat + sha2 in whole-stage codegen;
+    still zero shuffles end to end."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = bpe_encode(
+        df, merges, text_col=text_col, id_col=id_col, keep_tokens=True
+    ).where(F.col("n_words") > 0)
+    base = toks.withColumn(
+        "n_chunks",
+        F.when(F.col("n_tokens") <= chunk_tokens, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.expr(
+                f"(n_tokens - {chunk_tokens} + {stride - 1}) div {stride}"
+            )
+        )
+        .cast("long"),
+    )
+    window = F.slice(
+        F.col("tokens"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    text = F.rtrim(
+        F.regexp_replace(
+            F.array_join(window, ""), re.escape(END), " "
+        )
+    )
+    return (
+        base.select(
+            id_col,
+            "tokens",
+            "n_chunks",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))
+            ).alias("chunk_id"),
+        )
+        .withColumn("__w", window)
+        .withColumn("__t", text)
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "n_chunks",
+            (F.col("chunk_id") * stride).cast("long").alias("pos"),
+            F.size("__w").cast("long").alias("n_tokens"),
+            F.sha2(F.col("__t"), 256).alias("chunk_sha256"),
+            *([F.col("__t").alias("chunk_text")] if keep_text else []),
+        )
+    )

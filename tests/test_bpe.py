@@ -8,6 +8,7 @@ from pyspark.sql import Row
 from jsl_engine.bpe import (
     END,
     bpe_encode,
+    chunk_documents_bpe,
     encode_word,
     train_bpe,
     _apply_merge,
@@ -176,3 +177,69 @@ def test_encode_split_matches_training_tokenizer(spark):
     assert r.n_words == 5                       # NOT 8
     assert r.tokens.count("a\u00a0b" + END) == 3  # merges APPLY to the type
     assert "".join(r.tokens) == ("a\u00a0b" + END) * 3 + ("c" + END) * 2
+
+
+def test_chunk_documents_bpe_token_space(spark):
+    """Token-space chunking: every chunk is <= chunk_tokens BPE tokens
+    (the context-length guarantee whitespace chunking cannot give — a
+    long word is many tokens), consecutive chunks share exactly the
+    overlap tokens, stitching post-overlap tails reproduces the full
+    token stream, chunk_text reconstructs the window's exact text, and
+    NULL text yields zero rows."""
+    import hashlib
+
+    long_word = "abcdefghij" * 4           # 40 chars -> many BPE tokens
+    text = " ".join(["the cat sat on the mat", long_word] * 6)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=text), Row(doc_id=2, text=None)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, n_merges=30)
+    [enc] = bpe_encode(
+        df.where("doc_id = 1"), merges, keep_tokens=True
+    ).collect()
+    rows = sorted(
+        chunk_documents_bpe(
+            df, merges, chunk_tokens=16, overlap=4, keep_text=True
+        ).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    assert {r.doc_id for r in rows} == {1}
+    stride = 16 - 4
+    stitched = []
+    for r in rows:
+        toks = enc.tokens[r.pos:r.pos + 16]
+        assert r.n_tokens == len(toks) <= 16
+        window_text = "".join(toks).replace(END, " ").rstrip()
+        assert r.chunk_text == window_text
+        assert r.chunk_sha256 == hashlib.sha256(
+            window_text.encode()
+        ).hexdigest()
+        assert r.pos == r.chunk_id * stride
+        stitched += toks if r.chunk_id == 0 else toks[4:]
+    assert stitched == list(enc.tokens)     # lossless token coverage
+    assert rows[0].n_chunks == len(rows)
+    with pytest.raises(ValueError):
+        chunk_documents_bpe(df, merges, chunk_tokens=8, overlap=8)
+
+
+def test_max_word_len_guards_pathological_types(spark):
+    """Minified/JSON blobs are whitespace-free 'words' of unbounded
+    length; training must skip them (the driver merge loop is linear in
+    total symbols of kept types) while encoding still handles them by
+    falling back to finer pieces. Merges learned from the natural-text
+    part are unaffected by the blobs' presence."""
+    blob = '{"k":' + "1234567890" * 30 + "}"      # one 307-char "word"
+    rows = [Row(doc_id=i, text="the cat sat on the mat " * 3)
+            for i in range(10)]
+    rows += [Row(doc_id=100 + i, text=blob) for i in range(5)]
+    df = spark.createDataFrame(rows)
+    merges = train_bpe(df, n_merges=8)
+    clean = train_bpe(
+        spark.createDataFrame(rows[:10]), n_merges=8
+    )
+    assert merges == clean                        # blobs never train
+    assert not any(len(a + b) > 70 for a, b in merges)
+    out = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    assert out[100].n_words == 1                  # blob still encodes
+    assert out[100].n_tokens > 1                  # ...as finer pieces
