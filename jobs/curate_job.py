@@ -53,17 +53,21 @@ reassigns an existing document's fate:
    secrets/PII with placeholders (map-only JVM regexp);
 7. **split**: :func:`jsl_engine.sampling.hash_split` assigns train/eval
    (stable under corpus growth), written as partition directories.
-8. **chunking** (with ``--chunk TOKENS[:OVERLAP]``):
-   :func:`jsl_engine.sampling.chunk_documents` additionally writes a
-   ``chunks/`` artifact — sliding-window token chunks of the WRITTEN
-   corpus for context-length prep, carrying the split column so the
-   train/eval boundary survives at chunk granularity (map-only).
-9. **tokenizer training** (with ``--bpe-merges N``):
+8. **tokenizer training** (with ``--bpe-merges N``):
    :func:`jsl_engine.bpe.train_bpe` learns a BPE merge table ON the
    written train split only (the tokenizer never sees eval text),
    writes it as a ``bpe_merges/`` artifact, and reports the train
    split's token budget in the tokenizer's own units via the map-only
-   :func:`jsl_engine.bpe.bpe_encode`.
+   :func:`jsl_engine.bpe.bpe_encode`;
+9. **chunking** (with ``--chunk TOKENS[:OVERLAP]``): writes a
+   ``chunks/`` artifact — sliding windows over the WRITTEN corpus for
+   context-length prep, carrying the split column so the train/eval
+   boundary survives at chunk granularity (map-only). Window units are
+   ``--chunk-space``: ``words`` (whitespace,
+   :func:`jsl_engine.sampling.chunk_documents`) or ``bpe``
+   (:func:`jsl_engine.bpe.chunk_documents_bpe` with the tokenizer THIS
+   job trained — every chunk fits the context budget in the
+   tokenizer's own units).
 
 Usage::
 
@@ -76,7 +80,8 @@ Usage::
         [--contamination-ngram 3] [--rate SRC=R ...] [--default-rate 1.0]
         [--stratify COL=N] [--dsir-target PARQUET --dsir-k N]
         [--redact] [--eval-permille 50] [--chunk TOKENS[:OVERLAP]]
-        [--bpe-merges N] [--cpus 8] [--keep-output]
+        [--bpe-merges N] [--chunk-space words|bpe] [--cpus 8]
+        [--keep-output]
 
 Prints one JSON line: docs_in, quality_dropped, repetition_dropped,
 lang_dropped, fluency_dropped, license_dropped, contamination_dropped,
@@ -182,6 +187,12 @@ def main() -> int:
                          "default overlap = TOKENS//4). Chunks carry "
                          "the split column, so the train/eval boundary "
                          "is preserved at chunk granularity")
+    ap.add_argument("--chunk-space", choices=("words", "bpe"),
+                    default="words",
+                    help="chunk window units: 'words' (whitespace tokens) "
+                         "or 'bpe' (the tokenizer trained by "
+                         "--bpe-merges — every chunk fits the context "
+                         "budget in the tokenizer's own units)")
     ap.add_argument("--bpe-merges", type=int, default=None,
                     help="train a BPE tokenizer ON the written train "
                          "split (N merges), write the merge table as a "
@@ -373,31 +384,9 @@ def main() -> int:
     final.write.mode("overwrite").partitionBy("split").parquet(
         f"{out_dir}/documents"
     )
-    n_chunks = 0
-    if args.chunk:
-        from jsl_engine.sampling import chunk_documents
-
-        tok, sep, ov = args.chunk.partition(":")
-        if not tok.isdigit() or (sep and not ov.isdigit()):
-            ap.error(f"--chunk expects TOKENS or TOKENS:OVERLAP, got {args.chunk!r}")
-        chunk_tokens = int(tok)
-        overlap = int(ov) if sep else chunk_tokens // 4
-        # chunk the WRITTEN corpus (not the pre-write plan): the chunks
-        # artifact must reflect exactly what landed in documents/, and
-        # re-reading parquet is cheaper than re-running the filter chain
-        chunks = chunk_documents(
-            spark.read.parquet(f"{out_dir}/documents"),
-            chunk_tokens=chunk_tokens,
-            overlap=overlap,
-            keep_text=True,
-            keep_cols=("split",),
-        )
-        chunks.write.mode("overwrite").partitionBy("split").parquet(
-            f"{out_dir}/chunks"
-        )
-        n_chunks = spark.read.parquet(f"{out_dir}/chunks").count()
     n_bpe_merges = 0
     n_bpe_tokens = 0
+    merges = None
     if args.bpe_merges:
         from jsl_engine.bpe import bpe_encode, train_bpe
 
@@ -416,6 +405,46 @@ def main() -> int:
         n_bpe_tokens = bpe_encode(train_docs, merges).agg(
             F.sum("n_tokens")
         ).first()[0] or 0
+    n_chunks = 0
+    if args.chunk:
+        tok, sep, ov = args.chunk.partition(":")
+        if not tok.isdigit() or (sep and not ov.isdigit()):
+            ap.error(f"--chunk expects TOKENS or TOKENS:OVERLAP, got {args.chunk!r}")
+        chunk_tokens = int(tok)
+        overlap = int(ov) if sep else chunk_tokens // 4
+        # chunk the WRITTEN corpus (not the pre-write plan): the chunks
+        # artifact must reflect exactly what landed in documents/, and
+        # re-reading parquet is cheaper than re-running the filter chain
+        written_docs = spark.read.parquet(f"{out_dir}/documents")
+        if args.chunk_space == "bpe":
+            # token-space windows with the tokenizer THIS job trained —
+            # every chunk fits the context budget by construction
+            if merges is None:
+                ap.error("--chunk-space bpe requires --bpe-merges "
+                         "(the windows are cut in that tokenizer's units)")
+            from jsl_engine.bpe import chunk_documents_bpe
+
+            chunks = chunk_documents_bpe(
+                written_docs.select("doc_id", "text", "split"),
+                merges,
+                chunk_tokens=chunk_tokens,
+                overlap=overlap,
+                keep_text=True,
+            ).join(written_docs.select("doc_id", "split"), "doc_id")
+        else:
+            from jsl_engine.sampling import chunk_documents
+
+            chunks = chunk_documents(
+                written_docs,
+                chunk_tokens=chunk_tokens,
+                overlap=overlap,
+                keep_text=True,
+                keep_cols=("split",),
+            )
+        chunks.write.mode("overwrite").partitionBy("split").parquet(
+            f"{out_dir}/chunks"
+        )
+        n_chunks = spark.read.parquet(f"{out_dir}/chunks").count()
     written = spark.read.parquet(f"{out_dir}/documents")
     counts = {r["split"]: r["n"] for r in
               written.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}

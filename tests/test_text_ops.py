@@ -1034,6 +1034,26 @@ def test_curate_job_end_to_end(spark, tmp_path):
         F.sum("n_tokens")
     ).first()[0]
     assert rep7["bpe_tokens_train"] == recount > 0
+
+    # token-space chunking (--chunk-space bpe): windows cut in the
+    # job-trained tokenizer's units — every chunk fits the budget BY
+    # CONSTRUCTION, and each chunk is the exact token slice at its pos
+    bpec_dir = str(tmp_path / "cur_bpec")
+    rep8 = run("--chunk", "12:3", "--chunk-space", "bpe",
+               "--bpe-merges", "30", "--output", bpec_dir, "--keep-output")
+    bchunks = spark.read.parquet(f"{bpec_dir}/chunks")
+    assert rep8["chunks"] == bchunks.count() > 0
+    assert bchunks.agg(F.max("n_tokens")).first()[0] <= 12
+    merges2 = [(r.left, r.right) for r in sorted(
+        spark.read.parquet(f"{bpec_dir}/bpe_merges").collect(),
+        key=lambda r: r.rank)]
+    enc = {r.doc_id: list(r.tokens) for r in bpe_encode(
+        spark.read.parquet(f"{bpec_dir}/documents"),
+        merges2, keep_tokens=True).collect()}
+    for r in bchunks.collect():
+        toks = enc[r.doc_id][r.pos:r.pos + 12]
+        assert r.n_tokens == len(toks) and r.chunk_text == "".join(
+            toks).replace("</w>", " ").rstrip()
     chunks = spark.read.parquet(f"{chunk_dir}/chunks")
     docs_w = spark.read.parquet(f"{chunk_dir}/documents")
     assert rep7["chunks"] == chunks.count() > 0
