@@ -1303,7 +1303,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ``license_scan_documents`` under a ``variant`` column (the rollup
     is one bounded aggregation over the same planted scan), freeing the
     slot for ``dsir_sample_documents`` — DSIR hashed-n-gram importance
-    resampling, fully oracled."""
+    resampling, fully oracled.
+
+    Round-6 variant additions (no new slots): the SemDeDup keep/drop
+    arm rides ``embedding_near_dup_embeddings`` (``variant='semdedup'``,
+    status/n_dups re-derived in SQL from the shared verified-pair CTE)
+    and sliding-window chunking rides ``pack_sequences_documents``
+    (``variant='chunk'``, per-window sha256 content pin). Non-SQL
+    round-6 operators (BPE tokenizer + token-space chunking, persisted
+    IVF-PQ index lifecycle, streaming embedding near-dup, LSH recall
+    evaluation) are pytest- and job-gated — see docs/COVERAGE.md."""
     return {
         # flagship JSL validation surface
         "jsl_validate_events": q_jsl_validate_events,

@@ -124,3 +124,22 @@ def test_bpe_type_cut_is_take_ordered(spark):
     ).limit(100)
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_chunk_documents_bpe_plan_no_shuffle(spark):
+    """Token-space chunking must add NO Exchange: one Arrow encode pass
+    (the expected single Python node) feeding the window explode —
+    everything after the encode stays in codegen."""
+    from pyspark.sql import Row
+
+    from jsl_engine.bpe import chunk_documents_bpe, train_bpe
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b a b c c a b")]
+    )
+    merges = train_bpe(df, n_merges=4)
+    plan = chunk_documents_bpe(
+        df, merges, chunk_tokens=4, overlap=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert plan.count("Generate") == 1, plan[:2000]
