@@ -509,3 +509,62 @@ def test_bmp_takes_real_path_in_spark_pipeline(spark):
     assert (rz.width, rz.height) == (15, 20)
     assert np.array_equal(decode_bmp(bytes(rz.payload)),
                           resize_nearest(img, 15, 20))
+
+
+def test_png_fuzz_random_filters_dims_and_types():
+    """Seeded fuzz: random dimensions (incl. 1-pixel edges), random
+    color type (gray/RGB/RGBA), and an INDEPENDENT random filter chosen
+    per scanline via the forward implementation from the spec — decode
+    must invert every combination exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from jsl_engine.multimodal import decode_png
+
+    rng = np.random.default_rng(29)
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    for trial in range(12):
+        h = int(rng.integers(1, 9))
+        w = int(rng.integers(1, 9))
+        ctype, ch = [(0, 1), (2, 3), (6, 4)][int(rng.integers(0, 3))]
+        img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        bpp, stride = ch, w * ch
+        flat = img.reshape(h, stride).astype(np.int32)
+        raw = b""
+        for y in range(h):
+            f = int(rng.integers(0, 5))
+            cur = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int32)
+            out = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pq = a + b - c
+                    pa, pb, pc2 = abs(pq - a), abs(pq - b), abs(pq - c)
+                    pred = a if (pa <= pb and pa <= pc2) else (b if pb <= pc2 else c)
+                out[x] = (cur[x] - pred) & 255
+            raw += bytes([f]) + out.astype(np.uint8).tobytes()
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+                   + chunk(b"IDAT", zlib.compress(raw))
+                   + chunk(b"IEND", b""))
+        got = decode_png(payload)
+        want = img[:, :, 0] if ctype == 0 else img[:, :, :3]
+        assert got is not None and np.array_equal(got, want), (
+            trial, h, w, ctype)
