@@ -34,14 +34,29 @@ from typing import Iterator, Sequence
 from pyspark.sql import DataFrame, functions as F
 
 #: marks end-of-word, per the original BPE formulation — merges never
-#: cross word boundaries and the decoder can reconstruct spacing
-END = "</w>"
+#: cross word boundaries and the decoder can reconstruct spacing.
+#: NUL, not the classic literal ``</w>``: the marker must be
+#: OUT-OF-BAND or a document containing the literal marker string
+#: reconstructs wrong in :func:`chunk_documents_bpe` (its four
+#: characters can even merge back INTO the marker string during
+#: training, which no suffix rule can then distinguish). NUL is the one
+#: code point no text corpus legitimately carries; both the trainer and
+#: the encoder strip it from input (identically, so trained merges
+#: always apply), making every marker occurrence unambiguous.
+END = "\x00"
+
+#: per-partition word-encoding memo bound (entries). Zipf makes the
+#: working set tiny for natural language, but code/JSON corpora have
+#: near-unbounded distinct "words"; reset-on-full keeps executor Python
+#: memory bounded at ~cap × avg_word_len bytes with the same amortized
+#: hit rate (the frequent types repopulate within a batch or two).
+MEMO_CAP = 1 << 20
 
 
 def _word_types(
     df: DataFrame, text_col: str, lowercase: bool
 ) -> DataFrame:
-    text = F.col(text_col)
+    text = F.translate(F.col(text_col), END, "")
     if lowercase:
         text = F.lower(text)
     words = F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
@@ -181,10 +196,15 @@ def bpe_encode(
 
         <id_col>, n_words, n_tokens [, tokens with keep_tokens=True]
 
-    Map-only: the merge ranks broadcast once; inside each Arrow batch
-    every DISTINCT word is encoded once and memoized, so repeated words
-    (most of any real corpus, by Zipf) cost a dict hit. NULL-text rows
+    Map-only: the merge ranks broadcast once; every DISTINCT word is
+    encoded once and memoized PER PARTITION (bounded at :data:`MEMO_CAP`
+    entries — reset when full, so executor Python memory stays bounded
+    on high-type-count code/JSON corpora while repeated words — most of
+    any real corpus, by Zipf — still cost a dict hit). NULL-text rows
     report 0/0 — totality over degenerate rows, never a dropped doc.
+    NUL characters are stripped from input text (matching the trainer,
+    so trained merges always apply) — NUL is the out-of-band
+    end-of-word marker; see :data:`END`.
 
     Word boundaries are the JVM's ``\\s`` (ASCII whitespace), NOT
     Python's ``str.split()`` (Unicode whitespace): training word-types
@@ -215,6 +235,9 @@ def bpe_encode(
 
     # Java-regex \s, exactly — the training tokenizer's boundary set
     _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    # snapshot the cap into the closure: executors re-import the module,
+    # so the global itself is not what ships with the pickled function
+    memo_cap = MEMO_CAP
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         rks, lower = bc.value
@@ -231,6 +254,7 @@ def bpe_encode(
                     n_tokens.append(0)
                     toks_out.append([])
                     continue
+                t = t.replace(END, "")
                 if lower:
                     t = t.lower()
                 words = [w for w in _ws.split(t) if w]
@@ -239,6 +263,8 @@ def bpe_encode(
                 for w in words:
                     enc = memo.get(w)
                     if enc is None:
+                        if len(memo) >= memo_cap:
+                            memo.clear()
                         enc = encode_word(w, rks)
                         memo[w] = enc
                     total += len(enc)
@@ -284,10 +310,13 @@ def chunk_documents_bpe(
     ``pos`` counts TOKENS; cut points may fall inside a word (that is
     token-space chunking's nature — the overlap exists to absorb it).
     ``chunk_text`` reconstructs the window's text exactly: BPE tokens
-    concatenate losslessly, end-of-word markers become spaces.
-    ``chunk_sha256`` hashes that reconstruction, so chunk CONTENT is
-    pinned. NULL-text rows yield zero chunks, matching the whitespace
-    chunker's contract.
+    concatenate losslessly, end-of-word markers become spaces. The
+    marker is out-of-band NUL (:data:`END`), so a document containing
+    ANY literal text — including the classic ``</w>`` marker string —
+    reconstructs byte-exact (pinned adversarially in
+    tests/test_bpe.py). ``chunk_sha256`` hashes that reconstruction, so
+    chunk CONTENT is pinned. NULL-text rows yield zero chunks, matching
+    the whitespace chunker's contract.
 
     Scale shape: :func:`bpe_encode` (map-only Arrow, broadcast ranks)
     followed by the same integer-arithmetic window fan-out as the
@@ -315,11 +344,9 @@ def chunk_documents_bpe(
     window = F.slice(
         F.col("tokens"), F.col("chunk_id") * stride + 1, chunk_tokens
     )
-    text = F.rtrim(
-        F.regexp_replace(
-            F.array_join(window, ""), re.escape(END), " "
-        )
-    )
+    # translate, not regexp_replace: the marker is ONE out-of-band char,
+    # and translate is a plain codegen char map (no regex engine)
+    text = F.rtrim(F.translate(F.array_join(window, ""), END, " "))
     return (
         base.select(
             id_col,

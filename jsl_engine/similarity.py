@@ -792,13 +792,34 @@ def semantic_dedup(
     max_bucket: int = 1024,
     dim: int | None = None,
     pairs: DataFrame | None = None,
+    keep: str = "pairwise",
+    greedy_max_iters: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    arXiv:2303.09540): a vector is DROPPED when it has a near-duplicate
-    neighbor (exact cosine ≥ ``threshold``) with a smaller id — the
-    deterministic pairwise-greedy keep rule ("keep the lowest-id member
-    of every duplicate pair"), which keeps exactly one representative
-    per mutually-similar clique without computing connected components.
+    arXiv:2303.09540) over verified near-duplicate pairs (exact cosine
+    ≥ ``threshold``). Two deterministic keep rules:
+
+    * ``keep="pairwise"`` (default): a vector is DROPPED when it has
+      ANY lower-id verified neighbor. Exact semantics: within each
+      connected component of the near-dup graph, only LOCAL id-minima
+      survive (nodes with no lower-id neighbor). For a clique that is
+      exactly one representative; for a similarity CHAIN (A~B, B~C, no
+      A~C) it drops both B and C even though C has no kept neighbor
+      within threshold — a deliberate over-deletion bias (duplicates at
+      ``threshold`` ≥ 0.9 overwhelmingly form tight cliques, and one
+      aggregation + one join is the cheapest scale shape). SQL-replayed
+      in the oracle.
+    * ``keep="greedy"``: sequential greedy by ascending id (the
+      SemDeDup-faithful rule) — a vector is dropped only when it has a
+      lower-id KEPT neighbor, so in the chain above C survives as its
+      own representative. Computed distributed as a monotone fixpoint
+      over the pair list (each round decides every node whose lower
+      neighbors are all decided; rounds = decision-dependency depth,
+      bounded by ``greedy_max_iters`` — past the bound the remaining
+      undecided nodes fall back to the pairwise rule, deterministically
+      and conservatively). Pytest-pinned against a local sequential
+      reference; not SQL-expressible (recursive), so pytest-only.
+
     Returns one row per INPUT vector::
 
         <id_col>, kept (boolean), n_dups (long)
@@ -832,6 +853,8 @@ def semantic_dedup(
     once per consuming branch, so sharing one checkpointed pair list
     halves the dominant candidate-generation cost instead of doubling
     it."""
+    if keep not in ("pairwise", "greedy"):
+        raise ValueError(f"keep must be 'pairwise' or 'greedy', got {keep!r}")
     if pairs is None:
         pairs = embedding_near_duplicates(
             vectors,
@@ -843,6 +866,96 @@ def semantic_dedup(
             vec_col=vec_col,
             max_bucket=max_bucket,
             dim=dim,
+        )
+    if keep == "greedy":
+        # fixpoint over the (small, post-verify) pair list, never the
+        # corpus: status 0=undecided, 1=kept, 2=dropped. Seed: nodes
+        # with no lower-id neighbor are kept (pairs carry id_a < id_b,
+        # so "no lower neighbor" = "never appears as id_b"). Each round
+        # decides every node whose lower neighbors are all decided —
+        # the minimum undecided node always qualifies, so the loop
+        # strictly progresses; localCheckpoint truncates the growing
+        # lineage (the connected_components pattern).
+        edges = (
+            pairs.select(F.col("id_a").alias("lo"), F.col("id_b").alias("hi"))
+            .localCheckpoint()
+        )
+        status = (
+            edges.select(F.col("lo").alias("nid"))
+            .unionAll(edges.select(F.col("hi").alias("nid")))
+            .distinct()
+            .join(
+                edges.select(F.col("hi").alias("nid"))
+                .distinct()
+                .withColumn("__hl", F.lit(True)),
+                "nid",
+                "left",
+            )
+            .select(
+                "nid",
+                F.when(F.col("__hl").isNull(), F.lit(1))
+                .otherwise(F.lit(0))
+                .alias("st"),
+            )
+            .localCheckpoint()
+        )
+        for _ in range(greedy_max_iters):
+            if status.where(F.col("st") == 0).isEmpty():
+                break
+            verdicts = (
+                edges.join(
+                    status.select(
+                        F.col("nid").alias("lo"), F.col("st").alias("lo_st")
+                    ),
+                    "lo",
+                )
+                .groupBy("hi")
+                .agg(
+                    F.max((F.col("lo_st") == 1).cast("int")).alias("__any_kept"),
+                    F.min((F.col("lo_st") == 2).cast("int")).alias(
+                        "__all_dropped"
+                    ),
+                )
+                .withColumnRenamed("hi", "nid")
+            )
+            status = (
+                status.join(verdicts, "nid", "left")
+                .select(
+                    "nid",
+                    F.when(F.col("st") != 0, F.col("st"))
+                    .when(F.col("__any_kept") == 1, F.lit(2))
+                    .when(F.col("__all_dropped") == 1, F.lit(1))
+                    .otherwise(F.lit(0))
+                    .alias("st"),
+                )
+                .localCheckpoint()
+            )
+        # past-the-bound fallback: undecided → dropped (== the pairwise
+        # rule for those nodes — every undecided node has a lower-id
+        # neighbor by construction; deterministic, conservative)
+        flags = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_dups"))
+            .join(
+                status.select(
+                    F.col("nid").alias(id_col),
+                    (F.col("st") != 1).alias("__dropped"),
+                ),
+                id_col,
+            )
+        )
+        return (
+            vectors.select(id_col)
+            .join(flags, id_col, "left")
+            .select(
+                id_col,
+                (~F.coalesce(F.col("__dropped"), F.lit(False))).alias("kept"),
+                F.coalesce(F.col("n_dups"), F.lit(0))
+                .cast("long")
+                .alias("n_dups"),
+            )
         )
     # ONE aggregation over the pair list carries both signals — neighbor
     # degree (each verified pair contributes to both endpoints) and the

@@ -508,10 +508,20 @@ def embedding_near_dup_stream(
     bc = spark.sparkContext.broadcast((planes, weights, n_bands, n_planes))
 
     # degenerate-vector exclusion, JVM-side (the similarity._finite pin,
-    # inlined: _finite targets batch plans and this must stream)
+    # inlined: _finite targets batch plans and this must stream).
+    # Zero-norm vectors are ALSO dropped here: batch excludes them at
+    # the verify tail (cosine → NULL, below any threshold), but a
+    # stream has no verify tail to reclaim their state — admitted, they
+    # would consume max_bucket slots and skew saturation vs batch.
     finite = (
         F.col(vec_col).isNotNull()
-        & ~F.exists(F.col(vec_col), lambda x: x.isNull() | F.isnan(x))
+        & ~F.exists(
+            F.col(vec_col),
+            lambda x: x.isNull()
+            | F.isnan(x)
+            | (F.abs(x) == F.lit(float("inf"))),
+        )
+        & F.exists(F.col(vec_col), lambda x: x != 0)
     )
     pruned = stream.where(finite).select(id_col, vec_col)
 

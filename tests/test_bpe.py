@@ -223,6 +223,79 @@ def test_chunk_documents_bpe_token_space(spark):
         chunk_documents_bpe(df, merges, chunk_tokens=8, overlap=8)
 
 
+def test_chunk_bpe_literal_marker_text_reconstructs_exact(spark):
+    """Adversarial: a document whose TEXT contains the classic literal
+    BPE end-of-word marker string '</w>' (e.g. a tokenizer tutorial, or
+    this engine's own source) must reconstruct byte-exact — the r6
+    collision: with END='</w>' the four characters could merge back
+    into the marker and regexp_replace turned them into a spurious
+    space, so chunk_sha256 pinned the wrong content. The NUL marker is
+    out-of-band, and NUL itself is stripped consistently from input."""
+    import hashlib
+
+    text = "tokens end with </w> marker </w></w> twice a</w>b done " * 4
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=text)], "doc_id long, text string"
+    )
+    # enough merges that '</w>'-adjacent chars actually merge
+    merges = train_bpe(df, n_merges=40)
+    rows = sorted(
+        chunk_documents_bpe(
+            df, merges, chunk_tokens=8, overlap=2, keep_text=True
+        ).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    [enc] = bpe_encode(df, merges, keep_tokens=True).collect()
+    for r in rows:
+        toks = enc.tokens[r.pos:r.pos + 8]
+        window_text = "".join(toks).replace(END, " ").rstrip()
+        assert "</w>" in window_text or r.n_tokens < 4  # fixture is adversarial
+        assert r.chunk_text == window_text
+        assert r.chunk_sha256 == hashlib.sha256(
+            window_text.encode()
+        ).hexdigest()
+    # chunk 0 must start with the document's own literal prefix
+    assert rows[0].chunk_text.startswith("tokens end with")
+
+
+def test_bpe_nul_stripped_consistently(spark):
+    """NUL (the out-of-band marker) is stripped from input in BOTH the
+    trainer and the encoder, so trained merges still apply and token
+    reconstruction stays unambiguous."""
+    df_nul = spark.createDataFrame(
+        [Row(doc_id=1, text="lo\x00w low low lower")],
+        "doc_id long, text string",
+    )
+    df_clean = spark.createDataFrame(
+        [Row(doc_id=1, text="low low low lower")],
+        "doc_id long, text string",
+    )
+    m_nul = train_bpe(df_nul, n_merges=6)
+    m_clean = train_bpe(df_clean, n_merges=6)
+    assert m_nul == m_clean
+    [a] = bpe_encode(df_nul, m_nul, keep_tokens=True).collect()
+    [b] = bpe_encode(df_clean, m_clean, keep_tokens=True).collect()
+    assert list(a.tokens) == list(b.tokens)
+
+
+def test_bpe_encode_memo_cap_invariant(spark, monkeypatch):
+    """Shrinking MEMO_CAP to 1 (reset on every new word) must not change
+    any output — the memo is a pure cache."""
+    import jsl_engine.bpe as B
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta w{i} gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(df, n_merges=8)
+    want = {r.doc_id: (r.n_words, r.n_tokens)
+            for r in bpe_encode(df, merges).collect()}
+    monkeypatch.setattr(B, "MEMO_CAP", 1)
+    got = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in B.bpe_encode(df, merges).collect()}
+    assert got == want
+
+
 def test_max_word_len_guards_pathological_types(spark):
     """Minified/JSON blobs are whitespace-free 'words' of unbounded
     length; training must skip them (the driver merge loop is linear in

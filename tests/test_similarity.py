@@ -583,6 +583,91 @@ def test_semantic_dedup_clique_keeps_one(spark):
     assert out == {3: True, 7: False, 9: False, 12: False, 20: True, 21: True}
 
 
+def test_semantic_dedup_greedy_chain_keeps_endpoint(spark):
+    """keep='greedy' vs the default pairwise rule on a similarity CHAIN
+    (1~2, 2~3, no 1~3): greedy keeps 1 AND 3 (3's only neighbor 2 is
+    itself dropped, so 3 is its own representative — the SemDeDup
+    sequential-greedy semantics); pairwise drops both 2 and 3 (each has
+    SOME lower-id neighbor). Pairs are injected directly so the chain
+    shape is exact, not at the mercy of LSH banding."""
+    ids = spark.createDataFrame(
+        [Row(vec_id=i) for i in (1, 2, 3)], "vec_id long"
+    ).withColumn("embedding", F_lit_vec())
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2, cos_sim=0.99), Row(id_a=2, id_b=3, cos_sim=0.99)],
+        "id_a long, id_b long, cos_sim double",
+    )
+    greedy = {r.vec_id: r.kept for r in S.semantic_dedup(
+        ids, pairs=pairs, keep="greedy"
+    ).collect()}
+    pairwise = {r.vec_id: r.kept for r in S.semantic_dedup(
+        ids, pairs=pairs
+    ).collect()}
+    assert greedy == {1: True, 2: False, 3: True}
+    assert pairwise == {1: True, 2: False, 3: False}
+
+
+def F_lit_vec():
+    from pyspark.sql import functions as F
+    return F.array(F.lit(1.0))
+
+
+def _sequential_greedy(n_ids, edges):
+    """Local reference: process ids ascending; drop iff a KEPT lower
+    neighbor exists."""
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(b, set()).add(a)
+    kept = set()
+    for i in sorted(n_ids):
+        if not (nbrs.get(i, set()) & kept):
+            kept.add(i)
+    return kept
+
+
+def test_semantic_dedup_greedy_fuzz_matches_sequential(spark):
+    """Fuzz: on random pair graphs the distributed greedy fixpoint equals
+    the local sequential-greedy-by-id reference exactly; the pairwise
+    rule equals 'has any lower neighbor'; both keep all untouched ids."""
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        n = int(rng.integers(6, 30))
+        ids = list(range(n))
+        m = int(rng.integers(0, n * 2))
+        edges = set()
+        for _ in range(m):
+            a, b = rng.integers(0, n, size=2)
+            if a != b:
+                edges.add((int(min(a, b)), int(max(a, b))))
+        edges = sorted(edges)
+        id_df = spark.createDataFrame(
+            [Row(vec_id=i) for i in ids], "vec_id long"
+        ).withColumn("embedding", F_lit_vec())
+        pair_df = spark.createDataFrame(
+            [Row(id_a=a, id_b=b, cos_sim=0.99) for a, b in edges] or
+            [Row(id_a=0, id_b=0, cos_sim=0.0)],
+            "id_a long, id_b long, cos_sim double",
+        )
+        if not edges:
+            pair_df = pair_df.where("id_a <> id_b")
+        got = {r.vec_id: r.kept for r in S.semantic_dedup(
+            id_df, pairs=pair_df, keep="greedy"
+        ).collect()}
+        want = _sequential_greedy(ids, edges)
+        assert got == {i: (i in want) for i in ids}, (trial, edges)
+        got_pw = {r.vec_id: r.kept for r in S.semantic_dedup(
+            id_df, pairs=pair_df
+        ).collect()}
+        has_lower = {b for _, b in edges}
+        assert got_pw == {i: (i not in has_lower) for i in ids}, (trial, edges)
+
+
+def test_semantic_dedup_rejects_unknown_keep(spark):
+    df = spark.createDataFrame([Row(vec_id=1)], "vec_id long")
+    with pytest.raises(ValueError, match="keep"):
+        S.semantic_dedup(df, keep="nope")
+
+
 def test_semantic_dedup_degenerate_vectors_kept(spark):
     """Totality contract: NULL embeddings, NULL-component, zero-norm and
     NaN-component vectors can never be scored, so semantic dedup must

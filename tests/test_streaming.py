@@ -821,8 +821,9 @@ def test_embedding_near_dup_stream_matches_batch(spark, tmp_path):
     cap — TWO availableNow queries over a shared checkpoint, with the
     second arrival containing clones of first-arrival vectors, prove
     state carries vectors across restarts. Degenerate rows (NULL
-    embedding, NULL component, NaN component) ride along and must pair
-    with nothing on either surface."""
+    embedding, NULL component, NaN component, Inf component, zero norm)
+    ride along and must pair with nothing on either surface — the
+    zero-norm/Inf rows also must not consume stream state slots."""
     import numpy as np
     from pyspark.sql import Row
 
@@ -844,6 +845,9 @@ def test_embedding_near_dup_stream_matches_batch(spark, tmp_path):
                       embedding=[None] + [1.0] * 15))
     b_rows.append(Row(vec_id=902,
                       embedding=[float("nan")] + [1.0] * 15))
+    b_rows.append(Row(vec_id=903,
+                      embedding=[float("inf")] + [1.0] * 15))
+    b_rows.append(Row(vec_id=904, embedding=[0.0] * 16))
     landing = str(tmp_path / "end_landing")
     out_dir = str(tmp_path / "end_out")
     ckpt = str(tmp_path / "end_ckpt")
@@ -882,4 +886,4 @@ def test_embedding_near_dup_stream_matches_batch(spark, tmp_path):
              ).collect()}
     assert batch, "fixture must plant real near-dups"
     assert got == batch  # pair set AND exact rounded scores
-    assert not {900, 901, 902} & {v for p in got for v in p}
+    assert not {900, 901, 902, 903, 904} & {v for p in got for v in p}

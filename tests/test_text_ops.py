@@ -1018,7 +1018,7 @@ def test_curate_job_end_to_end(spark, tmp_path):
     # tokenizer rider: the merges artifact reproduces the reported train
     # token budget through an independent re-encode, and the tokenizer
     # never saw eval text (trained on the written train split only)
-    from jsl_engine.bpe import bpe_encode
+    from jsl_engine.bpe import END as BPE_END, bpe_encode
     from pyspark.sql import functions as F
 
     merge_rows = sorted(
@@ -1053,7 +1053,7 @@ def test_curate_job_end_to_end(spark, tmp_path):
     for r in bchunks.collect():
         toks = enc[r.doc_id][r.pos:r.pos + 12]
         assert r.n_tokens == len(toks) and r.chunk_text == "".join(
-            toks).replace("</w>", " ").rstrip()
+            toks).replace(BPE_END, " ").rstrip()
     chunks = spark.read.parquet(f"{chunk_dir}/chunks")
     docs_w = spark.read.parquet(f"{chunk_dir}/documents")
     assert rep7["chunks"] == chunks.count() > 0
