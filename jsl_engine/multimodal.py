@@ -18,11 +18,15 @@ Decoding is REAL for formats that need no codec library:
 * **BMP images (uncompressed 24/32-bit BI_RGB)** — :func:`decode_bmp` /
   :func:`encode_bmp` (round 6): struct header parse + numpy row
   restride (bottom-up/top-down, 4-byte padding, BGR→RGB);
+* **JPEG images (baseline SOF0, 8-bit, gray/YCbCr, any sampling,
+  restarts)** — :mod:`jsl_engine.jpeg` (round 7): marker parse +
+  canonical Huffman + vectorized numpy IDCT per ITU T.81, with an
+  independently-written forward encoder pinning the decoder;
 * **WAV PCM audio** — :func:`decode_wav` (stdlib ``wave`` + numpy), with
   real windowed RMS-energy + zero-crossing features.
 
-Formats that DO require codec libraries (JPEG/MP4 — no Pillow or
-torchcodec in this container) fall back to the clearly-labeled
+Formats that DO require codec libraries (MP4/progressive-JPEG — no
+torchcodec or Pillow in this container) fall back to the clearly-labeled
 ``decode_stub``; swapping it for a real codec changes one function, not
 the pipeline.
 
@@ -46,6 +50,8 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from jsl_engine.jpeg import decode_jpeg, encode_jpeg
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -408,10 +414,10 @@ def encode_bmp(arr) -> bytes:
 
 
 def decode_image(payload: bytes):
-    """Try every dependency-free image codec (netpbm, PNG, then BMP);
-    None if the payload is none of them — the caller's stub-fallback
-    contract."""
-    for dec in (decode_netpbm, decode_png, decode_bmp):
+    """Try every dependency-free image codec (netpbm, PNG, BMP, then
+    baseline JPEG); None if the payload is none of them — the caller's
+    stub-fallback contract."""
+    for dec in (decode_netpbm, decode_png, decode_bmp, decode_jpeg):
         arr = dec(payload)
         if arr is not None:
             return arr
@@ -555,10 +561,11 @@ def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
 def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
     """Resize pass over image rows: payload → decoded → resized → encoded,
     metadata updated to the new dimensions (aspect preserved, only
-    downscales). netpbm payloads take the REAL path — decode_netpbm →
-    nearest-neighbor resize → encode_netpbm, genuine pixels end to end;
-    codec-library formats (JPEG/PNG — no Pillow in this container) fall
-    back to the labeled stub transform. The Spark plumbing is the same
+    downscales). netpbm/PNG/BMP/baseline-JPEG payloads take the REAL
+    path — decode → nearest-neighbor resize → re-encode in the same
+    container, genuine pixels end to end; codec-library formats (MP4
+    frames, progressive JPEG) fall back to the labeled stub transform.
+    The Spark plumbing is the same
     either way: non-image rows pass through untouched, the batch
     iterates once, output schema equals input schema.
     """
@@ -581,7 +588,8 @@ def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
                 # REAL resize on decoded pixels, same container out
                 for dec, enc in ((decode_netpbm, encode_netpbm),
                                  (decode_png, encode_png),
-                                 (decode_bmp, encode_bmp)):
+                                 (decode_bmp, encode_bmp),
+                                 (decode_jpeg, encode_jpeg)):
                     arr = dec(raw)
                     if arr is not None:
                         payloads[i] = enc(resize_nearest(arr, nw, nh))

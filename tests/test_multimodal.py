@@ -568,3 +568,192 @@ def test_png_fuzz_random_filters_dims_and_types():
         want = img[:, :, 0] if ctype == 0 else img[:, :, :3]
         assert got is not None and np.array_equal(got, want), (
             trial, h, w, ctype)
+
+
+def test_jpeg_roundtrip_gray_rgb_unit_quant():
+    """encode_jpeg(quality=None) emits unit quantization tables, so the
+    only loss is DCT rounding: constant images decode EXACTLY (the 8x8
+    DCT of a constant block is DC-only and the orthonormal basis
+    round-trips it), random grayscale within ±2, random RGB within ±4
+    (chroma conversion adds rounding). The forward path is written
+    independently of the decoder — they pin each other, the PNG
+    unfilter-vs-forward-filter pattern."""
+    import numpy as np
+
+    from jsl_engine.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    const = np.full((16, 24), 137, dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(const))
+    assert got is not None and got.dtype == np.uint8
+    assert np.array_equal(got, const)
+
+    gray = rng.integers(0, 256, size=(33, 41), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(gray))
+    assert got.shape == (33, 41)
+    assert np.abs(got.astype(int) - gray.astype(int)).max() <= 2
+
+    rgb = rng.integers(0, 256, size=(17, 29, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(rgb))
+    assert got.shape == (17, 29, 3)
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_jpeg_subsampling_quality_and_restarts():
+    """4:2:0 chroma subsampling reconstructs a smooth gradient closely
+    (mean abs error < 2); Annex-K-scaled quality tables decode through
+    the DQT path with bounded error on random content; restart markers
+    (DRI + RSTn, fresh DC predictors per segment) must not change one
+    decoded pixel vs the same image without restarts."""
+    import numpy as np
+
+    from jsl_engine.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((yy + xx) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    got = decode_jpeg(encode_jpeg(grad, subsample=True))
+    assert got.shape == grad.shape
+    assert np.abs(got.astype(int) - grad.astype(int)).mean() < 2.0
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    got = decode_jpeg(encode_jpeg(img, quality=90))
+    assert got.shape == img.shape
+    assert np.abs(got.astype(int) - img.astype(int)).mean() < 12.0
+
+    plain = decode_jpeg(encode_jpeg(img))
+    for interval in (1, 2, 5):
+        with_rst = decode_jpeg(encode_jpeg(img, restart_interval=interval))
+        assert np.array_equal(with_rst, plain), interval
+
+
+def test_jpeg_16bit_dqt_precision():
+    """Pq=1 (16-bit) quantization table entries decode identically to
+    their 8-bit twins when values fit in 8 bits — rewrite the emitted
+    DQT segment to 16-bit in place and re-decode."""
+    import struct as st
+
+    import numpy as np
+
+    from jsl_engine.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    blob = encode_jpeg(img)
+    i = blob.find(b"\xff\xdb")
+    (seglen,) = st.unpack_from(">H", blob, i + 2)
+    assert seglen == 2 + 1 + 64  # one 8-bit table (grayscale)
+    vals = blob[i + 5:i + 5 + 64]
+    wide = b"".join(st.pack(">H", v) for v in vals)
+    seg16 = st.pack(">H", 2 + 1 + 128) + bytes([0x10]) + wide
+    rewritten = blob[:i + 2] + seg16 + blob[i + 2 + seglen:]
+    a = decode_jpeg(blob)
+    b = decode_jpeg(rewritten)
+    assert b is not None and np.array_equal(a, b)
+
+
+def test_jpeg_malformed_returns_none():
+    """Stub-fallback contract: non-JPEG, truncated entropy data,
+    progressive (SOF2), 12-bit precision, and arithmetic-coded frames
+    all return None — never a task crash."""
+    import numpy as np
+
+    from jsl_engine.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    blob = encode_jpeg(img)
+
+    assert decode_jpeg(b"not a jpeg") is None
+    assert decode_jpeg(b"\xff\xd8nonsense") is None
+    assert decode_jpeg(blob[: len(blob) // 2]) is None  # truncated scan
+    assert decode_jpeg(blob[:20]) is None               # truncated header
+
+    sof = blob.find(b"\xff\xc0")
+    progressive = bytearray(blob)
+    progressive[sof + 1] = 0xC2
+    assert decode_jpeg(bytes(progressive)) is None
+    arith = bytearray(blob)
+    arith[sof + 1] = 0xC9
+    assert decode_jpeg(bytes(arith)) is None
+    twelve = bytearray(blob)
+    twelve[sof + 4] = 12  # precision byte inside SOF payload
+    assert decode_jpeg(bytes(twelve)) is None
+
+
+def test_jpeg_takes_real_path_in_spark_pipeline(spark):
+    """extract_features pools REAL decoded pixels for JPEG payloads (==
+    image_feature of decode_jpeg, != the byte stub), and resize_images
+    decodes/resizes/re-encodes JPEG in-container: the output payload is
+    a valid baseline JPEG of the new dimensions whose pixels match the
+    nearest-neighbor downscale within the unit-quant tolerance."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine.jpeg import decode_jpeg, encode_jpeg
+    from jsl_engine.multimodal import (
+        MEDIA_SCHEMA,
+        decode_stub,
+        extract_features,
+        image_feature,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8)
+    payload = encode_jpeg(img)
+    decoded = decode_jpeg(payload)
+    df = spark.createDataFrame([Row(
+        media_id=3, kind="image", mime="image/jpeg", width=48, height=64,
+        duration_ms=None, n_bytes=len(payload), payload=bytearray(payload),
+    )], MEDIA_SCHEMA)
+    [feat] = extract_features(df, dim=16).collect()
+    assert feat.feature == [float(np.float32(v))
+                            for v in image_feature(decoded, 16)]
+    assert feat.feature != [float(np.float32(v))
+                            for v in decode_stub(payload, "image", 16)]
+
+    [rz] = resize_images(df, max_side=32).collect()
+    assert (rz.width, rz.height) == (24, 32)
+    out = decode_jpeg(bytes(rz.payload))
+    assert out is not None and out.shape == (32, 24, 3)
+    want = resize_nearest(decoded, 24, 32)
+    assert np.abs(out.astype(int) - want.astype(int)).max() <= 4
+
+
+def test_jpeg_fuzz_random_dims_modes():
+    """Seeded fuzz across random dimensions (incl. 1-pixel and exact-MCU
+    edges), gray/RGB, 4:4:4 / 4:2:0, and restart intervals: decode always
+    returns the right shape, and for quality=None the full-resolution
+    channels stay within the DCT-rounding tolerance (4:2:0 chroma is
+    block-averaged, so only reconstructed LUMA is pinned there)."""
+    import numpy as np
+
+    from jsl_engine.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(44)
+    dims = [(1, 1), (8, 8), (7, 9), (16, 17), (23, 8)]
+    for trial in range(10):
+        h, w = dims[trial % len(dims)]
+        gray = trial % 2 == 0
+        sub = (not gray) and trial % 3 == 0
+        rst = (0, 1, 3)[trial % 3]
+        shape = (h, w) if gray else (h, w, 3)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = decode_jpeg(encode_jpeg(img, subsample=sub,
+                                      restart_interval=rst))
+        assert got is not None and got.shape == shape, (trial, shape)
+        if gray:
+            assert np.abs(got.astype(int) - img.astype(int)).max() <= 2, trial
+        elif not sub:
+            assert np.abs(got.astype(int) - img.astype(int)).max() <= 4, trial
+        else:
+            luma = lambda x: (0.299 * x[:, :, 0] + 0.587 * x[:, :, 1]
+                              + 0.114 * x[:, :, 2])
+            err = np.abs(luma(got.astype(float)) - luma(img.astype(float)))
+            # clamping after out-of-gamut chroma can locally distort
+            # recovered luma; the mean stays tight
+            assert err.mean() <= 8.0, (trial, err.mean())
