@@ -55,6 +55,7 @@ from jsl_engine.jpeg import decode_jpeg, encode_jpeg
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -83,6 +84,11 @@ FEATURE_SCHEMA = StructType(
         StructField("payload_sha256", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("feature", ArrayType(FloatType()), False),
+        # True when the feature came from REAL decoded pixels/samples;
+        # False means the byte-fold stub (codec-library formats). Lets
+        # consumers (image_near_duplicates) exclude stub features, whose
+        # geometry is meaningless for similarity.
+        StructField("decoded", BooleanType(), False),
     ]
 )
 
@@ -468,13 +474,28 @@ def decode_wav(payload: bytes):
 
 
 def image_feature(arr, dim: int = 16) -> list[float]:
-    """Decoded-pixel feature: grayscale 4×4 grid means in [-1, 1] —
-    the shape of a tiny visual embedding, computed from REAL pixels."""
+    """Decoded-pixel feature: grayscale side×side grid CELL MEANS in
+    [-1, 1] — the shape of a tiny visual embedding, computed from REAL
+    pixels. Mean pooling (not single-pixel sampling) makes the feature
+    stable under re-encoding noise and, for natural (smooth) content,
+    under rescaling — the properties :func:`image_near_duplicates`
+    needs. Images smaller than the grid are nearest-upscaled first so
+    every cell has pixels (totality down to 1×1)."""
     import numpy as np
 
     g = arr.mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+    g = np.asarray(g, dtype=np.float64)
     side = int(dim ** 0.5)
-    pooled = resize_nearest(np.asarray(g, dtype=np.float64), side, side)
+    h, w = g.shape
+    if h < side or w < side:
+        g = resize_nearest(g, max(w, side), max(h, side))
+        h, w = g.shape
+    yb = (np.arange(side + 1) * h) // side
+    xb = (np.arange(side + 1) * w) // side
+    pooled = np.empty((side, side), np.float64)
+    for cy in range(side):
+        for cx in range(side):
+            pooled[cy, cx] = g[yb[cy]:yb[cy + 1], xb[cx]:xb[cx + 1]].mean()
     out = (pooled.reshape(-1) / 127.5 - 1.0).tolist()
     return (out + [0.0] * dim)[:dim]
 
@@ -526,11 +547,12 @@ def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            feats, shas, sizes = [], [], []
+            feats, shas, sizes, decs = [], [], [], []
             for payload, kind in zip(batch["payload"], batch["kind"]):
                 payload = bytes(payload)
-                # REAL decode first (netpbm pixels / WAV samples); the
-                # stub only covers codec-library formats (mp4 here)
+                # REAL decode first (netpbm/PNG/BMP/JPEG pixels, WAV
+                # samples); the stub only covers codec-library formats
+                # (mp4 here)
                 feat = None
                 if kind == "image":
                     arr = decode_image(payload)
@@ -540,6 +562,7 @@ def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
                     decoded = decode_wav(payload)
                     if decoded is not None:
                         feat = audio_feature(decoded[0], dim)
+                decs.append(feat is not None)
                 feats.append(feat if feat is not None
                              else decode_stub(payload, kind, dim))
                 shas.append(hashlib.sha256(payload).hexdigest())
@@ -551,6 +574,7 @@ def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
                     "payload_sha256": shas,
                     "n_bytes": sizes,
                     "feature": feats,
+                    "decoded": decs,
                 }
             )
             yield out
@@ -653,6 +677,80 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 8
             )
 
     return pruned.mapInPandas(run, FRAME_SCHEMA)
+
+
+def image_near_duplicates(
+    media: DataFrame,
+    *,
+    dim: int = 16,
+    threshold: float = 0.97,
+    n_planes: int = 12,
+    n_bands: int = 8,
+    seed: int = 42,
+    max_bucket: int = 1024,
+    keep: str = "pairwise",
+    features: DataFrame | None = None,
+    return_pairs: bool = False,
+) -> DataFrame:
+    """Image-level near-duplicate dedup: decode → pooled-pixel feature →
+    banded-SRP candidate pairs → exact-cosine verify → SemDeDup keep
+    rule — the multimodal composition of :func:`extract_features` with
+    :func:`jsl_engine.similarity.embedding_near_duplicates` /
+    :func:`~jsl_engine.similarity.semantic_dedup`. A re-encoded twin
+    (PNG↔JPEG↔BMP↔netpbm of the same pixels) or a downscaled copy
+    produces a near-identical feature vector, so content-level
+    duplicates pair regardless of container or resolution — byte-hash
+    dedup sees none of that.
+
+    Returns one row per image row of ``media``::
+
+        media_id, kept (boolean), n_dups (long), decoded (boolean)
+
+    (or the verified pair list ``id_a, id_b, cos_sim`` with
+    ``return_pairs=True``). Non-image rows are excluded. Rows whose
+    payload no dependency-free codec decodes (``decoded=false`` — stub
+    features, whose geometry is meaningless for similarity) are always
+    kept with ``n_dups=0``, the engine's totality convention for
+    degenerate inputs.
+
+    Scale shape: feature extraction is map-only over pruned
+    ``(media_id, kind, payload)`` batches; everything after runs on
+    ``dim``-float vectors, never payload bytes — banding, bucket guard,
+    and the single keep aggregation are exactly the audited
+    ``embedding_near_dup_embeddings`` plan. For a 100 TB corpus, pass
+    ``features=`` a materialized (parquet) output of
+    :func:`extract_features` so the decode pass runs once, not once per
+    consuming branch (the job below does this).
+    """
+    from jsl_engine.similarity import embedding_near_duplicates, semantic_dedup
+
+    images = media.where(F.col("kind") == "image")
+    if features is None:
+        features = extract_features(images, dim=dim)
+    vecs = (
+        features.where(F.col("decoded") & (F.col("kind") == "image"))
+        .select("media_id", F.col("feature").cast("array<double>").alias("embedding"))
+    )
+    kwargs = dict(
+        threshold=threshold, n_planes=n_planes, n_bands=n_bands, seed=seed,
+        id_col="media_id", vec_col="embedding", max_bucket=max_bucket,
+        dim=dim,
+    )
+    pairs = embedding_near_duplicates(vecs, **kwargs)
+    if return_pairs:
+        return pairs
+    flags = semantic_dedup(vecs, pairs=pairs, keep=keep, **kwargs)
+    return (
+        features.where(F.col("kind") == "image")
+        .select("media_id", "decoded")
+        .join(flags, "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("kept"), F.lit(True)).alias("kept"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            "decoded",
+        )
+    )
 
 
 def media_stats(media: DataFrame) -> DataFrame:

@@ -757,3 +757,141 @@ def test_jpeg_fuzz_random_dims_modes():
             # clamping after out-of-gamut chroma can locally distort
             # recovered luma; the mean stays tight
             assert err.mean() <= 8.0, (trial, err.mean())
+
+
+def test_image_feature_pooling_stability_and_limits():
+    """Mean-pooled grid features are (a) stable under lossy re-encoding
+    on ANY content, (b) scale-invariant for SMOOTH content, and (c)
+    honestly NOT scale-invariant for noise — downscaling noise destroys
+    the information any pooled summary carries, which is why the media
+    job plants re-encode twins over its random corpus and the resize
+    case is pinned here on a smooth fixture."""
+    import numpy as np
+
+    from jsl_engine.jpeg import decode_jpeg, encode_jpeg
+    from jsl_engine.multimodal import image_feature, resize_nearest
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    yy, xx = np.mgrid[0:48, 0:40]
+    smooth = np.stack([
+        (yy * 4) % 256,
+        255 - (xx * 5) % 256,
+        (128 + 100 * np.sin(yy / 9.0) + 20 * np.cos(xx / 7.0)),
+    ], axis=2).clip(0, 255).astype(np.uint8)
+    f0 = image_feature(smooth, 16)
+    # (a) lossy q85 JPEG round trip barely moves the feature
+    f_jpeg = image_feature(decode_jpeg(encode_jpeg(smooth, quality=85)), 16)
+    assert cos(f0, f_jpeg) > 0.995
+    # (b) half-size twin of smooth content pools to nearly the same cells
+    f_half = image_feature(resize_nearest(smooth, 20, 24), 16)
+    assert cos(f0, f_half) > 0.99
+    # (c) noise: re-encode stays close, downscale does not
+    rng = np.random.default_rng(3)
+    noise = rng.integers(0, 256, size=(48, 40, 3), dtype=np.uint8)
+    n0 = image_feature(noise, 16)
+    assert cos(n0, image_feature(
+        decode_jpeg(encode_jpeg(noise, quality=85)), 16)) > 0.97
+    assert cos(n0, image_feature(resize_nearest(noise, 20, 24), 16)) < 0.9
+    # totality: tiny images still produce a full-length feature
+    assert len(image_feature(np.full((1, 1), 9, np.uint8), 16)) == 16
+
+
+def test_image_near_duplicates_planted(spark):
+    """The multimodal dedup composition end-to-end: one smooth source
+    image planted as a 6-way content clique (netpbm / PNG / BMP /
+    near-lossless JPEG / lossy q85 JPEG / half-size PNG twin) collapses
+    to its lowest id; distinct noise images and an undecodable (stub)
+    payload are kept; non-image rows are excluded; keep='greedy' agrees
+    on a clique."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine import multimodal as M
+    from jsl_engine.jpeg import encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:24]
+    base = np.stack([
+        (yy * 6) % 256, (xx * 7) % 256,
+        (128 + 90 * np.sin(yy / 6.0)),
+    ], axis=2).clip(0, 255).astype(np.uint8)
+    rng = np.random.default_rng(17)
+
+    def media_row(mid, blob, kind="image"):
+        return Row(media_id=mid, kind=kind, mime="x", width=24, height=32,
+                   duration_ms=None, n_bytes=len(blob),
+                   payload=bytearray(blob))
+
+    rows = [
+        media_row(1, M.encode_netpbm(base)),
+        media_row(2, M.encode_png(base)),
+        media_row(3, M.encode_bmp(base)),
+        media_row(4, encode_jpeg(base)),
+        media_row(5, encode_jpeg(base, quality=85)),
+        media_row(6, M.encode_png(M.resize_nearest(base, 12, 16))),
+    ]
+    for mid in (10, 11, 12):
+        rows.append(media_row(
+            mid, M.encode_png(rng.integers(0, 256, (32, 24, 3), np.uint8))))
+    rows.append(media_row(20, b"not-an-image-blob"))
+    rows.append(media_row(30, b"aud", kind="audio"))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    flags = {r.media_id: (r.kept, r.n_dups, r.decoded)
+             for r in M.image_near_duplicates(media, threshold=0.97).collect()}
+    assert set(flags) == {1, 2, 3, 4, 5, 6, 10, 11, 12, 20}  # images only
+    assert flags[1] == (True, 5, True)
+    for mid in (2, 3, 4, 5, 6):
+        assert flags[mid] == (False, 5, True), mid
+    for mid in (10, 11, 12):
+        assert flags[mid] == (True, 0, True), mid
+    assert flags[20] == (True, 0, False)  # stub feature: always kept
+
+    pairs = M.image_near_duplicates(
+        media, threshold=0.97, return_pairs=True).collect()
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [
+        (a, b) for a in range(1, 7) for b in range(a + 1, 7)]
+    assert all(r.cos_sim >= 0.97 for r in pairs)
+
+    greedy = {r.media_id: r.kept for r in M.image_near_duplicates(
+        media, threshold=0.97, keep="greedy").collect()}
+    assert greedy == {m: k for m, (k, _, _) in flags.items()}
+
+    # the 100-TB path: a pre-materialized features frame short-circuits
+    # the decode pass and yields identical flags
+    feats = M.extract_features(media, dim=16)
+    via_features = {r.media_id: (r.kept, r.n_dups, r.decoded)
+                    for r in M.image_near_duplicates(
+                        media, features=feats, threshold=0.97).collect()}
+    assert via_features == flags
+
+
+def test_media_job_end_to_end(tmp_path):
+    """jobs/media_job.py over a synthetic corpus with planted
+    re-encode duplicates: every planted twin is found (dropped with its
+    source kept), the report's accounting is consistent, and the
+    features/image_flags parquet outputs land."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out_dir = tmp_path / "media_out"
+    res = subprocess.run(
+        [sys.executable, str(repo / "jobs" / "media_job.py"),
+         "--rows", "300", "--plant-dups", "12", "--cpus", "4",
+         "--output", str(out_dir)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    rep = json.loads(res.stdout.strip().splitlines()[-1])
+    assert rep["planted"] == 12
+    assert rep["planted_found"] == 12
+    assert rep["pairs"] >= 12
+    assert rep["images_dropped"] >= 12
+    assert rep["n_decoded"] == rep["n_images"]
+    assert (out_dir / "features").exists()
+    assert (out_dir / "image_flags").exists()
