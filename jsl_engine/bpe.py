@@ -52,19 +52,86 @@ END = "\x00"
 #: hit rate (the frequent types repopulate within a batch or two).
 MEMO_CAP = 1 << 20
 
+#: intra-word PIECE separator for non-whitespace scripts — out-of-band
+#: like :data:`END` and stripped from input identically. CJK/Thai text
+#: carries no spaces, so the whitespace pre-tokenizer sees whole
+#: sentences as one "word" which ``max_word_len`` then (correctly)
+#: drops from training — round 6 silently learned ZERO merges for ~4 of
+#: the 27 languages ``language_id`` ships. The fix: whitespace words
+#: are further split into same-script PIECES at boundaries between
+#: no-space-script runs (Han / kana / Thai, the same JVM-extracted
+#: tables lang_arrow uses) and every :data:`NOSPACE_PIECE` chars within
+#: a run. Only a word's FINAL piece carries the END marker, so token
+#: reconstruction stays byte-exact — pieces of one word concatenate
+#: with no space between them.
+SEP = "\x01"
+
+#: max chars per no-space-script piece. Bounds the driver merge loop's
+#: per-type cost exactly like ``max_word_len`` does for spaced scripts
+#: (pieces always survive that cap); merges never cross a piece cut —
+#: the same compromise every production pre-tokenizer makes at its
+#: split points.
+NOSPACE_PIECE = 16
+
+
+def _nospace_class() -> str:
+    """One regex character class covering every no-space-script code
+    point — built from the SAME JVM-extracted range tables on both
+    sides (Java via regexp_replace, Python via re), so training and
+    encode segment identically by construction."""
+    from jsl_engine import _uniprops as U
+
+    parts = []
+    for lo, hi in (*U.ZH_RANGES, *U.JA_RANGES, *U.TH_RANGES):
+        parts.append(chr(lo) if lo == hi else f"{chr(lo)}-{chr(hi)}")
+    return "[" + "".join(parts) + "]"
+
+
+#: ASCII whitespace as an explicit class: Java's ``\\s`` and Python's
+#: unicode ``\\s`` DISAGREE (NBSP), and the encoder's word splitter is
+#: already pinned to the JVM set
+_WS_CLASS = r"[ \t\n\x0b\f\r]"
+
+
+def _segmenter_patterns() -> tuple[str, str]:
+    """(boundary, stride) regex source strings, valid under BOTH Java
+    and Python regex semantics. ``boundary`` is zero-width: the spot
+    between a no-space-script char and an adjacent other non-space char
+    (either order). ``stride`` captures NOSPACE_PIECE no-space chars
+    followed by another one."""
+    cls = _nospace_class()
+    boundary = (
+        f"(?<={cls})(?!{cls})(?=[^ \\t\\n\\x0b\\f\\r])"
+        f"|(?<!{cls})(?<=[^ \\t\\n\\x0b\\f\\r])(?={cls})"
+    )
+    stride = f"({cls}{{{NOSPACE_PIECE}}})(?={cls})"
+    return boundary, stride
+
 
 def _word_types(
     df: DataFrame, text_col: str, lowercase: bool
 ) -> DataFrame:
-    text = F.translate(F.col(text_col), END, "")
+    """Distinct (piece, fin) counts: whitespace words, further split at
+    no-space-script boundaries/strides; ``fin`` marks a word's last
+    piece (the only one that trains with the END marker fused)."""
+    boundary, stride = _segmenter_patterns()
+    text = F.translate(F.col(text_col), END + SEP, "")
     if lowercase:
         text = F.lower(text)
+    text = F.regexp_replace(text, boundary, SEP)
+    text = F.regexp_replace(text, stride, "$1" + SEP)
     words = F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
     return (
         df.where(F.col(text_col).isNotNull())
         .select(F.explode(words).alias("word"))
         .where(F.col("word") != "")
-        .groupBy("word")
+        .select(F.split("word", SEP).alias("ps"))
+        .select(F.explode(F.expr(
+            "transform(ps, (p, i) -> struct(p AS word, i = size(ps) - 1 AS fin))"
+        )).alias("s"))
+        .select("s.word", "s.fin")
+        .where(F.col("word") != "")
+        .groupBy("word", "fin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -99,15 +166,20 @@ def train_bpe(
         F.length("word") <= max_word_len
     )
     kept = (
-        types.orderBy(F.col("n").desc(), F.col("word"))
+        types.orderBy(F.col("n").desc(), F.col("word"), F.col("fin"))
         .limit(max_word_types)
         .collect()
     )
     # vocab: word -> (symbol tuple, count); symbols start as characters
-    # with the end-of-word marker fused onto the final character
+    # with the end-of-word marker fused onto the final character of a
+    # word's FINAL piece only (non-final no-space-script pieces end
+    # mid-word — no marker, so reconstruction never inserts a space)
     vocab: dict[tuple[str, ...], int] = {}
     for r in kept:
-        syms = tuple(r["word"][:-1]) + (r["word"][-1] + END,)
+        if r["fin"]:
+            syms = tuple(r["word"][:-1]) + (r["word"][-1] + END,)
+        else:
+            syms = tuple(r["word"])
         vocab[syms] = vocab.get(syms, 0) + int(r["n"])
 
     # pair counts + reverse index (pair -> words containing it), updated
@@ -166,10 +238,16 @@ def _apply_merge(
     return tuple(out)
 
 
-def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    """Encode one word with the trained merges (greedy lowest-rank-first,
-    the standard BPE apply order)."""
-    syms: list[str] = list(word[:-1]) + [word[-1] + END]
+def encode_word(
+    word: str, ranks: dict[tuple[str, str], int], fin: bool = True
+) -> list[str]:
+    """Encode one word (or no-space-script piece) with the trained
+    merges (greedy lowest-rank-first, the standard BPE apply order).
+    ``fin=False`` encodes a NON-final piece: no END marker fused."""
+    if fin:
+        syms: list[str] = list(word[:-1]) + [word[-1] + END]
+    else:
+        syms = list(word)
     while len(syms) > 1:
         best_rank = None
         best_i = -1
@@ -210,7 +288,13 @@ def bpe_encode(
     Python's ``str.split()`` (Unicode whitespace): training word-types
     come from a Spark ``regexp_replace(text, '\\s+', ' ')`` split, so a
     non-breaking space is word-INTERNAL there — the encoder must see
-    the identical types or trained merges silently never apply."""
+    the identical types or trained merges silently never apply. Words
+    are further segmented into same-script PIECES for no-space scripts
+    (Han/kana/Thai — :data:`SEP`, :data:`NOSPACE_PIECE`) with regex
+    patterns built from the SAME range tables the trainer's JVM
+    segmentation uses, so piece types match by construction; only a
+    word's final piece carries the END marker, keeping token
+    reconstruction byte-exact across scripts."""
     import pyarrow as pa
     from pyspark.sql.types import (
         ArrayType,
@@ -235,13 +319,20 @@ def bpe_encode(
 
     # Java-regex \s, exactly — the training tokenizer's boundary set
     _ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    # the trainer's no-space-script segmentation, replicated with the
+    # SAME range-table-built patterns (Python re here, Java there):
+    # probe first so spaced-script corpora never pay the two subs
+    boundary_src, stride_src = _segmenter_patterns()
+    _probe = re.compile(_nospace_class())
+    _boundary = re.compile(boundary_src)
+    _stride = re.compile(stride_src)
     # snapshot the cap into the closure: executors re-import the module,
     # so the global itself is not what ships with the pickled function
     memo_cap = MEMO_CAP
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         rks, lower = bc.value
-        memo: dict[str, list[str]] = {}
+        memo: dict[tuple[str, bool], list[str]] = {}
         for batch in batches:
             ids = batch.column(0)
             texts = batch.column(1).to_pylist()
@@ -254,22 +345,32 @@ def bpe_encode(
                     n_tokens.append(0)
                     toks_out.append([])
                     continue
-                t = t.replace(END, "")
+                t = t.replace(END, "").replace(SEP, "")
                 if lower:
                     t = t.lower()
+                if _probe.search(t):
+                    t = _boundary.sub(SEP, t)
+                    t = _stride.sub("\\1" + SEP, t)
                 words = [w for w in _ws.split(t) if w]
                 total = 0
                 doc_toks: list[str] = []
                 for w in words:
-                    enc = memo.get(w)
-                    if enc is None:
-                        if len(memo) >= memo_cap:
-                            memo.clear()
-                        enc = encode_word(w, rks)
-                        memo[w] = enc
-                    total += len(enc)
-                    if keep_tokens:
-                        doc_toks.extend(enc)
+                    pieces = w.split(SEP)
+                    last = len(pieces) - 1
+                    for j, p in enumerate(pieces):
+                        if not p:  # unreachable by construction
+                            continue
+                        fin = j == last
+                        key = (p, fin)
+                        enc = memo.get(key)
+                        if enc is None:
+                            if len(memo) >= memo_cap:
+                                memo.clear()
+                            enc = encode_word(p, rks, fin)
+                            memo[key] = enc
+                        total += len(enc)
+                        if keep_tokens:
+                            doc_toks.extend(enc)
                 n_words.append(len(words))
                 n_tokens.append(total)
                 toks_out.append(doc_toks)
