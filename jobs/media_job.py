@@ -20,8 +20,9 @@ wired from the engine's building blocks:
 Usage::
 
     python jobs/media_job.py [--rows 3000 | --input media.parquet]
-        [--plant-dups 40] [--threshold 0.97] [--dim 16]
-        [--keep pairwise|greedy] [--output DIR] [--cpus 8]
+        [--plant-dups 40] [--method feature|phash] [--threshold 0.97]
+        [--hamming 10] [--dim 16] [--keep pairwise|greedy]
+        [--output DIR] [--cpus 8]
 
 ``--plant-dups K`` (synthetic input only) re-encodes K of the
 generated netpbm images as PNG/JPEG/BMP/half-size twins under fresh ids
@@ -110,6 +111,13 @@ def main() -> int:
     ap.add_argument("--plant-dups", type=int, default=0)
     ap.add_argument("--threshold", type=float, default=0.97)
     ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument("--method", choices=("feature", "phash"),
+                    default="feature",
+                    help="image signature: pooled-feature cosine (precise)"
+                         " or 64-bit DCT perceptual hash (robust to"
+                         " brightness/contrast)")
+    ap.add_argument("--hamming", type=int, default=10,
+                    help="phash arm: max Hamming distance of a dup pair")
     ap.add_argument("--keep", choices=("pairwise", "greedy"),
                     default="pairwise")
     ap.add_argument("--output", default=None)
@@ -137,22 +145,31 @@ def main() -> int:
 
     stats = {r.kind: r.n for r in media_stats(media).collect()}
 
-    # ONE decode pass, materialized: both dedup branches read features
-    feat_path = str(out_dir / "features")
-    extract_features(media, dim=args.dim).write.mode("overwrite").parquet(
-        feat_path
-    )
-    features = spark.read.parquet(feat_path)
-    n_decoded = features.where("decoded AND kind = 'image'").count()
+    # ONE decode pass, materialized: both dedup branches (pairs + keep
+    # flags) read the narrow signature table, never payload bytes again
+    if args.method == "phash":
+        sig_path = str(out_dir / "phashes")
+        from jsl_engine.multimodal import image_phashes
+
+        image_phashes(media).write.mode("overwrite").parquet(sig_path)
+        signatures = spark.read.parquet(sig_path)
+        n_decoded = signatures.where("decoded").count()
+        dedup_kw = dict(method="phash", phashes=signatures,
+                        max_hamming=args.hamming)
+    else:
+        sig_path = str(out_dir / "features")
+        extract_features(media, dim=args.dim).write.mode(
+            "overwrite"
+        ).parquet(sig_path)
+        signatures = spark.read.parquet(sig_path)
+        n_decoded = signatures.where("decoded AND kind = 'image'").count()
+        dedup_kw = dict(features=signatures, threshold=args.threshold,
+                        dim=args.dim)
 
     pairs = image_near_duplicates(
-        media, features=features, threshold=args.threshold, dim=args.dim,
-        return_pairs=True,
+        media, return_pairs=True, **dedup_kw
     ).localCheckpoint()
-    flags = image_near_duplicates(
-        media, features=features, threshold=args.threshold, dim=args.dim,
-        keep=args.keep,
-    )
+    flags = image_near_duplicates(media, keep=args.keep, **dedup_kw)
     flags.write.mode("overwrite").parquet(str(out_dir / "image_flags"))
     flags = spark.read.parquet(str(out_dir / "image_flags"))
 
@@ -165,6 +182,7 @@ def main() -> int:
     secs = round(time.time() - t0, 3)
     n_images = int(stats.get("image", 0))  # stats ran post-plant
     print(json.dumps({
+        "method": args.method,
         "n_media": sum(int(v) for v in stats.values()),
         "n_images": n_images,
         "n_decoded": int(n_decoded),

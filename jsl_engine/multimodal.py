@@ -22,6 +22,10 @@ Decoding is REAL for formats that need no codec library:
   restarts)** — :mod:`jsl_engine.jpeg` (round 7): marker parse +
   canonical Huffman + vectorized numpy IDCT per ITU T.81, with an
   independently-written forward encoder pinning the decoder;
+* **GIF images (87a/89a; global/local palettes, interlace; first frame
+  of animations)** — :func:`decode_gif` / :func:`encode_gif` (round 7):
+  pure-Python GIF-variant LZW with the giflib width-growth convention,
+  numpy palette lookup;
 * **WAV PCM audio** — :func:`decode_wav` (stdlib ``wave`` + numpy), with
   real windowed RMS-energy + zero-crossing features.
 
@@ -419,11 +423,225 @@ def encode_bmp(arr) -> bytes:
     )
 
 
+def decode_gif(payload: bytes):
+    """Decode a GIF87a/GIF89a image to an (h, w, 3) uint8 RGB array —
+    pure-Python LZW (GIF's only compression, spec'd in the public
+    GIF89a document) + numpy palette lookup. Covers global and local
+    color tables, interlaced row order, and sub-block framing; for an
+    animated GIF the FIRST frame is returned (frame compositing policy
+    belongs to a video-style pipeline, and the first frame is always a
+    full image). Transparency (GCE) is ignored — palette RGB is
+    returned as stored. Returns ``None`` for non-GIF or malformed
+    payloads — the stub-fallback contract, never a task crash."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        (sw, sh, packed) = struct.unpack_from("<HHB", payload, 6)
+        pos = 13
+        global_pal = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            global_pal = np.frombuffer(
+                payload, np.uint8, count=3 * n, offset=pos
+            ).reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+                pos += 9
+                pal = global_pal
+                if ipacked & 0x80:
+                    n = 2 << (ipacked & 7)
+                    pal = np.frombuffer(
+                        payload, np.uint8, count=3 * n, offset=pos
+                    ).reshape(-1, 3)
+                    pos += 3 * n
+                if pal is None or iw == 0 or ih == 0:
+                    return None
+                min_code = payload[pos]
+                pos += 1
+                data = bytearray()
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    data += payload[pos + 1:pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _lzw_decode(bytes(data), min_code, iw * ih)
+                if idx is None or len(idx) < iw * ih:
+                    return None
+                img = np.asarray(idx[: iw * ih], np.int64).reshape(ih, iw)
+                if int(img.max(initial=0)) >= len(pal):
+                    return None
+                if ipacked & 0x40:  # interlaced: 4-pass row order
+                    order = [*range(0, ih, 8), *range(4, ih, 8),
+                             *range(2, ih, 4), *range(1, ih, 2)]
+                    out = np.empty_like(img)
+                    out[order] = img
+                    img = out
+                return pal[img]
+            elif block == 0x3B:  # trailer before any image
+                return None
+            else:
+                return None
+        return None
+    except Exception:
+        return None
+
+
+def _lzw_decode(data: bytes, min_code: int, limit: int):
+    """GIF-variant LZW: variable code width starting min_code+1, clear /
+    end-of-information codes, dictionary capped at 4095, width grows
+    AFTER the dictionary fills a width. Returns the index stream or
+    None on a corrupt stream."""
+    if not 2 <= min_code <= 11:
+        return None
+    clear = 1 << min_code
+    end = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, prev, counter
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        prev = None
+        counter = clear + 2
+
+    width = min_code + 1
+    prev: bytes | None = None
+    # the width-growth clock is a CODE counter (giflib's RunningCode),
+    # not the table size: the decoder's table lags the encoder's by one
+    # entry (nothing is added on the first code), but both sides must
+    # widen at the same code POSITION in the stream
+    counter = clear + 2
+    reset()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            prev = entry
+            counter += 1
+            if counter > (1 << width) and width < 12:
+                width += 1
+            if len(out) >= limit:
+                return out
+    return out
+
+
+def encode_gif(arr) -> bytes:
+    """Encode an (h, w) or (h, w, 3) uint8 array with ≤ 256 distinct
+    colors as a single-frame GIF89a (global palette, forward LZW written
+    independently of the decoder — the round-trip pin). Raises
+    ``ValueError`` above 256 colors: GIF is a palette format and
+    quantization policy belongs to the caller."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF needs <= 256 colors, got {len(pal)}")
+    depth = max(2, int(len(pal) - 1).bit_length())  # min LZW code size >= 2
+    pal_n = 1 << depth
+    pal_bytes = pal.tobytes() + b"\x00" * (3 * (pal_n - len(pal)))
+
+    # forward LZW over the index stream
+    clear = 1 << depth
+    end = clear + 1
+    codes: list[tuple[int, int]] = []  # (code, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = depth + 1
+    codes.append((clear, width))
+    cur = b""
+    for i in idx.tolist():
+        nxt = cur + bytes([i])
+        if nxt in table:
+            cur = nxt
+            continue
+        codes.append((table[cur], width))
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # the decoder's growth clock: widen only when next_code has
+            # PASSED the width's capacity (giflib's `> MaxCode1`), so
+            # the first code of the wider regime is the one that can
+            # actually need the extra bit
+            if next_code > (1 << width) and width < 12:
+                width += 1
+        else:
+            codes.append((clear, width))
+            table = {bytes([j]): j for j in range(clear)}
+            next_code = end + 1
+            width = depth + 1
+        cur = nxt[-1:]
+    if cur:
+        codes.append((table[cur], width))
+    codes.append((end, width))
+    acc = nbits = 0
+    body = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        body.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal_bytes
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out += bytes([depth])
+    for i in range(0, len(body), 255):
+        chunk = body[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes):
-    """Try every dependency-free image codec (netpbm, PNG, BMP, then
-    baseline JPEG); None if the payload is none of them — the caller's
-    stub-fallback contract."""
-    for dec in (decode_netpbm, decode_png, decode_bmp, decode_jpeg):
+    """Try every dependency-free image codec (netpbm, PNG, BMP, GIF,
+    then baseline JPEG); None if the payload is none of them — the
+    caller's stub-fallback contract."""
+    for dec in (decode_netpbm, decode_png, decode_bmp, decode_gif,
+                decode_jpeg):
         arr = dec(payload)
         if arr is not None:
             return arr
@@ -473,31 +691,91 @@ def decode_wav(payload: bytes):
     return x, rate
 
 
+def _pool_grid(g, ny: int, nx: int):
+    """Mean-pool a 2-D array onto an ny×nx grid by integer cell
+    boundaries; inputs smaller than the grid are nearest-upscaled first
+    so every cell has pixels (totality down to 1×1)."""
+    import numpy as np
+
+    g = np.asarray(g, dtype=np.float64)
+    h, w = g.shape
+    if h < ny or w < nx:
+        g = resize_nearest(g, max(w, nx), max(h, ny))
+        h, w = g.shape
+    yb = (np.arange(ny + 1) * h) // ny
+    xb = (np.arange(nx + 1) * w) // nx
+    pooled = np.empty((ny, nx), np.float64)
+    for cy in range(ny):
+        for cx in range(nx):
+            pooled[cy, cx] = g[yb[cy]:yb[cy + 1], xb[cx]:xb[cx + 1]].mean()
+    return pooled
+
+
+def _gray(arr):
+    import numpy as np
+
+    return arr.mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+
+
 def image_feature(arr, dim: int = 16) -> list[float]:
     """Decoded-pixel feature: grayscale side×side grid CELL MEANS in
     [-1, 1] — the shape of a tiny visual embedding, computed from REAL
     pixels. Mean pooling (not single-pixel sampling) makes the feature
     stable under re-encoding noise and, for natural (smooth) content,
     under rescaling — the properties :func:`image_near_duplicates`
-    needs. Images smaller than the grid are nearest-upscaled first so
-    every cell has pixels (totality down to 1×1)."""
-    import numpy as np
-
-    g = arr.mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
-    g = np.asarray(g, dtype=np.float64)
+    needs."""
     side = int(dim ** 0.5)
-    h, w = g.shape
-    if h < side or w < side:
-        g = resize_nearest(g, max(w, side), max(h, side))
-        h, w = g.shape
-    yb = (np.arange(side + 1) * h) // side
-    xb = (np.arange(side + 1) * w) // side
-    pooled = np.empty((side, side), np.float64)
-    for cy in range(side):
-        for cx in range(side):
-            pooled[cy, cx] = g[yb[cy]:yb[cy + 1], xb[cx]:xb[cx + 1]].mean()
+    pooled = _pool_grid(_gray(arr), side, side)
     out = (pooled.reshape(-1) / 127.5 - 1.0).tolist()
     return (out + [0.0] * dim)[:dim]
+
+
+_DCT_CACHE: dict[int, object] = {}
+
+
+def _dct_matrix(n: int):
+    """Orthonormal n-point DCT-II basis (the jpeg module's 8×8 basis,
+    generalized) — cached per size per process."""
+    import numpy as np
+
+    m = _DCT_CACHE.get(n)
+    if m is None:
+        u = np.arange(n).reshape(-1, 1)
+        x = np.arange(n).reshape(1, -1)
+        m = np.sqrt(2.0 / n) * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+        m[0] *= 1.0 / np.sqrt(2.0)
+        _DCT_CACHE[n] = m
+    return m
+
+
+def image_phash(arr) -> int:
+    """Classic 64-bit perceptual hash: grayscale → 32×32 mean pool →
+    2-D DCT → the 8×8 low-frequency block, one bit per coefficient
+    (above/below the median of the 63 AC coefficients). Signed int64
+    (two's complement) so it lands in a Spark ``long``.
+
+    Why a second image signature: grid-mean features compare by COSINE,
+    which a global brightness shift rotates (every cell moves by the
+    same offset) — pHash compares DCT shape, and a brightness shift
+    touches only the DC coefficient (≤ 1 bit) while contrast scaling
+    touches none (the median threshold scales with the coefficients).
+    The standard trade both directions: pHash quantizes harder, so it
+    is the robust arm and the feature cosine the precise arm."""
+    import numpy as np
+
+    pooled = _pool_grid(_gray(arr), 32, 32)
+    d = _dct_matrix(32)
+    coefs = (d @ pooled @ d.T)[:8, :8].reshape(-1)
+    med = float(np.median(coefs[1:]))
+    # strictly-above with a scale-relative tolerance: structured images
+    # (separable gradients, flat regions) put MANY coefficients exactly
+    # at the median (typically 0), and a bare `>` would let ±1e-15
+    # float noise flip those bits between otherwise-identical variants
+    tol = 1e-8 * max(1.0, float(np.abs(coefs).max()))
+    v = 0
+    for c in coefs:
+        v = (v << 1) | int(c > med + tol)
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def audio_feature(samples, dim: int = 16) -> list[float]:
@@ -587,7 +865,8 @@ def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
     metadata updated to the new dimensions (aspect preserved, only
     downscales). netpbm/PNG/BMP/baseline-JPEG payloads take the REAL
     path — decode → nearest-neighbor resize → re-encode in the same
-    container, genuine pixels end to end; codec-library formats (MP4
+    container (netpbm/PNG/BMP/GIF/baseline-JPEG), genuine pixels end to
+    end; codec-library formats (MP4
     frames, progressive JPEG) fall back to the labeled stub transform.
     The Spark plumbing is the same
     either way: non-image rows pass through untouched, the batch
@@ -613,6 +892,7 @@ def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
                 for dec, enc in ((decode_netpbm, encode_netpbm),
                                  (decode_png, encode_png),
                                  (decode_bmp, encode_bmp),
+                                 (decode_gif, encode_gif),
                                  (decode_jpeg, encode_jpeg)):
                     arr = dec(raw)
                     if arr is not None:
@@ -679,6 +959,90 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 8
     return pruned.mapInPandas(run, FRAME_SCHEMA)
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), False),
+        StructField("decoded", BooleanType(), False),
+    ]
+)
+
+
+def image_phashes(media: DataFrame) -> DataFrame:
+    """Map-only perceptual-hash pass over image rows: one 8-byte
+    :func:`image_phash` per decodable payload (``decoded=false`` rows
+    get a deterministic byte-fold placeholder that never enters the
+    similarity join). The narrow (media_id, phash) output is what
+    downstream self-joins should materialize — 16 bytes/row, never
+    payload bytes."""
+    pruned = media.where(F.col("kind") == "image").select(
+        "media_id", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hashes, decs = [], []
+            for payload in batch["payload"]:
+                payload = bytes(payload)
+                arr = decode_image(payload)
+                if arr is not None:
+                    hashes.append(image_phash(arr))
+                    decs.append(True)
+                else:
+                    raw = hashlib.blake2b(payload, digest_size=8).digest()
+                    hashes.append(int.from_bytes(raw, "big", signed=True))
+                    decs.append(False)
+            yield pd.DataFrame({
+                "media_id": batch["media_id"].values,
+                "phash": hashes,
+                "decoded": decs,
+            })
+
+    return pruned.mapInPandas(run, PHASH_SCHEMA)
+
+
+def _keep_flags_tail(rows_with_decoded: DataFrame, flags: DataFrame) -> DataFrame:
+    """Totality join: every input row gets (kept, n_dups, decoded);
+    rows absent from the similarity space are kept with zero dups."""
+    return (
+        rows_with_decoded.select("media_id", "decoded")
+        .join(flags, "media_id", "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("kept"), F.lit(True)).alias("kept"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
+            "decoded",
+        )
+    )
+
+
+def _feature_near_duplicates(
+    media, kind, *, dim, threshold, n_planes, n_bands, seed, max_bucket,
+    keep, features, return_pairs,
+):
+    from jsl_engine.similarity import embedding_near_duplicates, semantic_dedup
+
+    rows = media.where(F.col("kind") == kind)
+    if features is None:
+        features = extract_features(rows, dim=dim)
+    scoped = features.where(F.col("kind") == kind)
+    vecs = (
+        scoped.where(F.col("decoded"))
+        .select("media_id",
+                F.col("feature").cast("array<double>").alias("embedding"))
+    )
+    kwargs = dict(
+        threshold=threshold, n_planes=n_planes, n_bands=n_bands, seed=seed,
+        id_col="media_id", vec_col="embedding", max_bucket=max_bucket,
+        dim=dim,
+    )
+    pairs = embedding_near_duplicates(vecs, **kwargs)
+    if return_pairs:
+        return pairs
+    flags = semantic_dedup(vecs, pairs=pairs, keep=keep, **kwargs)
+    return _keep_flags_tail(scoped, flags)
+
+
 def image_near_duplicates(
     media: DataFrame,
     *,
@@ -691,65 +1055,103 @@ def image_near_duplicates(
     keep: str = "pairwise",
     features: DataFrame | None = None,
     return_pairs: bool = False,
+    method: str = "feature",
+    max_hamming: int = 10,
+    phashes: DataFrame | None = None,
 ) -> DataFrame:
-    """Image-level near-duplicate dedup: decode → pooled-pixel feature →
-    banded-SRP candidate pairs → exact-cosine verify → SemDeDup keep
-    rule — the multimodal composition of :func:`extract_features` with
-    :func:`jsl_engine.similarity.embedding_near_duplicates` /
-    :func:`~jsl_engine.similarity.semantic_dedup`. A re-encoded twin
-    (PNG↔JPEG↔BMP↔netpbm of the same pixels) or a downscaled copy
-    produces a near-identical feature vector, so content-level
-    duplicates pair regardless of container or resolution — byte-hash
-    dedup sees none of that.
+    """Image-level near-duplicate dedup, two signature arms:
+
+    * ``method="feature"`` (default, the precise arm): decode →
+      mean-pooled grid feature → banded-SRP candidate pairs →
+      exact-cosine verify (:func:`jsl_engine.similarity
+      .embedding_near_duplicates`) → SemDeDup keep rule. A re-encoded
+      twin (PNG↔JPEG↔BMP↔netpbm of the same pixels) or — for smooth
+      content — a downscaled copy produces a near-identical vector, so
+      content duplicates pair regardless of container or resolution.
+    * ``method="phash"`` (the robust arm): decode → 64-bit DCT
+      perceptual hash (:func:`image_phash`) → pigeonhole block banding
+      + exact ``bit_count`` Hamming verify ≤ ``max_hamming`` (default
+      10 of 64 — lossy re-encodes measure ≤ ~10 flipped bits while
+      random distinct pairs center on 32, P(≤10) ≈ 4e-9)
+      (:func:`jsl_engine.text_ops.simhash_pairs_from_hashes` — the
+      SimHash machinery over a different 64-bit signature) → the same
+      keep rule. Survives global brightness shifts (DC-only, ≤ 1 bit)
+      and contrast scaling (0 bits), which rotate the feature arm's
+      cosine below threshold.
 
     Returns one row per image row of ``media``::
 
         media_id, kept (boolean), n_dups (long), decoded (boolean)
 
-    (or the verified pair list ``id_a, id_b, cos_sim`` with
-    ``return_pairs=True``). Non-image rows are excluded. Rows whose
-    payload no dependency-free codec decodes (``decoded=false`` — stub
-    features, whose geometry is meaningless for similarity) are always
-    kept with ``n_dups=0``, the engine's totality convention for
-    degenerate inputs.
+    (with ``return_pairs=True``: ``id_a, id_b, cos_sim`` for the
+    feature arm, ``id_a, id_b, hamming`` for the phash arm). Non-image
+    rows are excluded; rows no dependency-free codec decodes are
+    always kept with ``n_dups=0`` — stub signatures never enter the
+    similarity space, the engine's totality convention.
 
-    Scale shape: feature extraction is map-only over pruned
-    ``(media_id, kind, payload)`` batches; everything after runs on
-    ``dim``-float vectors, never payload bytes — banding, bucket guard,
-    and the single keep aggregation are exactly the audited
-    ``embedding_near_dup_embeddings`` plan. For a 100 TB corpus, pass
-    ``features=`` a materialized (parquet) output of
-    :func:`extract_features` so the decode pass runs once, not once per
-    consuming branch (the job below does this).
-    """
-    from jsl_engine.similarity import embedding_near_duplicates, semantic_dedup
+    Scale shape: both signature passes are map-only over pruned
+    ``(media_id, payload)`` batches; everything downstream runs on
+    ``dim`` floats or 8 bytes per row, never payload bytes — banding,
+    bucket guard, and the single keep aggregation are the audited
+    ``embedding_near_dup_embeddings`` / simhash plans. For a 100 TB
+    corpus pass ``features=`` / ``phashes=`` a materialized parquet of
+    :func:`extract_features` / :func:`image_phashes` so the decode
+    pass runs once (the job does this); the phash arm's self-join
+    would otherwise evaluate the decode ONCE PER BRANCH (the simhash
+    cache lesson, text_ops.py:573-579), which is why the
+    un-materialized default caches the narrow hash table for the
+    session."""
+    from jsl_engine.similarity import semantic_dedup
+    from jsl_engine.text_ops import simhash_pairs_from_hashes
 
-    images = media.where(F.col("kind") == "image")
-    if features is None:
-        features = extract_features(images, dim=dim)
-    vecs = (
-        features.where(F.col("decoded") & (F.col("kind") == "image"))
-        .select("media_id", F.col("feature").cast("array<double>").alias("embedding"))
+    if method == "feature":
+        return _feature_near_duplicates(
+            media, "image", dim=dim, threshold=threshold, n_planes=n_planes,
+            n_bands=n_bands, seed=seed, max_bucket=max_bucket, keep=keep,
+            features=features, return_pairs=return_pairs,
+        )
+    if method != "phash":
+        raise ValueError(f"method must be 'feature' or 'phash', got {method!r}")
+    ph = phashes if phashes is not None else image_phashes(media).cache()
+    h = ph.where(F.col("decoded")).select(
+        "media_id", F.col("phash").alias("simhash")
     )
-    kwargs = dict(
-        threshold=threshold, n_planes=n_planes, n_bands=n_bands, seed=seed,
-        id_col="media_id", vec_col="embedding", max_bucket=max_bucket,
-        dim=dim,
+    pairs = simhash_pairs_from_hashes(
+        h, id_col="media_id", max_hamming=max_hamming, max_bucket=max_bucket
     )
-    pairs = embedding_near_duplicates(vecs, **kwargs)
     if return_pairs:
         return pairs
-    flags = semantic_dedup(vecs, pairs=pairs, keep=keep, **kwargs)
-    return (
-        features.where(F.col("kind") == "image")
-        .select("media_id", "decoded")
-        .join(flags, "media_id", "left")
-        .select(
-            "media_id",
-            F.coalesce(F.col("kept"), F.lit(True)).alias("kept"),
-            F.coalesce(F.col("n_dups"), F.lit(0)).cast("long").alias("n_dups"),
-            "decoded",
-        )
+    flags = semantic_dedup(
+        ph.select("media_id"), pairs=pairs, id_col="media_id", keep=keep
+    )
+    return _keep_flags_tail(ph, flags)
+
+
+def audio_near_duplicates(
+    media: DataFrame,
+    *,
+    dim: int = 16,
+    threshold: float = 0.97,
+    n_planes: int = 12,
+    n_bands: int = 8,
+    seed: int = 42,
+    max_bucket: int = 1024,
+    keep: str = "pairwise",
+    features: DataFrame | None = None,
+    return_pairs: bool = False,
+) -> DataFrame:
+    """Audio-level near-duplicate dedup over the decoded-sample features
+    (windowed RMS envelope + zero-crossing rate): the same composition
+    as the image feature arm, scoped to ``kind='audio'``. Cosine is
+    amplitude-invariant, so a volume-scaled re-export of the same
+    recording pairs with its source; distinct RMS ENVELOPES separate —
+    but two different stationary white-noise clips have near-identical
+    envelopes and will (honestly) pair, the envelope-sketch analogue of
+    the smooth-content caveat on image resizing."""
+    return _feature_near_duplicates(
+        media, "audio", dim=dim, threshold=threshold, n_planes=n_planes,
+        n_bands=n_bands, seed=seed, max_bucket=max_bucket, keep=keep,
+        features=features, return_pairs=return_pairs,
     )
 
 

@@ -895,3 +895,249 @@ def test_media_job_end_to_end(tmp_path):
     assert rep["n_decoded"] == rep["n_images"]
     assert (out_dir / "features").exists()
     assert (out_dir / "image_flags").exists()
+
+
+def test_image_phash_invariances():
+    """Pure-numpy pHash properties: brightness shift flips ≤ 1 bit (DC
+    only) and contrast scaling 0 bits — both of which rotate the grid-
+    mean feature's COSINE far below any dup threshold — while distinct
+    random images sit near the 32-bit random-pair center; lossless
+    re-encode round trips hash to hamming 0."""
+    import numpy as np
+
+    from jsl_engine.jpeg import decode_jpeg, encode_jpeg
+    from jsl_engine.multimodal import (
+        decode_png,
+        encode_png,
+        image_feature,
+        image_phash,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    yy, xx = np.mgrid[0:48, 0:40]
+    img = np.stack([
+        (yy * 4) % 256, 255 - (xx * 5) % 256,
+        (128 + 100 * np.sin(yy / 9.0) + 20 * np.cos(xx / 7.0)),
+    ], axis=2).clip(40, 200).astype(np.uint8)
+    h0 = image_phash(img)
+    assert -(1 << 63) <= h0 < (1 << 63)  # fits a Spark long
+
+    bright = np.clip(img.astype(int) + 40, 0, 255).astype(np.uint8)
+    assert ham(h0, image_phash(bright)) <= 1
+    assert cos(image_feature(img, 16), image_feature(bright, 16)) < 0.9
+
+    contrast = np.clip((img.astype(float) - 128) * 1.3 + 128,
+                       0, 255).astype(np.uint8)
+    assert ham(h0, image_phash(contrast)) <= 1
+
+    assert ham(h0, image_phash(decode_png(encode_png(img)))) == 0
+    assert ham(h0, image_phash(decode_jpeg(encode_jpeg(img, quality=85)))) <= 10
+
+    rng = np.random.default_rng(23)
+    dists = [ham(h0, image_phash(
+        rng.integers(0, 256, (48, 40, 3), np.uint8))) for _ in range(8)]
+    assert min(dists) > 16, dists
+
+
+def test_image_near_duplicates_phash_arm(spark):
+    """The phash arm pairs brightness- and contrast-shifted twins the
+    feature arm misses, applies the same keep rule, excludes stub rows,
+    and the materialized-phashes path yields identical flags."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine import multimodal as M
+
+    yy, xx = np.mgrid[0:40, 0:32]
+    base = np.stack([
+        (yy * 5) % 256, 255 - (xx * 6) % 256,
+        (128 + 80 * np.sin(yy / 7.0)),
+    ], axis=2).clip(40, 200).astype(np.uint8)
+    bright = np.clip(base.astype(int) + 40, 0, 255).astype(np.uint8)
+    contrast = np.clip((base.astype(float) - 128) * 1.25 + 128,
+                       0, 255).astype(np.uint8)
+    rng = np.random.default_rng(29)
+
+    def media_row(mid, blob, kind="image"):
+        return Row(media_id=mid, kind=kind, mime="x", width=32, height=40,
+                   duration_ms=None, n_bytes=len(blob),
+                   payload=bytearray(blob))
+
+    rows = [
+        media_row(1, M.encode_png(base)),
+        media_row(2, M.encode_png(bright)),
+        media_row(3, M.encode_bmp(contrast)),
+    ]
+    for mid in (10, 11):
+        rows.append(media_row(
+            mid, M.encode_png(rng.integers(0, 256, (40, 32, 3), np.uint8))))
+    rows.append(media_row(20, b"undecodable"))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+
+    flags = {r.media_id: (r.kept, r.n_dups, r.decoded)
+             for r in M.image_near_duplicates(media, method="phash").collect()}
+    assert flags[1] == (True, 2, True)
+    assert flags[2] == (False, 2, True)
+    assert flags[3] == (False, 2, True)
+    assert flags[10] == (True, 0, True) and flags[11] == (True, 0, True)
+    assert flags[20] == (True, 0, False)
+
+    # the feature arm misses the brightness twin (cosine rotated)
+    feat_pairs = {(r.id_a, r.id_b) for r in M.image_near_duplicates(
+        media, return_pairs=True).collect()}
+    assert (1, 2) not in feat_pairs
+
+    pairs = M.image_near_duplicates(
+        media, method="phash", return_pairs=True).collect()
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [(1, 2), (1, 3), (2, 3)]
+    assert all(r.hamming <= 10 for r in pairs)
+
+    ph = M.image_phashes(media)
+    via = {r.media_id: (r.kept, r.n_dups, r.decoded)
+           for r in M.image_near_duplicates(
+               media, method="phash", phashes=ph).collect()}
+    assert via == flags
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        M.image_near_duplicates(media, method="nope")
+
+
+def test_audio_near_duplicates_volume_twin(spark):
+    """Audio dedup over RMS-envelope features: a volume-scaled re-export
+    of the same recording pairs with its source (cosine is amplitude-
+    invariant), recordings with different envelopes separate, and
+    non-audio rows are excluded."""
+    import io
+    import wave
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine import multimodal as M
+
+    def wav_blob(x):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes((x.clip(-1, 1) * 20000).astype("<i2").tobytes())
+        return buf.getvalue()
+
+    t = np.arange(4000) / 8000.0
+    burst_early = np.sin(2 * np.pi * 440 * t) * (t < 0.15)
+    burst_late = np.sin(2 * np.pi * 440 * t) * (t > 0.35)
+
+    def media_row(mid, blob, kind="audio"):
+        return Row(media_id=mid, kind=kind, mime="audio/wav", width=None,
+                   height=None, duration_ms=500, n_bytes=len(blob),
+                   payload=bytearray(blob))
+
+    media = spark.createDataFrame([
+        media_row(1, wav_blob(burst_early)),
+        media_row(2, wav_blob(burst_early * 0.4)),   # volume-scaled twin
+        media_row(3, wav_blob(burst_late)),          # different envelope
+        media_row(9, M.encode_png(np.zeros((8, 8), np.uint8)), kind="image"),
+    ], M.MEDIA_SCHEMA)
+
+    flags = {r.media_id: (r.kept, r.n_dups)
+             for r in M.audio_near_duplicates(media, threshold=0.97).collect()}
+    assert set(flags) == {1, 2, 3}
+    assert flags[1] == (True, 1)
+    assert flags[2] == (False, 1)
+    assert flags[3] == (True, 0)
+
+
+def test_gif_roundtrip_lzw_and_interlace():
+    """encode_gif → decode_gif is exact across palette sizes (1-255
+    colors), dictionary-overflow/clear streams, gray input, and widths
+    that exercise LZW code-width growth at the giflib convention; a
+    hand-interlaced stream (interlace bit set, rows pre-permuted to the
+    4-pass transmission order) decodes back to the original; >256
+    colors raises; malformed payloads return None."""
+    import numpy as np
+
+    from jsl_engine.multimodal import decode_gif, decode_image, encode_gif
+
+    rng = np.random.default_rng(1)
+    for trial, (h, w, ncol) in enumerate(
+            [(1, 1, 1), (7, 5, 3), (33, 41, 8), (64, 64, 250),
+             (16, 200, 2), (200, 16, 255)]):
+        pal = np.unique(rng.integers(0, 256, (ncol, 3), np.uint8), axis=0)
+        img = pal[rng.integers(0, len(pal), (h, w))]
+        out = decode_gif(encode_gif(img))
+        assert out is not None and np.array_equal(out, img), trial
+
+    gray = rng.integers(0, 200, (9, 11), np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(gray)),
+                          np.stack([gray] * 3, axis=2))
+
+    # dictionary overflow forces the clear-and-rebuild arm
+    pal = np.unique(rng.integers(0, 256, (250, 3), np.uint8), axis=0)
+    img = pal[rng.integers(0, len(pal), (150, 150))]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+    h, w = 16, 8
+    img = pal[rng.integers(0, len(pal), (h, w))]
+    order = [*range(0, h, 8), *range(4, h, 8),
+             *range(2, h, 4), *range(1, h, 2)]
+    blob = bytearray(encode_gif(img[order]))
+    desc = 13 + 3 * (2 << (blob[10] & 7))
+    assert blob[desc] == 0x2C
+    blob[desc + 9] |= 0x40  # interlace flag
+    assert np.array_equal(decode_gif(bytes(blob)), img)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="256"):
+        encode_gif(rng.integers(0, 256, (40, 40, 3), np.uint8))
+    assert decode_gif(b"GIF89a") is None
+    assert decode_gif(b"not a gif") is None
+    assert decode_gif(encode_gif(img)[:20]) is None
+    assert decode_image(encode_gif(img)) is not None  # routed
+
+
+def test_gif_takes_real_path_in_spark_pipeline(spark):
+    """GIF payloads ride the real decode path in extract_features and
+    resize_images (re-encoded as GIF with the resized palette image),
+    and a GIF re-encode of a PNG image pairs with it in
+    image_near_duplicates — container-crossing content dedup."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine import multimodal as M
+
+    rng = np.random.default_rng(6)
+    pal = np.unique(rng.integers(0, 256, (32, 3), np.uint8), axis=0)
+    img = pal[rng.integers(0, len(pal), (40, 30))]
+    gif_blob = M.encode_gif(img)
+    png_blob = M.encode_png(img)
+
+    def media_row(mid, blob):
+        return Row(media_id=mid, kind="image", mime="x", width=30, height=40,
+                   duration_ms=None, n_bytes=len(blob),
+                   payload=bytearray(blob))
+
+    media = spark.createDataFrame(
+        [media_row(1, png_blob), media_row(2, gif_blob)], M.MEDIA_SCHEMA)
+    feats = {r.media_id: (r.decoded, r.feature)
+             for r in M.extract_features(media, dim=16).collect()}
+    assert feats[2][0] is True
+    assert feats[1][1] == feats[2][1]  # same pixels -> same feature
+
+    flags = {r.media_id: r.kept
+             for r in M.image_near_duplicates(media).collect()}
+    assert flags == {1: True, 2: False}
+
+    [rz] = M.resize_images(
+        media.where("media_id = 2"), max_side=20).collect()
+    assert (rz.width, rz.height) == (15, 20)
+    out = M.decode_gif(bytes(rz.payload))
+    assert out is not None
+    assert np.array_equal(out, M.resize_nearest(img, 15, 20))
