@@ -1,27 +1,35 @@
-"""Baseline JPEG (SOF0) codec in stdlib ``struct`` + numpy — no Pillow.
+"""JPEG codec — baseline (SOF0/SOF1) AND progressive (SOF2) — in stdlib
+``struct`` + numpy, no Pillow.
 
 Round 6 proved PNG's critical path never needed a codec library; this
-module does the same for baseline JPEG, the dominant image format in any
-real multimodal corpus (VERDICT r6 "What's missing" #1). Everything here
-follows the public spec, ITU-T Rec. T.81 (ISO/IEC 10918-1):
+module does the same for JPEG, the dominant image format in any real
+multimodal corpus (VERDICT r6 "What's missing" #1 — baseline landed
+round 7, progressive later the same round). Everything here follows the
+public spec, ITU-T Rec. T.81 (ISO/IEC 10918-1):
 
 * :func:`decode_jpeg` — marker parse (§B.2), canonical Huffman decode
-  (§C / F.2.2), run-length AC expansion (§F.1.2.2), dequantize +
-  de-zigzag, vectorized numpy 8×8 inverse DCT (§A.3.3), chroma
-  upsampling, and JFIF YCbCr→RGB. Coverage: baseline sequential DCT
-  (SOF0), 8-bit, grayscale or 3-component YCbCr, any integer sampling
-  factors (4:4:4 / 4:2:2 / 4:2:0 …), restart intervals (DRI/RSTn),
-  16-bit DQT precision. Progressive (SOF2), arithmetic coding,
-  hierarchical, and 12-bit inputs return ``None`` — the caller's
-  stub-fallback contract; malformed payloads also return ``None``,
-  never crash a Spark task.
+  (§C / F.2.2), run-length AC expansion (§F.1.2.2), and the full
+  progressive scan machinery (§G.1.2): quantized coefficients
+  accumulate across scans — DC first/refine, AC spectral bands with
+  EOBRUN, AC successive-approximation refinement with correction
+  bits — then ONE dequantize + de-zigzag + vectorized numpy 8×8
+  inverse DCT (§A.3.3), chroma upsampling, and JFIF YCbCr→RGB.
+  Coverage: 8-bit, grayscale or 3-component YCbCr, any integer
+  sampling factors (4:4:4 / 4:2:2 / 4:2:0 …), restart intervals
+  (DRI/RSTn), 16-bit DQT precision, baseline and progressive frames.
+  Arithmetic coding, hierarchical, lossless, and 12-bit inputs return
+  ``None`` — the caller's stub-fallback contract; malformed payloads
+  also return ``None``, never crash a Spark task.
 * :func:`encode_jpeg` — an independently written FORWARD path (color
-  convert → subsample → pad → forward DCT → quantize → Annex K Huffman
-  entropy coding) used to pin the decoder in tests, the same
-  round-trip-vs-independent-implementation pattern the PNG unfilter
-  uses (tests/test_multimodal.py). ``quality=None`` emits unit quant
-  tables, so the only loss is DCT rounding — tight per-pixel decode
-  tolerances become assertable.
+  convert → subsample → pad → forward DCT → quantize → Huffman entropy
+  coding; ``progressive=True`` emits a multi-scan SOF2 stream through
+  the §G.1.2 encoder in :func:`_progressive_scans`) used to pin the
+  decoder in tests, the same round-trip-vs-independent-implementation
+  pattern the PNG unfilter uses (tests/test_multimodal.py).
+  ``quality=None`` emits unit quant tables, so the only loss is DCT
+  rounding — tight per-pixel decode tolerances become assertable, and
+  progressive/baseline encodes of one input share identical quantized
+  coefficients, so their decodes must match BIT-FOR-BIT.
 
 Scale notes: the Huffman bit loop is pure Python, so this is the
 dependency-free CORRECTNESS path — a production 100 TB media pipeline
@@ -134,6 +142,24 @@ AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
 ])
 
 
+def _prog_ac_spec():
+    """AC Huffman spec for the progressive encoder: the Annex K tables
+    lack the EOBn (r>0, s=0) symbols progressive scans emit, so the
+    forward path ships its own complete table — every symbol it can
+    produce (EOB0..EOB14, ZRL, run 0-15 × size 1-11) at a flat 9-bit
+    code length (192 symbols < 511, so the reserved all-ones code stays
+    unused). Deliberately non-optimal: the pin is correctness of the
+    coding modes, not compression ratio."""
+    syms = ([r << 4 for r in range(15)] + [0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 12)])
+    bits = [0] * 16
+    bits[8] = len(syms)  # all codes 9 bits long
+    return bits, syms
+
+
+PROG_AC = _prog_ac_spec()
+
+
 def _canonical(bits, vals):
     """Canonical-code bounds per length (T.81 §F.2.2.3 Decode_tables):
     (mincode, maxcode, valptr) indexed 1..16; maxcode[l] = -1 where no
@@ -169,31 +195,40 @@ def _encode_table(bits, vals):
 
 
 def decode_jpeg(payload: bytes):
-    """Decode a baseline-sequential (SOF0) 8-bit JPEG to a numpy uint8
-    array of shape (h, w) for grayscale or (h, w, 3) for RGB (JFIF
-    YCbCr interpretation). Returns ``None`` for non-JPEG, progressive /
-    arithmetic / hierarchical frames, or malformed payloads — the
-    stub-fallback contract; a Spark task never crashes on a bad blob."""
+    """Decode a baseline (SOF0) or progressive (SOF2) 8-bit JPEG to a
+    numpy uint8 array of shape (h, w) for grayscale or (h, w, 3) for
+    RGB (JFIF YCbCr interpretation). Quantized coefficients accumulate
+    across scans (progressive spectral selection + successive
+    approximation per T.81 §G.1.2; baseline is the single full-band
+    Ah=Al=0 scan of the same machinery) and are dequantized + IDCT'd
+    once at EOI. Returns ``None`` for non-JPEG, arithmetic-coded /
+    lossless / hierarchical / 12-bit frames, or malformed payloads —
+    the stub-fallback contract; a Spark task never crashes on a bad
+    blob."""
     if payload[:2] != b"\xff\xd8":
         return None
     try:
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], tuple] = {}
-        frame = None
+        state = None
         restart = 0
         pos = 2
         n = len(payload)
-        while pos + 4 <= n:
+        while pos + 2 <= n:
             if payload[pos] != 0xFF:
                 return None
             while pos < n and payload[pos] == 0xFF:
                 pos += 1  # fill bytes before a marker are legal (§B.1.1.2)
+            if pos >= n:
+                break
             marker = payload[pos]
             pos += 1
-            if marker == 0xD9:  # EOI before any scan
-                return None
+            if marker == 0xD9:  # EOI
+                break
             if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
                 continue  # standalone markers
+            if pos + 2 > n:
+                return None
             (seglen,) = struct.unpack_from(">H", payload, pos)
             data = payload[pos + 2:pos + seglen]
             if len(data) != seglen - 2:
@@ -230,46 +265,80 @@ def decode_jpeg(payload: bytes):
                     i += 17 + nv
             elif marker == 0xDD:  # DRI
                 (restart,) = struct.unpack_from(">H", data, 0)
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+                if state is not None:
+                    return None  # one frame per stream
                 prec, h_img, w_img, ncomp = struct.unpack_from(">BHHB", data, 0)
                 if prec != 8 or h_img == 0 or w_img == 0 or ncomp not in (1, 3):
                     return None
+                if h_img * w_img > (1 << 26):
+                    return None  # decode-for-features sanity bound
                 comps = []
                 for c in range(ncomp):
                     cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * c)
                     comps.append((cid, hv >> 4, hv & 15, tq))
-                frame = (h_img, w_img, comps)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                state = _FrameState(h_img, w_img, comps, marker == 0xC2)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # extended/progressive/lossless/arithmetic
-            elif marker == 0xDA:  # SOS — baseline: the single scan
-                if frame is None:
+                return None  # lossless/hierarchical/arithmetic
+            elif marker == 0xDA:  # SOS
+                if state is None:
                     return None
-                return _decode_scan(payload, pos, data, frame, qt, huff, restart)
-        return None
+                pos = _decode_scan(payload, pos, data, state, huff, restart)
+                if pos is None:
+                    return None
+        if state is None or not state.any_scan:
+            return None
+        return _finish(state, qt)
     except Exception:
         # malformed entropy data / tables route to the stub fallback
         return None
 
 
-def _decode_scan(payload, pos, sos, frame, qt, huff, restart):
-    h_img, w_img, comps = frame
-    ns = sos[0]
-    if ns != len(comps):
-        return None  # baseline JFIF interleaves every component in one scan
-    scan_tabs = {}
-    for i in range(ns):
-        cs, tt = sos[1 + 2 * i], sos[2 + 2 * i]
-        scan_tabs[cs] = (tt >> 4, tt & 15)
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if hmax < 1 or vmax < 1:
-        return None
-    mcux = -(-w_img // (8 * hmax))
-    mcuy = -(-h_img // (8 * vmax))
-    n_mcu = mcux * mcuy
+class _FrameState:
+    """Per-frame decode state: geometry + per-component QUANTIZED
+    zigzag coefficient grids that scans accumulate into."""
 
-    # split the entropy-coded data at restart markers, un-stuffing FF00
+    def __init__(self, h_img, w_img, comps, progressive):
+        self.h = h_img
+        self.w = w_img
+        self.comps = comps  # (cid, h, v, tq)
+        self.progressive = progressive
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        if self.hmax < 1 or self.vmax < 1:
+            raise ValueError("bad sampling")
+        self.mcux = -(-w_img // (8 * self.hmax))
+        self.mcuy = -(-h_img // (8 * self.vmax))
+        self.grids = []
+        self.eobrun = 0
+        self.any_scan = False
+        for cid, ch, cv, tq in comps:
+            self.grids.append(
+                np.zeros((self.mcuy * cv, self.mcux * ch, 64), np.int64)
+            )
+
+    def comp_index(self, cid):
+        for i, c in enumerate(self.comps):
+            if c[0] == cid:
+                return i
+        raise ValueError("unknown scan component")
+
+    def true_blocks(self, ci):
+        """The component's REAL block grid (non-interleaved scans cover
+        exactly this; padding blocks beyond it exist only to square out
+        the interleaved MCU grid)."""
+        cid, ch, cv, tq = self.comps[ci]
+        csw = -(-self.w * ch // self.hmax)
+        csh = -(-self.h * cv // self.vmax)
+        return -(-csh // 8), -(-csw // 8)
+
+
+def _entropy_segments(payload, pos):
+    """Split the entropy-coded data starting at ``pos`` at restart
+    markers, un-stuffing FF00; returns (segments, pos_of_next_marker)
+    where the returned pos points at the 0xFF of the terminating
+    marker."""
     segments = []
     cur = bytearray()
     i = pos
@@ -291,105 +360,218 @@ def _decode_scan(payload, pos, sos, frame, qt, huff, restart):
         else:
             break
     segments.append(bytes(cur))
+    return segments, i
 
-    # per-component coefficient grids (raster-order 64-vectors per block)
-    grids = []
-    dequant = []
-    for cid, ch, cv, tq in comps:
-        grids.append(np.zeros((mcuy * cv, mcux * ch, 64), np.float64))
-        dequant.append(qt[tq])  # zigzag order
 
-    per_seg = restart if restart else n_mcu
-    mcu = 0
+class _BitReader:
+    """Per-segment MSB-first bit reader over un-stuffed entropy bytes."""
+
+    __slots__ = ("bits", "p", "n")
+
+    def __init__(self, seg: bytes):
+        self.bits = np.unpackbits(np.frombuffer(seg, np.uint8)).tolist()
+        self.p = 0
+        self.n = len(self.bits)
+
+    def bit(self) -> int:
+        if self.p >= self.n:
+            raise ValueError("truncated")
+        b = self.bits[self.p]
+        self.p += 1
+        return b
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, tab) -> int:
+        mincode, maxcode, valptr, vals = tab
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            if code <= maxcode[length]:
+                return vals[valptr[length] + code - mincode[length]]
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    if s and v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+def _decode_scan(payload, pos, sos, state, huff, restart):
+    """Decode one scan (baseline full-band or any progressive band)
+    into the frame state's coefficient grids; returns the stream
+    position after the scan's entropy data."""
+    ns = sos[0]
+    scan = []  # (comp_index, dc_table_id, ac_table_id)
+    for i in range(ns):
+        cs, tt = sos[1 + 2 * i], sos[2 + 2 * i]
+        scan.append((state.comp_index(cs), tt >> 4, tt & 15))
+    ss, se, a = sos[1 + 2 * ns], sos[2 + 2 * ns], sos[3 + 2 * ns]
+    ah, al = a >> 4, a & 15
+    if state.progressive:
+        if ss == 0 and se != 0:
+            return None  # progressive DC scans are DC-only
+        if ss > 0 and ns != 1:
+            return None  # progressive AC scans are single-component
+        if se > 63 or ss > se:
+            return None
+    else:
+        ss, se, ah, al = 0, 63, 0, 0  # baseline ignores the band fields
+        if ns != len(state.comps):
+            return None
+
+    segments, end_pos = _entropy_segments(payload, pos)
+    state.any_scan = True
+    state.eobrun = 0
+
+    # geometry: interleaved scans walk the padded MCU grid; a single-
+    # component scan walks that component's true block grid (§A.2)
+    interleaved = ns > 1
+    if interleaved:
+        n_units = state.mcux * state.mcuy
+    else:
+        ci = scan[0][0]
+        bh, bw = state.true_blocks(ci)
+        n_units = bh * bw
+    per_seg = restart if restart else n_units
+
+    unit = 0
     for seg in segments:
-        if mcu >= n_mcu:
+        if unit >= n_units:
             break
-        bits = np.unpackbits(np.frombuffer(seg, np.uint8)).tolist()
-        p = 0
-        nbits = len(bits)
-        pred = [0] * len(comps)
+        br = _BitReader(seg)
+        preds = [0] * len(state.comps)
+        state.eobrun = 0
+        for _ in range(min(per_seg, n_units - unit)):
+            if interleaved:
+                my, mx = divmod(unit, state.mcux)
+                for ci, td, ta in scan:
+                    cid, ch, cv, tq = state.comps[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            zz = state.grids[ci][my * cv + by, mx * ch + bx]
+                            _decode_unit(br, zz, state, huff, preds, ci,
+                                         td, ta, ss, se, ah, al)
+            else:
+                ci, td, ta = scan[0]
+                by, bx = divmod(unit, bw)
+                zz = state.grids[ci][by, bx]
+                _decode_unit(br, zz, state, huff, preds, ci,
+                             td, ta, ss, se, ah, al)
+            unit += 1
+    if unit < n_units:
+        return None  # entropy data ended before the scan was covered
+    return end_pos
 
-        def read_huff(tab):
-            nonlocal p
-            mincode, maxcode, valptr, vals = tab
-            code = 0
-            for length in range(1, 17):
-                if p >= nbits:
-                    raise ValueError("truncated")
-                code = (code << 1) | bits[p]
-                p += 1
-                if code <= maxcode[length]:
-                    return vals[valptr[length] + code - mincode[length]]
-            raise ValueError("bad huffman code")
 
-        def receive_extend(s):
-            nonlocal p
+def _decode_unit(br, zz, state, huff, preds, ci, td, ta, ss, se, ah, al):
+    """Decode one data unit (8×8 block) of the current scan into the
+    quantized zigzag vector ``zz`` in place."""
+    if ss == 0:  # DC (or baseline full-band: DC first, AC below)
+        if ah == 0:
+            s = br.huff(huff[(0, td)])
+            preds[ci] += _extend(br.receive(s), s)
+            zz[0] = preds[ci] << al
+        else:  # DC successive-approximation refinement: one raw bit
+            zz[0] |= br.bit() << al
+        if state.progressive:
+            return
+        lo, hi = 1, 63
+    else:
+        lo, hi = ss, se
+
+    ac_tab = huff[(1, ta)]
+    if ah == 0:
+        # first pass (baseline AC is this with al=0 and EOB == EOB0)
+        if state.eobrun > 0:
+            state.eobrun -= 1
+            return
+        k = lo
+        while k <= hi:
+            rs = br.huff(ac_tab)
+            r, s = rs >> 4, rs & 15
             if s == 0:
-                return 0
-            if p + s > nbits:
-                raise ValueError("truncated")
-            v = 0
-            for _ in range(s):
-                v = (v << 1) | bits[p]
-                p += 1
-            if v < (1 << (s - 1)):
-                v -= (1 << s) - 1
-            return v
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                state.eobrun = (1 << r) - 1 + br.receive(r)
+                break  # EOBn: this block done, eobrun more follow
+            k += r
+            if k > hi:
+                raise ValueError("AC overrun")
+            zz[k] = _extend(br.receive(s), s) << al
+            k += 1
+        return
 
-        for _ in range(min(per_seg, n_mcu - mcu)):
-            my, mx = divmod(mcu, mcux)
-            for ci, (cid, ch, cv, tq) in enumerate(comps):
-                td, ta = scan_tabs[cid]
-                dc_tab = huff[(0, td)]
-                ac_tab = huff[(1, ta)]
-                q = dequant[ci]
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, np.int64)
-                        s = read_huff(dc_tab)
-                        pred[ci] += receive_extend(s)
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = read_huff(ac_tab)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC overrun")
-                            zz[k] = receive_extend(s)
-                            k += 1
-                        blk = np.zeros(64, np.float64)
-                        blk[ZIGZAG] = zz * q  # dequantize + de-zigzag
-                        grids[ci][my * cv + by, mx * ch + bx] = blk
-            mcu += 1
-    if mcu < n_mcu:
-        return None  # entropy data ended before the frame was covered
+    # AC successive-approximation refinement (§G.1.2.3)
+    one = 1 << al
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        for k in range(lo, hi + 1):
+            if zz[k] != 0 and br.bit():
+                zz[k] += one if zz[k] > 0 else -one
+        return
+    k = lo
+    while k <= hi:
+        rs = br.huff(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                state.eobrun = (1 << r) - 1 + br.receive(r)
+                for kk in range(k, hi + 1):
+                    if zz[kk] != 0 and br.bit():
+                        zz[kk] += one if zz[kk] > 0 else -one
+                return
+            val = 0  # ZRL: pass 16 zero-history positions
+        elif s == 1:
+            val = one if br.bit() else -one
+        else:
+            raise ValueError("refinement magnitude must be 1")
+        while k <= hi:
+            if zz[k] != 0:
+                if br.bit():
+                    zz[k] += one if zz[k] > 0 else -one
+            else:
+                if r == 0:
+                    break
+                r -= 1
+            k += 1
+        if val != 0 and k <= hi:
+            zz[k] = val
+        k += 1
 
-    # IDCT every block of a component at once, reassemble, upsample
+
+def _finish(state, qt):
+    """Dequantize + de-zigzag the accumulated coefficient grids, IDCT
+    every block of a component at once, reassemble, upsample, convert."""
     planes = []
-    for ci, (cid, ch, cv, tq) in enumerate(comps):
-        bh, bw, _ = grids[ci].shape
-        coefs = grids[ci].reshape(bh, bw, 8, 8)
+    for ci, (cid, ch, cv, tq) in enumerate(state.comps):
+        if tq not in qt:
+            return None
+        grid = state.grids[ci]
+        bh, bw, _ = grid.shape
+        deq = np.zeros((bh, bw, 64), np.float64)
+        deq[:, :, ZIGZAG] = grid * qt[tq][None, None, :]
+        coefs = deq.reshape(bh, bw, 8, 8)
         pix = np.einsum("ux,mnuv,vy->mnxy", _A, coefs, _A)
         plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         plane = np.clip(np.round(plane + 128.0), 0, 255)
-        # component's own sample dimensions (§A.1.1), then to full res
-        csh = -(-h_img * cv // vmax)
-        csw = -(-w_img * ch // hmax)
+        csh = -(-state.h * cv // state.vmax)
+        csw = -(-state.w * ch // state.hmax)
         plane = plane[:csh, :csw]
-        fy, fx = vmax // cv, hmax // ch
-        if fy * cv == vmax and fx * ch == hmax:
+        fy, fx = state.vmax // cv, state.hmax // ch
+        if fy * cv == state.vmax and fx * ch == state.hmax:
             plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
-            plane = plane[:h_img, :w_img]
+            plane = plane[:state.h, :state.w]
         else:
             # non-integer ratios are legal but vanishingly rare
-            rows = np.minimum((np.arange(h_img) * csh) // h_img, csh - 1)
-            cols = np.minimum((np.arange(w_img) * csw) // w_img, csw - 1)
+            rows = np.minimum((np.arange(state.h) * csh) // state.h, csh - 1)
+            cols = np.minimum((np.arange(state.w) * csw) // state.w, csw - 1)
             plane = plane[rows][:, cols]
         planes.append(plane)
 
@@ -402,8 +584,6 @@ def _decode_scan(payload, pos, sos, frame, qt, huff, restart):
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-
-
 class _BitWriter:
     """Entropy-coded segment writer with FF00 byte stuffing (§B.1.1.5)
     and 1-padding at flush (§F.1.2.3)."""
@@ -442,8 +622,10 @@ def encode_jpeg(
     quality: int | None = None,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode a (h, w) or (h, w, 3) uint8 array as a baseline JFIF JPEG.
+    """Encode a (h, w) or (h, w, 3) uint8 array as a baseline JFIF JPEG
+    — or, with ``progressive=True``, a progressive (SOF2) one.
 
     Forward path written independently of :func:`decode_jpeg` so the
     pair pins each other in tests. ``quality=None`` emits all-ones
@@ -451,7 +633,16 @@ def encode_jpeg(
     assertable within a tight per-pixel tolerance); an integer quality
     scales the Annex K tables. ``subsample=True`` emits 4:2:0 (Y at
     2×2, 2×2-mean chroma). ``restart_interval`` > 0 emits DRI + RSTn
-    markers every that many MCUs."""
+    markers every that many MCUs (baseline only).
+
+    The progressive scan script exercises every §G.1.2 coding mode the
+    decoder implements: interleaved DC first at Al=1 → per-component AC
+    bands 1–5 and 6–63 at Al=1 (spectral selection, EOBRUN) → DC
+    refinement → per-component AC refinements at Al=0 (correction
+    bits, deferred-EOBn buffering). The quantized coefficients are
+    IDENTICAL to the baseline path's, so progressive and baseline
+    encodes of the same input must decode bit-for-bit equal — the
+    round-trip pin that catches any encoder/decoder asymmetry."""
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
     gray = arr.ndim == 2
@@ -521,6 +712,43 @@ def encode_jpeg(
 
     def amplitude(v: int, s: int) -> int:
         return v if v >= 0 else v + (1 << s) - 1
+
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "restart_interval is a baseline-arm option here"
+            )
+        prog_ac = [_encode_table(*PROG_AC)] * len(samp)
+        scans = _progressive_scans(
+            blocks, samp, mcux, mcuy, w, h, hmax, vmax,
+            dc_tabs, prog_ac, magnitude, amplitude,
+        )
+        out = bytearray(b"\xff\xd8")
+
+        def seg(marker: int, data: bytes) -> bytes:
+            return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
+
+        out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        dqt = bytes([0]) + bytes(q_lum[i] for i in range(64))
+        if not gray:
+            dqt += bytes([1]) + bytes(q_chrom[i] for i in range(64))
+        out += seg(0xDB, dqt)
+        sof = struct.pack(">BHHB", 8, h, w, len(planes))
+        for ci, (sh, sv) in enumerate(samp):
+            sof += struct.pack(">BBB", ci + 1, (sh << 4) | sv,
+                               0 if ci == 0 else 1)
+        out += seg(0xC2, sof)
+        dht = (bytes([0x00]) + bytes(DC_LUM[0]) + bytes(DC_LUM[1])
+               + bytes([0x10]) + bytes(PROG_AC[0]) + bytes(PROG_AC[1]))
+        if not gray:
+            dht += (bytes([0x01]) + bytes(DC_CHROM[0]) + bytes(DC_CHROM[1])
+                    + bytes([0x11]) + bytes(PROG_AC[0]) + bytes(PROG_AC[1]))
+        out += seg(0xC4, dht)
+        for sos_hdr, entropy in scans:
+            out += seg(0xDA, sos_hdr)
+            out += entropy
+        out += b"\xff\xd9"
+        return bytes(out)
 
     body = bytearray()
     bw_ = _BitWriter()
@@ -597,3 +825,207 @@ def encode_jpeg(
     out += body
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _trunc(c: int, al: int) -> int:
+    """AC successive-approximation point transform: divide by 2^al
+    rounding TOWARD ZERO (T.81 §G.1.2.2 — DC uses an arithmetic shift
+    instead)."""
+    return c >> al if c >= 0 else -((-c) >> al)
+
+
+def _progressive_scans(
+    blocks, samp, mcux, mcuy, w, h, hmax, vmax,
+    dc_tabs, ac_tabs, magnitude, amplitude,
+):
+    """Emit the progressive scan list: (sos_header_bytes, entropy_bytes)
+    per scan, per the script described in :func:`encode_jpeg`. Written
+    against T.81 §G.1.2 independently of the decoder; the deferred-EOBn
+    buffering mirrors what every progressive encoder must do — an EOBn
+    covering a partial block's tail plus following all-EOB blocks is
+    emitted at flush time, landing in the stream exactly where the
+    decoder (still inside the partial block's symbol loop) reads it."""
+    ncomp = len(samp)
+    n_mcu = mcux * mcuy
+
+    def true_blocks(ci):
+        sh, sv = samp[ci]
+        csw = -(-w * sh // hmax)
+        csh = -(-h * sv // vmax)
+        return -(-csh // 8), -(-csw // 8)
+
+    def sos_hdr(comp_ids, ss, se, ah, al):
+        hdr = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            ta = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    def dc_first(al):
+        bw_ = _BitWriter()
+        preds = [0] * ncomp
+        for mcu in range(n_mcu):
+            my, mx = divmod(mcu, mcux)
+            for ci, (sh, sv) in enumerate(samp):
+                dct = dc_tabs[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(blocks[ci][my * sv + by, mx * sh + bx][0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s = magnitude(diff)
+                        bw_.put(*dct[s])
+                        if s:
+                            bw_.put(amplitude(diff, s), s)
+        bw_.flush()
+        return bw_.out
+
+    def dc_refine(al):
+        bw_ = _BitWriter()
+        for mcu in range(n_mcu):
+            my, mx = divmod(mcu, mcux)
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        c = int(blocks[ci][my * sv + by, mx * sh + bx][0])
+                        bw_.put((c >> al) & 1, 1)
+        bw_.flush()
+        return bw_.out
+
+    def ac_first(ci, ss, se, al):
+        bw_ = _BitWriter()
+        act = ac_tabs[ci]
+        bh, bw2 = true_blocks(ci)
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                bw_.put(*act[r << 4])
+                if r:
+                    bw_.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for unit in range(bh * bw2):
+            by, bx = divmod(unit, bw2)
+            zz = blocks[ci][by, bx]
+            vals = [_trunc(int(zz[k]), al) for k in range(ss, se + 1)]
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last = max(i for i, v in enumerate(vals) if v)
+            for i in range(last + 1):
+                v = vals[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw_.put(*act[0xF0])  # ZRL
+                    run -= 16
+                s = magnitude(v)
+                bw_.put(*act[(run << 4) | s])
+                bw_.put(amplitude(v, s), s)
+                run = 0
+            if last < len(vals) - 1:
+                eobrun += 1
+        flush_eob()
+        bw_.flush()
+        return bw_.out
+
+    def ac_refine(ci, ss, se, al):
+        # ah == al + 1: one magnitude bit per scan, the standard ladder
+        bw_ = _BitWriter()
+        act = ac_tabs[ci]
+        bh, bw2 = true_blocks(ci)
+        eobrun = 0
+        eob_corr: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, eob_corr
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                bw_.put(*act[r << 4])
+                if r:
+                    bw_.put(eobrun - (1 << r), r)
+                for b in eob_corr:
+                    bw_.put(b, 1)
+                eobrun = 0
+                eob_corr = []
+
+        for unit in range(bh * bw2):
+            by, bx = divmod(unit, bw2)
+            zz = blocks[ci][by, bx]
+            # events in positional order: ('z',) zero-history zero-now,
+            # ('c', bit) correction for nonzero history, ('s', sign)
+            # newly significant (|value| at this level is exactly 1)
+            events = []
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                if _trunc(c, al + 1) != 0:
+                    events.append(("c", (abs(c) >> al) & 1))
+                elif _trunc(c, al) != 0:
+                    events.append(("s", 1 if c > 0 else 0))
+                else:
+                    events.append(("z",))
+            if not any(e[0] == "s" for e in events):
+                eobrun += 1
+                eob_corr.extend(b for tag, *bs in events if tag == "c"
+                                for b in bs)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            pend: list[tuple] = []
+            zeros = 0
+            for ev in events:
+                if ev[0] == "z":
+                    pend.append(ev)
+                    zeros += 1
+                elif ev[0] == "c":
+                    pend.append(ev)
+                else:
+                    while zeros > 15:
+                        # ZRL covers the next 16 zero-history slots;
+                        # corrections interleaved before its 16th slot
+                        # emit inline, in positional order (the decoder
+                        # consumes them during its skip traversal)
+                        bw_.put(*act[0xF0])
+                        seen = 0
+                        while True:
+                            ev2 = pend.pop(0)
+                            if ev2[0] == "z":
+                                seen += 1
+                                if seen == 16:
+                                    break
+                            else:
+                                bw_.put(ev2[1], 1)
+                        zeros -= 16
+                    bw_.put(*act[(zeros << 4) | 1])
+                    bw_.put(ev[1], 1)
+                    for tag, *bs in pend:
+                        if tag == "c":
+                            bw_.put(bs[0], 1)
+                    pend = []
+                    zeros = 0
+            if pend:
+                eobrun += 1
+                eob_corr.extend(bs[0] for tag, *bs in pend if tag == "c")
+        flush_eob()
+        bw_.flush()
+        return bw_.out
+
+    scans = [(sos_hdr(list(range(ncomp)), 0, 0, 0, 1), dc_first(1))]
+    for ci in range(ncomp):
+        scans.append((sos_hdr([ci], 1, 5, 0, 1), ac_first(ci, 1, 5, 1)))
+        scans.append((sos_hdr([ci], 6, 63, 0, 1), ac_first(ci, 6, 63, 1)))
+    scans.append((sos_hdr(list(range(ncomp)), 0, 0, 1, 0), dc_refine(0)))
+    for ci in range(ncomp):
+        scans.append((sos_hdr([ci], 1, 5, 1, 0), ac_refine(ci, 1, 5, 0)))
+        scans.append((sos_hdr([ci], 6, 63, 1, 0), ac_refine(ci, 6, 63, 0)))
+    return scans

@@ -18,10 +18,12 @@ Decoding is REAL for formats that need no codec library:
 * **BMP images (uncompressed 24/32-bit BI_RGB)** — :func:`decode_bmp` /
   :func:`encode_bmp` (round 6): struct header parse + numpy row
   restride (bottom-up/top-down, 4-byte padding, BGR→RGB);
-* **JPEG images (baseline SOF0, 8-bit, gray/YCbCr, any sampling,
-  restarts)** — :mod:`jsl_engine.jpeg` (round 7): marker parse +
-  canonical Huffman + vectorized numpy IDCT per ITU T.81, with an
-  independently-written forward encoder pinning the decoder;
+* **JPEG images (baseline SOF0/SOF1 AND progressive SOF2; 8-bit,
+  gray/YCbCr, any sampling, restarts)** — :mod:`jsl_engine.jpeg`
+  (round 7): marker parse + canonical Huffman + the full §G.1.2
+  progressive scan machinery + vectorized numpy IDCT per ITU T.81,
+  with an independently-written forward encoder (baseline and
+  progressive) pinning the decoder;
 * **GIF images (87a/89a; global/local palettes, interlace; first frame
   of animations)** — :func:`decode_gif` / :func:`encode_gif` (round 7):
   pure-Python GIF-variant LZW with the giflib width-growth convention,
@@ -29,8 +31,8 @@ Decoding is REAL for formats that need no codec library:
 * **WAV PCM audio** — :func:`decode_wav` (stdlib ``wave`` + numpy), with
   real windowed RMS-energy + zero-crossing features.
 
-Formats that DO require codec libraries (MP4/progressive-JPEG — no
-torchcodec or Pillow in this container) fall back to the clearly-labeled
+Formats that DO require codec libraries (MP4 video — no torchcodec in
+this container) fall back to the clearly-labeled
 ``decode_stub``; swapping it for a real codec changes one function, not
 the pipeline.
 
@@ -865,9 +867,9 @@ def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
     metadata updated to the new dimensions (aspect preserved, only
     downscales). netpbm/PNG/BMP/baseline-JPEG payloads take the REAL
     path — decode → nearest-neighbor resize → re-encode in the same
-    container (netpbm/PNG/BMP/GIF/baseline-JPEG), genuine pixels end to
+    container (netpbm/PNG/BMP/GIF/JPEG), genuine pixels end to
     end; codec-library formats (MP4
-    frames, progressive JPEG) fall back to the labeled stub transform.
+    frames) fall back to the labeled stub transform.
     The Spark plumbing is the same
     either way: non-image rows pass through untouched, the batch
     iterates once, output schema equals input schema.

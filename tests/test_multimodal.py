@@ -655,9 +655,10 @@ def test_jpeg_16bit_dqt_precision():
 
 
 def test_jpeg_malformed_returns_none():
-    """Stub-fallback contract: non-JPEG, truncated entropy data,
-    progressive (SOF2), 12-bit precision, and arithmetic-coded frames
-    all return None — never a task crash."""
+    """Stub-fallback contract: non-JPEG, truncated entropy data, a
+    baseline stream relabeled SOF2 (its full-band scan header is
+    invalid under progressive rules), 12-bit precision, and
+    arithmetic-coded frames all return None — never a task crash."""
     import numpy as np
 
     from jsl_engine.jpeg import decode_jpeg, encode_jpeg
@@ -672,9 +673,9 @@ def test_jpeg_malformed_returns_none():
     assert decode_jpeg(blob[:20]) is None               # truncated header
 
     sof = blob.find(b"\xff\xc0")
-    progressive = bytearray(blob)
-    progressive[sof + 1] = 0xC2
-    assert decode_jpeg(bytes(progressive)) is None
+    relabeled = bytearray(blob)
+    relabeled[sof + 1] = 0xC2  # baseline scan layout is invalid in SOF2
+    assert decode_jpeg(bytes(relabeled)) is None
     arith = bytearray(blob)
     arith[sof + 1] = 0xC9
     assert decode_jpeg(bytes(arith)) is None
@@ -1141,3 +1142,79 @@ def test_gif_takes_real_path_in_spark_pipeline(spark):
     out = M.decode_gif(bytes(rz.payload))
     assert out is not None
     assert np.array_equal(out, M.resize_nearest(img, 15, 20))
+
+
+def test_jpeg_progressive_matches_baseline_bitforbit():
+    """Progressive (SOF2) decode: the progressive encoder emits the SAME
+    quantized coefficients as the baseline path through a 14-scan script
+    covering every §G.1.2 mode (interleaved DC first at Al=1, spectral
+    AC bands 1-5/6-63 with EOBRUN, DC refinement, AC refinements with
+    correction bits and deferred EOBn), so progressive and baseline
+    decodes of one input must be equal BIT-FOR-BIT — any
+    encoder/decoder asymmetry in the successive-approximation logic
+    breaks the equality."""
+    import numpy as np
+
+    from jsl_engine.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(0)
+    cases = [
+        (np.full((16, 24), 137, np.uint8), {}),
+        (rng.integers(0, 256, (33, 41), np.uint8), {}),
+        (rng.integers(0, 256, (17, 29, 3), np.uint8), {}),
+        (rng.integers(0, 256, (24, 24, 3), np.uint8), {"quality": 85}),
+        (rng.integers(0, 256, (40, 56, 3), np.uint8), {"subsample": True}),
+        (rng.integers(0, 256, (64, 48), np.uint8), {"quality": 50}),
+    ]
+    for img, kw in cases:
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        blob = encode_jpeg(img, progressive=True, **kw)
+        assert blob[2:4] != b"\xff\xc0" and b"\xff\xc2" in blob[:200]
+        prog = decode_jpeg(blob)
+        assert prog is not None and np.array_equal(base, prog), kw
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="baseline"):
+        encode_jpeg(cases[1][0], progressive=True, restart_interval=2)
+
+
+def test_jpeg_progressive_fuzz_eobrun_zrl_refinement():
+    """Seeded fuzz over the coefficient-sparsity regimes that stress
+    each progressive coding path: flat images (maximal EOB runs),
+    sparse spikes at high quality (ZRL-heavy), smooth gradients at low
+    quality (band-empty scans), noise, and 4:2:0 — progressive decode
+    must equal baseline decode exactly on every trial. Truncating a
+    progressive stream mid-scan still returns None, not a crash."""
+    import numpy as np
+
+    from jsl_engine.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    for trial in range(15):
+        h = int(rng.integers(1, 70))
+        w = int(rng.integers(1, 70))
+        mode = trial % 5
+        if mode == 0:
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+            kw = {}
+        elif mode == 1:
+            img = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+            kw = {}
+        elif mode == 2:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((yy + xx) % 256).astype(np.uint8)
+            kw = {"quality": 30}
+        elif mode == 3:
+            img = np.full((h, w, 3), 128, np.uint8)
+            for _ in range(6):
+                img[rng.integers(0, h), rng.integers(0, w)] = (
+                    rng.integers(0, 256, 3))
+            kw = {"quality": 90}
+        else:
+            img = rng.integers(0, 256, (h, w, 3), np.uint8)
+            kw = {"subsample": True}
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        blob = encode_jpeg(img, progressive=True, **kw)
+        prog = decode_jpeg(blob)
+        assert prog is not None and np.array_equal(base, prog), (trial, mode)
+    assert decode_jpeg(blob[: int(len(blob) * 0.6)]) is None
