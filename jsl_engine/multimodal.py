@@ -24,10 +24,13 @@ Decoding is REAL for formats that need no codec library:
   progressive scan machinery + vectorized numpy IDCT per ITU T.81,
   with an independently-written forward encoder (baseline and
   progressive) pinning the decoder;
-* **GIF images (87a/89a; global/local palettes, interlace; first frame
-  of animations)** — :func:`decode_gif` / :func:`encode_gif` (round 7):
-  pure-Python GIF-variant LZW with the giflib width-growth convention,
-  numpy palette lookup;
+* **GIF images AND animations (87a/89a; global/local palettes,
+  interlace, transparency, disposal methods, delay timeline)** —
+  :func:`decode_gif` / :func:`encode_gif` / :func:`decode_gif_frames` /
+  :func:`encode_gif_frames` (round 7): pure-Python GIF-variant LZW with
+  the giflib width-growth convention, numpy palette lookup and frame
+  compositing — :func:`sample_frames` emits REAL PNG-encoded frames
+  for animated GIF video rows;
 * **WAV PCM audio** — :func:`decode_wav` (stdlib ``wave`` + numpy), with
   real windowed RMS-energy + zero-crossing features.
 
@@ -425,22 +428,23 @@ def encode_bmp(arr) -> bytes:
     )
 
 
-def decode_gif(payload: bytes):
-    """Decode a GIF87a/GIF89a image to an (h, w, 3) uint8 RGB array —
-    pure-Python LZW (GIF's only compression, spec'd in the public
-    GIF89a document) + numpy palette lookup. Covers global and local
-    color tables, interlaced row order, and sub-block framing; for an
-    animated GIF the FIRST frame is returned (frame compositing policy
-    belongs to a video-style pipeline, and the first frame is always a
-    full image). Transparency (GCE) is ignored — palette RGB is
-    returned as stored. Returns ``None`` for non-GIF or malformed
-    payloads — the stub-fallback contract, never a task crash."""
+def decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """Decode an (animated) GIF87a/GIF89a to a list of
+    ``(ts_ms, frame)`` tuples of composited (sh, sw, 3) uint8 RGB
+    canvases — pure-Python LZW + numpy, full GIF89a animation
+    semantics: Graphic Control Extension transparency (transparent
+    pixels leave the canvas unchanged), frame rectangles painted at
+    (left, top), inter-frame delays accumulated into timestamps, and
+    disposal methods 0/1 (leave), 2 (restore to background), 3
+    (restore to previous). Returns ``None`` for non-GIF or malformed
+    payloads; ``max_frames`` stops early (an animation's tail need not
+    be decoded to sample its head)."""
     import numpy as np
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     try:
-        (sw, sh, packed) = struct.unpack_from("<HHB", payload, 6)
+        (sw, sh, packed, bg) = struct.unpack_from("<HHBB", payload, 6)
         pos = 13
         global_pal = None
         if packed & 0x80:
@@ -449,16 +453,32 @@ def decode_gif(payload: bytes):
                 payload, np.uint8, count=3 * n, offset=pos
             ).reshape(-1, 3)
             pos += 3 * n
+        if sw == 0 or sh == 0:
+            return None
+        canvas = np.zeros((sh, sw, 3), np.uint8)
+        if global_pal is not None and bg < len(global_pal):
+            canvas[:] = global_pal[bg]
+        frames: list = []
+        t_ms = 0
+        gce = None  # (disposal, delay_cs, transparent_index)
         while pos < len(payload):
             block = payload[pos]
             pos += 1
-            if block == 0x21:  # extension: label + sub-blocks
+            if block == 0x21:  # extension
+                label = payload[pos]
                 pos += 1
+                if label == 0xF9 and payload[pos] >= 4:
+                    gp, delay, trans = struct.unpack_from(
+                        "<BHB", payload, pos + 1
+                    )
+                    gce = ((gp >> 2) & 7, delay, trans if gp & 1 else None)
                 while payload[pos] != 0:
                     pos += 1 + payload[pos]
                 pos += 1
             elif block == 0x2C:  # image descriptor
-                _, _, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+                left, top, iw, ih, ipacked = struct.unpack_from(
+                    "<HHHHB", payload, pos
+                )
                 pos += 9
                 pal = global_pal
                 if ipacked & 0x80:
@@ -467,7 +487,8 @@ def decode_gif(payload: bytes):
                         payload, np.uint8, count=3 * n, offset=pos
                     ).reshape(-1, 3)
                     pos += 3 * n
-                if pal is None or iw == 0 or ih == 0:
+                if (pal is None or iw == 0 or ih == 0
+                        or left + iw > sw or top + ih > sh):
                     return None
                 min_code = payload[pos]
                 pos += 1
@@ -476,6 +497,7 @@ def decode_gif(payload: bytes):
                     ln = payload[pos]
                     data += payload[pos + 1:pos + 1 + ln]
                     pos += 1 + ln
+                pos += 1  # sub-block terminator
                 idx = _lzw_decode(bytes(data), min_code, iw * ih)
                 if idx is None or len(idx) < iw * ih:
                     return None
@@ -488,14 +510,44 @@ def decode_gif(payload: bytes):
                     out = np.empty_like(img)
                     out[order] = img
                     img = out
-                return pal[img]
-            elif block == 0x3B:  # trailer before any image
-                return None
+                disposal, delay, trans = gce if gce else (0, 0, None)
+                gce = None
+                prev = canvas.copy() if disposal == 3 else None
+                region = canvas[top:top + ih, left:left + iw]
+                rgb = pal[img]
+                if trans is not None:
+                    opaque = img != trans
+                    region[opaque] = rgb[opaque]
+                else:
+                    region[:] = rgb
+                frames.append((t_ms, canvas.copy()))
+                t_ms += delay * 10  # GCE delay is in centiseconds
+                if max_frames is not None and len(frames) >= max_frames:
+                    return frames
+                if disposal == 2:
+                    if global_pal is not None and bg < len(global_pal):
+                        canvas[top:top + ih, left:left + iw] = global_pal[bg]
+                    else:
+                        canvas[top:top + ih, left:left + iw] = 0
+                elif disposal == 3:
+                    canvas = prev
+            elif block == 0x3B:  # trailer
+                break
             else:
                 return None
-        return None
+        return frames or None
     except Exception:
         return None
+
+
+def decode_gif(payload: bytes):
+    """Decode a GIF87a/GIF89a image to an (h, w, 3) uint8 RGB array (the
+    logical screen after compositing the FIRST frame — animations are
+    the :func:`decode_gif_frames` / :func:`sample_frames` surface).
+    Returns ``None`` for non-GIF or malformed payloads — the
+    stub-fallback contract, never a task crash."""
+    frames = decode_gif_frames(payload, max_frames=1)
+    return frames[0][1] if frames else None
 
 
 def _lzw_decode(data: bytes, min_code: int, limit: int):
@@ -561,27 +613,28 @@ def _lzw_decode(data: bytes, min_code: int, limit: int):
     return out
 
 
-def encode_gif(arr) -> bytes:
-    """Encode an (h, w) or (h, w, 3) uint8 array with ≤ 256 distinct
-    colors as a single-frame GIF89a (global palette, forward LZW written
-    independently of the decoder — the round-trip pin). Raises
-    ``ValueError`` above 256 colors: GIF is a palette format and
-    quantization policy belongs to the caller."""
+def _gif_palette(arrs):
+    """Shared palette for one or more (h, w, 3) frames: (palette array,
+    per-frame index arrays). Raises above 256 distinct colors."""
     import numpy as np
 
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = np.stack([arr] * 3, axis=2)
-    h, w = arr.shape[:2]
-    flat = arr.reshape(-1, 3)
-    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    flat = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
     if len(pal) > 256:
         raise ValueError(f"GIF needs <= 256 colors, got {len(pal)}")
-    depth = max(2, int(len(pal) - 1).bit_length())  # min LZW code size >= 2
-    pal_n = 1 << depth
-    pal_bytes = pal.tobytes() + b"\x00" * (3 * (pal_n - len(pal)))
+    idxs = []
+    off = 0
+    for a in arrs:
+        n = a.shape[0] * a.shape[1]
+        idxs.append(inv[off:off + n].reshape(a.shape[:2]))
+        off += n
+    return pal, idxs
 
-    # forward LZW over the index stream
+
+def _lzw_encode(idx, depth: int) -> bytes:
+    """Forward GIF-variant LZW over a flat index iterable, written
+    independently of :func:`_lzw_decode` (round-trip pin); width grows
+    at the decoder's counter convention (giflib's ``> MaxCode1``)."""
     clear = 1 << depth
     end = clear + 1
     codes: list[tuple[int, int]] = []  # (code, width)
@@ -590,7 +643,7 @@ def encode_gif(arr) -> bytes:
     width = depth + 1
     codes.append((clear, width))
     cur = b""
-    for i in idx.tolist():
+    for i in idx:
         nxt = cur + bytes([i])
         if nxt in table:
             cur = nxt
@@ -600,9 +653,8 @@ def encode_gif(arr) -> bytes:
             table[nxt] = next_code
             next_code += 1
             # the decoder's growth clock: widen only when next_code has
-            # PASSED the width's capacity (giflib's `> MaxCode1`), so
-            # the first code of the wider regime is the one that can
-            # actually need the extra bit
+            # PASSED the width's capacity, so the first code of the
+            # wider regime is the one that can actually need the bit
             if next_code > (1 << width) and width < 12:
                 width += 1
         else:
@@ -625,16 +677,69 @@ def encode_gif(arr) -> bytes:
             nbits -= 8
     if nbits:
         body.append(acc & 0xFF)
+    return bytes(body)
+
+
+def _gif_subblocks(body: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(body), 255):
+        chunk = body[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def encode_gif(arr) -> bytes:
+    """Encode an (h, w) or (h, w, 3) uint8 array with ≤ 256 distinct
+    colors as a single-frame GIF89a (global palette, forward LZW written
+    independently of the decoder — the round-trip pin). Raises
+    ``ValueError`` above 256 colors: GIF is a palette format and
+    quantization policy belongs to the caller."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=2)
+    return encode_gif_frames([arr])
+
+
+def encode_gif_frames(frames, delays_ms=None) -> bytes:
+    """Encode one or more same-shape (h, w, 3) uint8 frames as a GIF89a
+    animation with a shared global palette (≤ 256 colors across ALL
+    frames) and per-frame Graphic Control Extensions carrying the
+    delays (default 100 ms; centisecond resolution). Full-frame,
+    no-transparency, disposal 'leave' — the compositing-free subset an
+    encoder fixture needs; :func:`decode_gif_frames` reads the general
+    format."""
+    import numpy as np
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames or any(f.shape != frames[0].shape or f.ndim != 3
+                         for f in frames):
+        raise ValueError("frames must be non-empty, same-shape (h, w, 3)")
+    h, w = frames[0].shape[:2]
+    # a bare single frame (encode_gif) keeps the GCE-free classic layout
+    emit_gce = not (len(frames) == 1 and delays_ms is None)
+    if delays_ms is None:
+        delays_ms = [100] * len(frames)
+    if len(delays_ms) != len(frames):
+        raise ValueError("one delay per frame")
+    pal, idxs = _gif_palette(frames)
+    depth = max(2, int(len(pal) - 1).bit_length())  # min LZW code size >= 2
+    pal_n = 1 << depth
+    pal_bytes = pal.tobytes() + b"\x00" * (3 * (pal_n - len(pal)))
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
     out += pal_bytes
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
-    out += bytes([depth])
-    for i in range(0, len(body), 255):
-        chunk = body[i:i + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    for idx, delay in zip(idxs, delays_ms):
+        if emit_gce:
+            cs = max(0, min(0xFFFF, int(delay) // 10))
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, cs, 0, 0)
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out += bytes([depth])
+        out += _gif_subblocks(_lzw_encode(idx.reshape(-1).tolist(), depth))
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -924,18 +1029,28 @@ FRAME_SCHEMA = StructType(
         StructField("frame_index", IntegerType(), False),
         StructField("ts_ms", IntegerType(), False),
         StructField("frame", BinaryType(), False),
+        # True: a REAL decoded frame (PNG-encoded composited canvas,
+        # animated-GIF payloads); False: the labeled stub (codec-library
+        # formats, i.e. MP4)
+        StructField("decoded", BooleanType(), False),
     ]
 )
 
 
 def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 8) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame
-    (``media_id, frame_index, ts_ms, frame``) — the row-explosion batching
-    pattern a video pipeline needs (a 60s clip becomes ≤ ``max_frames``
-    rows, non-video rows produce nothing). Frame extraction is the
-    labeled stub (no codec libs here): deterministic bytes derived from
-    (payload, ts) with a real frame-grid computation from the metadata.
-    """
+    (``media_id, frame_index, ts_ms, frame, decoded``) — the
+    row-explosion batching pattern a video pipeline needs (a 60s clip
+    becomes ≤ ``max_frames`` rows, non-video rows produce nothing).
+
+    Frame extraction is REAL for animated GIF payloads
+    (:func:`decode_gif_frames`: full GIF89a compositing — transparency,
+    frame rectangles, disposal methods, GCE delay timeline): each grid
+    timestamp ``j*every_ms`` samples the animation frame active at that
+    instant and emits it as a PNG of the composited canvas. MP4 needs a
+    codec library this container lacks, so those rows keep the labeled
+    stub — deterministic bytes derived from (payload, ts) with the same
+    real frame-grid computation from the metadata."""
     pruned = media.select("media_id", "kind", "duration_ms", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -946,16 +1061,35 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000, max_frames: int = 8
             ):
                 if kind != "video" or dur is None or pd.isna(dur):
                     continue
+                payload = bytes(payload)
                 n = min(max_frames, max(1, int(dur) // every_ms))
+                anim = decode_gif_frames(payload)
+                if anim is not None:
+                    # REAL path: the frame active at each grid instant
+                    # (the last frame whose timestamp is <= ts)
+                    times = [t for t, _ in anim]
+                    for j in range(n):
+                        ts = j * every_ms
+                        fi = 0
+                        for i, t in enumerate(times):
+                            if t <= ts:
+                                fi = i
+                            else:
+                                break
+                        rows.append((int(mid), j, ts,
+                                     encode_png(anim[fi][1]), True))
+                    continue
                 for j in range(n):
                     ts = j * every_ms
                     frame = hashlib.blake2b(
-                        bytes(payload), digest_size=24,
+                        payload, digest_size=24,
                         person=f"f{ts}".encode()[:8],
                     ).digest()
-                    rows.append((int(mid), j, ts, frame))
+                    rows.append((int(mid), j, ts, frame, False))
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_index", "ts_ms", "frame"]
+                rows,
+                columns=["media_id", "frame_index", "ts_ms", "frame",
+                         "decoded"],
             )
 
     return pruned.mapInPandas(run, FRAME_SCHEMA)

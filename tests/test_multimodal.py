@@ -1218,3 +1218,114 @@ def test_jpeg_progressive_fuzz_eobrun_zrl_refinement():
         prog = decode_jpeg(blob)
         assert prog is not None and np.array_equal(base, prog), (trial, mode)
     assert decode_jpeg(blob[: int(len(blob) * 0.6)]) is None
+
+
+def test_gif_animation_roundtrip_and_compositing():
+    """Animated GIF: encode_gif_frames -> decode_gif_frames round-trips
+    frames and the GCE delay timeline exactly; hand-built streams pin
+    the compositing semantics — transparency leaves the canvas showing
+    through, partial frames paint at (left, top), disposal 2 restores
+    the rect to background, disposal 3 restores the previous canvas."""
+    import struct as st
+
+    import numpy as np
+
+    from jsl_engine.multimodal import (
+        _gif_subblocks,
+        _lzw_encode,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(2)
+    pal = np.unique(rng.integers(0, 256, (40, 3), np.uint8), axis=0)
+    frames = [pal[rng.integers(0, len(pal), (12, 10))] for _ in range(4)]
+    blob = encode_gif_frames(frames, [50, 120, 70, 200])
+    out = decode_gif_frames(blob)
+    assert out is not None and len(out) == 4
+    assert [t for t, _ in out] == [0, 50, 170, 240]
+    for (_, got), want in zip(out, frames):
+        assert np.array_equal(got, want)
+    assert len(decode_gif_frames(blob, max_frames=2)) == 2
+    assert np.array_equal(decode_gif(blob), frames[0])
+
+    # hand-built stream: 6x6 screen, palette [red, green, blue], bg=red
+    gp = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250]) + b"\x00" * 3
+    hdr = b"GIF89a" + st.pack("<HHBBB", 6, 6, 0x80 | 1, 0, 0) + gp
+
+    def img_block(left, top, w, h, idx, gce=None):
+        b = b""
+        if gce is not None:
+            disposal, delay_cs, trans = gce
+            packed = (disposal << 2) | (1 if trans is not None else 0)
+            b += st.pack("<BBBBHBB", 0x21, 0xF9, 4, packed, delay_cs,
+                         trans if trans is not None else 0, 0)
+        b += st.pack("<BHHHHB", 0x2C, left, top, w, h, 0)
+        b += bytes([2]) + _gif_subblocks(
+            _lzw_encode([int(v) for v in np.ravel(idx)], 2))
+        return b
+
+    f_green = np.full((6, 6), 1, int)
+    f_mix = np.array([[2, 0], [0, 2]])  # blue + transparent(idx 0)
+    payload = (hdr + img_block(0, 0, 6, 6, f_green, gce=(1, 10, None))
+               + img_block(2, 2, 2, 2, f_mix, gce=(1, 20, 0)) + b"\x3b")
+    out = decode_gif_frames(payload)
+    assert [t for t, _ in out] == [0, 100]
+    assert (out[0][1] == [0, 250, 0]).all()
+    want = out[0][1].copy()
+    want[2, 2] = [0, 0, 250]
+    want[3, 3] = [0, 0, 250]  # transparent pixels keep prior green
+    assert np.array_equal(out[1][1], want)
+
+    f_blue = np.full((2, 2), 2, int)
+    payload = (hdr + img_block(2, 2, 2, 2, f_blue, gce=(2, 10, None))
+               + img_block(0, 0, 6, 6, np.zeros((6, 6), int),
+                           gce=(1, 10, 0)) + b"\x3b")
+    out = decode_gif_frames(payload)
+    assert (out[1][1][2, 2] == [250, 0, 0]).all()  # disposal 2 -> bg red
+
+    payload = (hdr + img_block(0, 0, 6, 6, f_green, gce=(1, 10, None))
+               + img_block(2, 2, 2, 2, f_blue, gce=(3, 10, None))
+               + img_block(0, 0, 6, 6, np.zeros((6, 6), int),
+                           gce=(1, 10, 0)) + b"\x3b")
+    out = decode_gif_frames(payload)
+    assert (out[1][1][2, 2] == [0, 0, 250]).all()
+    assert (out[2][1][2, 2] == [0, 250, 0]).all()  # disposal 3 restored
+
+
+def test_sample_frames_real_for_animated_gif(spark):
+    """sample_frames takes the REAL path for animated-GIF video rows:
+    each grid timestamp emits a PNG of the frame active at that instant
+    per the GCE delay timeline (decoded=True); MP4-ish payloads keep
+    the deterministic stub (decoded=False) on the same grid."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine import multimodal as M
+
+    rng = np.random.default_rng(4)
+    pal = np.unique(rng.integers(0, 256, (16, 3), np.uint8), axis=0)
+    frames = [pal[rng.integers(0, len(pal), (8, 6))] for _ in range(3)]
+    blob = M.encode_gif_frames(frames, [1500, 1000, 1000])  # ts 0/1500/2500
+
+    rows = [
+        Row(media_id=1, kind="video", mime="image/gif", width=6, height=8,
+            duration_ms=4000, n_bytes=len(blob), payload=bytearray(blob)),
+        Row(media_id=2, kind="video", mime="video/mp4", width=None,
+            height=None, duration_ms=3000, n_bytes=3,
+            payload=bytearray(b"mp4")),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.sample_frames(media, every_ms=1000, max_frames=8).collect()
+    gif = sorted((r for r in out if r.media_id == 1),
+                 key=lambda r: r.frame_index)
+    assert [r.ts_ms for r in gif] == [0, 1000, 2000, 3000]
+    assert all(r.decoded for r in gif)
+    # ts 0,1000 -> frame0 (active until 1500); 2000 -> frame1; 3000 -> frame2
+    want = [frames[0], frames[0], frames[1], frames[2]]
+    for r, w in zip(gif, want):
+        img = M.decode_png(bytes(r.frame))
+        assert img is not None and np.array_equal(img, w), r.frame_index
+    mp4 = [r for r in out if r.media_id == 2]
+    assert len(mp4) == 3 and not any(r.decoded for r in mp4)
