@@ -916,10 +916,23 @@ def decode_stub(payload: bytes, kind: str, dim: int = 16) -> list[float]:
     embedding (images), frame sampling (video), or spectrogram pooling
     (audio) — none of those libraries exist in this container, so the
     "feature" is a deterministic fold of the payload bytes: stable,
-    testable, and shaped exactly like a real embedding.
+    testable, and shaped exactly like a real embedding. Dimensions past
+    blake2b's 64-byte digest ceiling (16 floats) chain counter-keyed
+    digests — dim stays unbounded, bytes stay deterministic.
     """
-    h = hashlib.blake2b(payload, digest_size=dim * 4, person=kind.encode()[:8]).digest()
-    return [v / 2**31 - 1.0 for (v,) in struct.iter_unpack(">I", h)]
+    need = dim * 4
+    out = b""
+    block = 0
+    while len(out) < need:
+        out += hashlib.blake2b(
+            payload, digest_size=min(64, need - len(out)),
+            person=kind.encode()[:8],
+            # block 0 keeps the pre-chaining bytes (salt default): the
+            # dim<=16 stub is pinned by round-4 determinism tests
+            salt=b"" if block == 0 else str(block).encode()[:16],
+        ).digest()
+        block += 1
+    return [v / 2**31 - 1.0 for (v,) in struct.iter_unpack(">I", out)]
 
 
 def extract_features(media: DataFrame, *, dim: int = 16) -> DataFrame:
@@ -1261,6 +1274,109 @@ def image_near_duplicates(
         ph.select("media_id"), pairs=pairs, id_col="media_id", keep=keep
     )
     return _keep_flags_tail(ph, flags)
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), False),
+        StructField("n_frames", IntegerType(), False),
+        StructField("decoded", BooleanType(), False),
+    ]
+)
+
+
+def video_features(
+    media: DataFrame, *, n_frames: int = 4, dim: int = 16
+) -> DataFrame:
+    """Map-only video-content feature pass: decode the animation
+    (:func:`decode_gif_frames` — REAL for animated GIF, the one video
+    container this environment can decode), sample ``n_frames`` frames
+    evenly by frame INDEX (index, not timestamp: a re-encode that only
+    re-times the animation keeps the same visual sequence), and
+    concatenate each sampled frame's :func:`image_feature` into one
+    ``n_frames × dim`` vector — temporal ORDER is part of the
+    signature, so a reversed animation does not collide with its
+    source. Undecodable payloads (MP4) get the byte-fold stub with
+    ``decoded=false`` and never enter the similarity space."""
+    pruned = media.where(F.col("kind") == "video").select(
+        "media_id", "payload"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats, counts, decs = [], [], []
+            for payload in batch["payload"]:
+                payload = bytes(payload)
+                anim = decode_gif_frames(payload)
+                if anim:
+                    nf = len(anim)
+                    if nf == 1:
+                        picks = [0] * n_frames
+                    else:
+                        picks = [round(i * (nf - 1) / (n_frames - 1))
+                                 for i in range(n_frames)]
+                    feat: list[float] = []
+                    for i in picks:
+                        feat.extend(image_feature(anim[i][1], dim))
+                    feats.append(feat)
+                    counts.append(nf)
+                    decs.append(True)
+                else:
+                    feats.append(decode_stub(payload, "video",
+                                             n_frames * dim))
+                    counts.append(0)
+                    decs.append(False)
+            yield pd.DataFrame({
+                "media_id": batch["media_id"].values,
+                "feature": feats,
+                "n_frames": counts,
+                "decoded": decs,
+            })
+
+    return pruned.mapInPandas(run, VIDEO_FEATURE_SCHEMA)
+
+
+def video_near_duplicates(
+    media: DataFrame,
+    *,
+    n_frames: int = 4,
+    dim: int = 16,
+    threshold: float = 0.97,
+    n_planes: int = 12,
+    n_bands: int = 8,
+    seed: int = 42,
+    max_bucket: int = 1024,
+    keep: str = "pairwise",
+    features: DataFrame | None = None,
+    return_pairs: bool = False,
+) -> DataFrame:
+    """Video-level near-duplicate dedup: :func:`video_features`
+    (temporal-order-preserving concatenated frame features) through the
+    same banded-SRP → exact-cosine → SemDeDup composition as the image
+    and audio arms. A re-encoded or re-timed copy of the same animation
+    pairs with its source; a reversed or visually different animation
+    does not; undecodable (MP4) rows are always kept. Completes the
+    modality triple — one dedup contract over image/audio/video."""
+    from jsl_engine.similarity import embedding_near_duplicates, semantic_dedup
+
+    if features is None:
+        features = video_features(media, n_frames=n_frames, dim=dim)
+    vecs = (
+        features.where(F.col("decoded"))
+        .select("media_id",
+                F.col("feature").cast("array<double>").alias("embedding"))
+    )
+    kwargs = dict(
+        threshold=threshold, n_planes=n_planes, n_bands=n_bands, seed=seed,
+        id_col="media_id", vec_col="embedding", max_bucket=max_bucket,
+        dim=n_frames * dim,
+    )
+    pairs = embedding_near_duplicates(vecs, **kwargs)
+    if return_pairs:
+        return pairs
+    flags = semantic_dedup(vecs, pairs=pairs, keep=keep, **kwargs)
+    return _keep_flags_tail(features, flags)
 
 
 def audio_near_duplicates(

@@ -1329,3 +1329,58 @@ def test_sample_frames_real_for_animated_gif(spark):
         assert img is not None and np.array_equal(img, w), r.frame_index
     mp4 = [r for r in out if r.media_id == 2]
     assert len(mp4) == 3 and not any(r.decoded for r in mp4)
+
+
+def test_video_near_duplicates_animated_gif(spark):
+    """Video dedup completes the modality triple: a re-timed re-encode
+    of the same animation pairs with its source (frame sampling is by
+    index, so delays don't matter), a REVERSED animation does not
+    (temporal order is part of the signature), visually distinct
+    animations separate, and undecodable MP4-ish rows are always kept
+    with decoded=false."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine import multimodal as M
+
+    rng = np.random.default_rng(12)
+    pal = np.unique(rng.integers(0, 256, (24, 3), np.uint8), axis=0)
+    seq = [pal[rng.integers(0, len(pal), (10, 8))] for _ in range(5)]
+    other = [pal[rng.integers(0, len(pal), (10, 8))] for _ in range(5)]
+
+    def media_row(mid, blob):
+        return Row(media_id=mid, kind="video", mime="image/gif", width=8,
+                   height=10, duration_ms=2000, n_bytes=len(blob),
+                   payload=bytearray(blob))
+
+    media = spark.createDataFrame([
+        media_row(1, M.encode_gif_frames(seq, [100] * 5)),
+        media_row(2, M.encode_gif_frames(seq, [400] * 5)),   # re-timed twin
+        media_row(3, M.encode_gif_frames(seq[::-1], [100] * 5)),  # reversed
+        media_row(4, M.encode_gif_frames(other, [100] * 5)),      # distinct
+        Row(media_id=9, kind="video", mime="video/mp4", width=None,
+            height=None, duration_ms=500, n_bytes=4,
+            payload=bytearray(b"mp4!")),
+        Row(media_id=20, kind="image", mime="x", width=2, height=2,
+            duration_ms=None, n_bytes=10,
+            payload=bytearray(M.encode_png(np.zeros((2, 2), np.uint8)))),
+    ], M.MEDIA_SCHEMA)
+
+    flags = {r.media_id: (r.kept, r.n_dups, r.decoded)
+             for r in M.video_near_duplicates(media).collect()}
+    assert set(flags) == {1, 2, 3, 4, 9}  # videos only
+    assert flags[1] == (True, 1, True)
+    assert flags[2] == (False, 1, True)
+    assert flags[3][0] is True and flags[3][1] == 0  # reversal separates
+    assert flags[4] == (True, 0, True)
+    assert flags[9] == (True, 0, False)
+
+    pairs = [(r.id_a, r.id_b) for r in
+             M.video_near_duplicates(media, return_pairs=True).collect()]
+    assert pairs == [(1, 2)]
+
+    # materialized-features path yields identical flags
+    feats = M.video_features(media)
+    via = {r.media_id: (r.kept, r.n_dups, r.decoded)
+           for r in M.video_near_duplicates(media, features=feats).collect()}
+    assert via == flags
