@@ -31,6 +31,9 @@ Decoding is REAL for formats that need no codec library:
   the giflib width-growth convention, numpy palette lookup and frame
   compositing — :func:`sample_frames` emits REAL PNG-encoded frames
   for animated GIF video rows;
+* **TIFF images (uncompressed 8-bit gray/RGB/RGBA, strips, both byte
+  orders)** — :func:`decode_tiff` / :func:`encode_tiff` (round 7):
+  struct IFD walk + numpy restride per the public TIFF 6.0 spec;
 * **WAV PCM audio** — :func:`decode_wav` (stdlib ``wave`` + numpy), with
   real windowed RMS-energy + zero-crossing features.
 
@@ -743,12 +746,127 @@ def encode_gif_frames(frames, delays_ms=None) -> bytes:
     return bytes(out)
 
 
+def decode_tiff(payload: bytes):
+    """Decode an uncompressed baseline TIFF (8-bit grayscale or
+    RGB/RGBA, chunky planar config, strip layout, either byte order) to
+    an (h, w) or (h, w, 3) uint8 array — pure struct IFD walk + numpy,
+    per the public TIFF 6.0 specification. Compressed, tiled, paletted,
+    planar, or non-8-bit variants return ``None`` (stub fallback, never
+    a task crash); alpha is dropped like the PNG/BMP decoders."""
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        return None
+    try:
+        (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+        (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+        tags: dict[int, list[int]] = {}
+        for i in range(n_entries):
+            base = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(e + "HHI", payload, base)
+            size = {1: 1, 3: 2, 4: 4}.get(typ)
+            if size is None:
+                continue  # rationals etc. — not needed here
+            if size * cnt <= 4:
+                off = base + 8
+            else:
+                (off,) = struct.unpack_from(e + "I", payload, base + 8)
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(
+                struct.unpack_from(e + fmt * cnt, payload, off)
+            )
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        bits = tags.get(258, [8])
+        compression = tags.get(259, [1])[0]
+        photometric = tags.get(262, [1])[0]
+        offsets = tags.get(273)
+        spp = tags.get(277, [len(bits)])[0]
+        rows_per_strip = tags.get(278, [h])[0]
+        counts = tags.get(279)
+        planar = tags.get(284, [1])[0]
+        if (w <= 0 or h <= 0 or compression != 1 or planar != 1
+                or offsets is None or counts is None
+                or any(b != 8 for b in bits) or spp not in (1, 3, 4)
+                or photometric not in (0, 1, 2)
+                or w * h > (1 << 26)):
+            return None
+        data = bytearray()
+        for off, cnt in zip(offsets, counts):
+            chunk = payload[off:off + cnt]
+            if len(chunk) != cnt:
+                return None
+            data += chunk
+        need = w * h * spp
+        if len(data) < need:
+            return None
+        img = np.frombuffer(bytes(data), np.uint8, count=need).reshape(
+            h, w, spp
+        )
+        if spp == 1:
+            out = img[:, :, 0]
+            if photometric == 0:  # white-is-zero
+                out = 255 - out
+            return out.copy()
+        return img[:, :, :3].copy()
+    except Exception:
+        return None
+
+
+def encode_tiff(arr) -> bytes:
+    """Encode an (h, w) or (h, w, 3) uint8 array as a minimal
+    little-endian uncompressed TIFF (single strip, chunky). Round-trips
+    through :func:`decode_tiff`."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else 3
+    data = arr.tobytes()
+    # layout: header(8) + pixel data + IFD
+    data_off = 8
+    ifd_off = data_off + len(data)
+    entries = [
+        (256, 4, 1, w),                 # ImageWidth
+        (257, 4, 1, h),                 # ImageLength
+        (259, 3, 1, 1),                 # Compression: none
+        (262, 3, 1, 1 if gray else 2),  # Photometric
+        (273, 4, 1, data_off),          # StripOffsets
+        (277, 3, 1, spp),               # SamplesPerPixel
+        (278, 4, 1, h),                 # RowsPerStrip
+        (279, 4, 1, len(data)),         # StripByteCounts
+    ]
+    extra = b""
+    if gray:
+        entries.insert(2, (258, 3, 1, 8))  # BitsPerSample
+    else:
+        # 3 SHORTs don't fit the 4-byte value slot: park after the IFD
+        bps_off = ifd_off + 2 + 12 * (len(entries) + 1) + 4
+        entries.insert(2, (258, 3, 3, bps_off))
+        extra = struct.pack("<HHH", 8, 8, 8)
+    entries.sort()
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        ifd += struct.pack("<HHI", tag, typ, cnt)
+        if typ == 3 and cnt == 1:
+            ifd += struct.pack("<HH", val, 0)
+        else:
+            ifd += struct.pack("<I", val)
+    ifd += struct.pack("<I", 0)  # no next IFD
+    return b"II*\x00" + struct.pack("<I", ifd_off) + data + ifd + extra
+
+
 def decode_image(payload: bytes):
     """Try every dependency-free image codec (netpbm, PNG, BMP, GIF,
-    then baseline JPEG); None if the payload is none of them — the
+    TIFF, then JPEG); None if the payload is none of them — the
     caller's stub-fallback contract."""
     for dec in (decode_netpbm, decode_png, decode_bmp, decode_gif,
-                decode_jpeg):
+                decode_tiff, decode_jpeg):
         arr = dec(payload)
         if arr is not None:
             return arr
@@ -1013,6 +1131,7 @@ def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
                                  (decode_png, encode_png),
                                  (decode_bmp, encode_bmp),
                                  (decode_gif, encode_gif),
+                                 (decode_tiff, encode_tiff),
                                  (decode_jpeg, encode_jpeg)):
                     arr = dec(raw)
                     if arr is not None:

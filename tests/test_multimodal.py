@@ -1384,3 +1384,90 @@ def test_video_near_duplicates_animated_gif(spark):
     via = {r.media_id: (r.kept, r.n_dups, r.decoded)
            for r in M.video_near_duplicates(media, features=feats).collect()}
     assert via == flags
+
+
+def test_tiff_roundtrip_endianness_and_strips():
+    """Uncompressed-TIFF codec: little-endian encode round-trips gray
+    and RGB exactly; a hand-built BIG-endian multi-strip RGBA stream
+    decodes (alpha dropped); white-is-zero grayscale inverts; compressed
+    or truncated streams return None; decode_image routes TIFF — and a
+    TIFF re-encode of the same pixels pairs with its PNG twin in the
+    image dedup."""
+    import struct as st
+
+    import numpy as np
+
+    from jsl_engine.multimodal import decode_image, decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (21, 17, 3), np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(rgb)), rgb)
+    gray = rng.integers(0, 256, (9, 5), np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(gray)), gray)
+    assert decode_image(encode_tiff(rgb)) is not None
+
+    h, w = 6, 4
+    img = rng.integers(0, 256, (h, w, 4), np.uint8)
+    data = img.tobytes()
+    strips = [data[i * w * 4 * 2:(i + 1) * w * 4 * 2] for i in range(3)]
+    offs, cnts, cur, blob_data = [], [], 8, b""
+    for s_ in strips:
+        offs.append(cur)
+        cnts.append(len(s_))
+        cur += len(s_)
+        blob_data += s_
+    ifd_off = cur
+
+    def entry(tag, typ, cnt, val):
+        b = st.pack(">HHI", tag, typ, cnt)
+        return b + (st.pack(">HH", val, 0) if typ == 3 and cnt == 1
+                    else st.pack(">I", val))
+
+    bps_off = ifd_off + 2 + 12 * 10 + 4
+    arr_off = bps_off + 8
+    entries = [
+        entry(256, 4, 1, w), entry(257, 4, 1, h),
+        entry(258, 3, 4, bps_off), entry(259, 3, 1, 1),
+        entry(262, 3, 1, 2), entry(273, 4, 3, arr_off),
+        entry(277, 3, 1, 4), entry(278, 4, 1, 2),
+        entry(279, 4, 3, arr_off + 12), entry(284, 3, 1, 1),
+    ]
+    ifd = st.pack(">H", len(entries)) + b"".join(entries) + st.pack(">I", 0)
+    tail = (st.pack(">HHHH", 8, 8, 8, 8) + st.pack(">III", *offs)
+            + st.pack(">III", *cnts))
+    blob = b"MM\x00*" + st.pack(">I", ifd_off) + blob_data + ifd + tail
+    assert np.array_equal(decode_tiff(blob), img[:, :, :3])
+
+    wz = bytearray(encode_tiff(gray))
+    i = wz.find(st.pack("<HHI", 262, 3, 1))
+    wz[i + 8:i + 10] = st.pack("<H", 0)  # photometric white-is-zero
+    assert np.array_equal(decode_tiff(bytes(wz)), 255 - gray)
+
+    assert decode_tiff(b"II*\x00junk") is None
+    assert decode_tiff(b"not tiff") is None
+    lzw = bytearray(encode_tiff(rgb))
+    i = lzw.find(st.pack("<HHI", 259, 3, 1))
+    lzw[i + 8:i + 10] = st.pack("<H", 5)  # Compression=LZW: unsupported
+    assert decode_tiff(bytes(lzw)) is None
+    assert decode_tiff(encode_tiff(rgb)[:30]) is None
+
+
+def test_tiff_pairs_cross_container_in_spark(spark):
+    """A TIFF re-encode of the same pixels rides the real feature path
+    and pairs with its PNG twin in image_near_duplicates."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine import multimodal as M
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (24, 18, 3), np.uint8)
+    rows = []
+    for mid, blob in ((1, M.encode_png(img)), (2, M.encode_tiff(img))):
+        rows.append(Row(media_id=mid, kind="image", mime="x", width=18,
+                        height=24, duration_ms=None, n_bytes=len(blob),
+                        payload=bytearray(blob)))
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    flags = {r.media_id: (r.kept, r.decoded)
+             for r in M.image_near_duplicates(media).collect()}
+    assert flags == {1: (True, True), 2: (False, True)}
