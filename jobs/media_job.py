@@ -21,7 +21,7 @@ Usage::
 
     python jobs/media_job.py [--rows 3000 | --input media.parquet]
         [--plant-dups 40] [--method feature|phash] [--threshold 0.97]
-        [--hamming 10] [--dim 16] [--keep pairwise|greedy]
+        [--hamming 10] [--dim 16] [--keep pairwise|greedy] [--all-kinds]
         [--output DIR] [--cpus 8]
 
 ``--plant-dups K`` (synthetic input only) re-encodes K of the
@@ -30,8 +30,16 @@ generated netpbm images as PNG/JPEG/BMP/half-size twins under fresh ids
 many planted twins were dropped (their original kept), which must equal
 ``planted`` on a healthy run.
 
+``--all-kinds`` adds the other two modality arms over the same
+materialized signatures: audio dedup (RMS-envelope features at
+``--audio-threshold`` — envelope vectors are all-positive, so cosines
+crowd and need a tighter cut) and video dedup (temporal-order-preserving
+frame-feature signatures; real for the animated-GIF half of the
+synthetic corpus, MP4 rows stay stub-kept).
+
 Prints one JSON line: n_media, n_images, n_decoded, planted,
-planted_found, pairs, images_dropped, seconds, images_per_sec.
+planted_found, pairs, images_dropped, audio, video, seconds,
+images_per_sec.
 """
 
 from __future__ import annotations
@@ -120,6 +128,13 @@ def main() -> int:
                     help="phash arm: max Hamming distance of a dup pair")
     ap.add_argument("--keep", choices=("pairwise", "greedy"),
                     default="pairwise")
+    ap.add_argument("--all-kinds", action="store_true",
+                    help="also dedup audio (RMS-envelope features) and"
+                         " video (frame-feature signatures) rows")
+    ap.add_argument("--audio-threshold", type=float, default=0.995,
+                    help="audio cosine threshold — envelope features are"
+                         " all-positive, so cosines crowd the positive"
+                         " orthant and need a tighter cut than images")
     ap.add_argument("--output", default=None)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--seed", type=int, default=42)
@@ -179,6 +194,48 @@ def main() -> int:
         ~F.col("kept") & (F.col("media_id") >= 10_000_000)
     ).count() if planted else 0
 
+    audio = video = None
+    if args.all_kinds:
+        # the other two modality arms, same materialize-then-dedup shape:
+        # audio re-reads the features parquet (it already carries every
+        # kind); video needs its own frame-sampled signature pass
+        from jsl_engine.multimodal import (
+            audio_near_duplicates,
+            video_features,
+            video_near_duplicates,
+        )
+
+        if args.method == "phash":
+            extract_features(media, dim=args.dim).write.mode(
+                "overwrite"
+            ).parquet(str(out_dir / "features"))
+        feats = spark.read.parquet(str(out_dir / "features"))
+        aflags = audio_near_duplicates(
+            media, features=feats, threshold=args.audio_threshold,
+            dim=args.dim, keep=args.keep,
+        )
+        aflags.write.mode("overwrite").parquet(str(out_dir / "audio_flags"))
+        aflags = spark.read.parquet(str(out_dir / "audio_flags"))
+        audio = {
+            "n": int(stats.get("audio", 0)),
+            "dropped": int(aflags.where(~F.col("kept")).count()),
+        }
+        video_features(media).write.mode("overwrite").parquet(
+            str(out_dir / "video_features")
+        )
+        vfeats = spark.read.parquet(str(out_dir / "video_features"))
+        vflags = video_near_duplicates(
+            media, features=vfeats, threshold=args.threshold,
+            keep=args.keep,
+        )
+        vflags.write.mode("overwrite").parquet(str(out_dir / "video_flags"))
+        vflags = spark.read.parquet(str(out_dir / "video_flags"))
+        video = {
+            "n": int(stats.get("video", 0)),
+            "decoded": int(vfeats.where("decoded").count()),
+            "dropped": int(vflags.where(~F.col("kept")).count()),
+        }
+
     secs = round(time.time() - t0, 3)
     n_images = int(stats.get("image", 0))  # stats ran post-plant
     print(json.dumps({
@@ -190,6 +247,8 @@ def main() -> int:
         "planted_found": int(planted_found),
         "pairs": int(n_pairs),
         "images_dropped": int(dropped),
+        "audio": audio,
+        "video": video,
         "seconds": secs,
         "images_per_sec": round(n_images / secs, 1) if secs else None,
     }))

@@ -131,10 +131,27 @@ def synth_media(spark, n_rows: int, *, seed: int = 42, partitions: int | None = 
                     rows.append((i, kind, "image/x-portable-pixmap",
                                  w, h, None, len(blob), blob))
                 elif kind == "audio":
-                    # REAL 16-bit PCM WAV payload (stdlib wave)
+                    # REAL 16-bit PCM WAV payload (stdlib wave): a sine
+                    # burst at an id-dependent frequency and position
+                    # over a low noise floor — clips get DISTINCT RMS
+                    # envelopes (stationary white noise would make every
+                    # clip's envelope identical, which is exactly the
+                    # degenerate case audio_near_duplicates documents)
                     rate = 8000
                     n = 200 + (i * 37) % 1400
-                    x = (rng.standard_normal(n) * 8000).astype("<i2")
+                    t = np.arange(n) / rate
+                    freq = 200.0 + (i * 53) % 1800
+                    # a per-clip random piecewise amplitude envelope:
+                    # every clip's RMS shape is unique (the id seeds
+                    # rng), so envelope features separate distinct clips
+                    # while volume-scaled twins still pair
+                    env = np.repeat(rng.uniform(0.05, 1.0, 16),
+                                    -(-n // 16))[:n]
+                    x = (
+                        (np.sin(2 * np.pi * freq * t) * env * 18000
+                         + rng.standard_normal(n) * 200)
+                        .clip(-32768, 32767).astype("<i2")
+                    )
                     buf = io.BytesIO()
                     with wave.open(buf, "wb") as wf:
                         wf.setnchannels(1)
@@ -144,6 +161,17 @@ def synth_media(spark, n_rows: int, *, seed: int = 42, partitions: int | None = 
                     blob = buf.getvalue()
                     rows.append((i, kind, "audio/wav", None, None,
                                  int(n * 1000 / rate), len(blob), blob))
+                elif i % 2 == 0:
+                    # REAL video payload: a small animated GIF (the one
+                    # video container decodable without a codec lib)
+                    w, h = 8 + i % 24, 8 + (i * 5) % 24
+                    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+                    nf = 2 + i % 5
+                    frames = [pal[rng.integers(0, 16, size=(h, w))]
+                              for _ in range(nf)]
+                    blob = encode_gif_frames(frames, [200] * nf)
+                    rows.append((i, kind, "image/gif", w, h,
+                                 200 * nf, len(blob), blob))
                 else:
                     # opaque stand-in: mp4 NEEDS a codec lib -> stub regime
                     blob = hashlib.blake2b(
@@ -1515,10 +1543,12 @@ def audio_near_duplicates(
     (windowed RMS envelope + zero-crossing rate): the same composition
     as the image feature arm, scoped to ``kind='audio'``. Cosine is
     amplitude-invariant, so a volume-scaled re-export of the same
-    recording pairs with its source; distinct RMS ENVELOPES separate —
-    but two different stationary white-noise clips have near-identical
-    envelopes and will (honestly) pair, the envelope-sketch analogue of
-    the smooth-content caveat on image resizing."""
+    recording pairs with its source; distinct RMS ENVELOPES separate.
+    Two caveats this sketch is honest about: stationary white-noise
+    clips all share one envelope and will pair, and envelope features
+    are ALL-POSITIVE vectors, so random-pair cosines crowd the positive
+    orthant — size ``threshold`` accordingly (the media job defaults
+    its audio cut to 0.995, not the image arm's 0.97)."""
     return _feature_near_duplicates(
         media, "audio", dim=dim, threshold=threshold, n_planes=n_planes,
         n_bands=n_bands, seed=seed, max_bucket=max_bucket, keep=keep,
