@@ -80,6 +80,11 @@ def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
 
+    # ambient load BEFORE any Spark work: load_avg_start (below) is read
+    # after the 32-core warm-up, whose own burn inflates the 1-min
+    # average — a genuinely quiet window looked busy in the r7 record
+    load_pre = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name="jsl-bench",
@@ -168,6 +173,7 @@ def main() -> int:
                         "sf": sf,
                         "cpus": cpus,
                         "queries": timings,
+                        "load_avg_pre": load_pre,
                         "load_avg_start": load_start,
                         "load_avg_end": load_end,
                     }
@@ -196,6 +202,7 @@ def main() -> int:
                     for q, t in sorted(timings.items())
                     if t >= 1.3 * best[q] and t - best[q] > 0.2
                 },
+                "load_avg_pre": load_pre,
                 "load_avg_start": load_start,
                 "load_avg_end": load_end,
                 "sf": sf,
