@@ -31,12 +31,13 @@ public spec, ITU-T Rec. T.81 (ISO/IEC 10918-1):
   progressive/baseline encodes of one input share identical quantized
   coefficients, so their decodes must match BIT-FOR-BIT.
 
-Scale notes: the Huffman bit loop is pure Python, so this is the
-dependency-free CORRECTNESS path — a production 100 TB media pipeline
-swaps in a codec library inside the same ``mapInPandas`` batch (one
-function changes, not the pipeline; see multimodal.extract_features).
-Decode cost is per-row and embarrassingly parallel; nothing here
-shuffles.
+Scale notes: entropy decode is pure Python (a cached 16-bit-peek LUT
+with a fused symbol/amplitude read — fast for Python, still far from a
+native codec), so this is the dependency-free CORRECTNESS path — a
+production 100 TB media pipeline swaps in a codec library inside the
+same ``mapInPandas`` batch (one function changes, not the pipeline; see
+multimodal.extract_features). Decode cost is per-row and embarrassingly
+parallel; nothing here shuffles.
 """
 
 from __future__ import annotations
