@@ -304,9 +304,15 @@ def decode_png(payload: bytes):
             pos += 12 + length  # length + type + data + crc
         if w is None or not idat:
             return None
-        raw = zlib.decompress(b"".join(idat))
+        if w * h > (1 << 26):
+            return None  # decode-for-features sanity bound (jpeg's too)
         stride = w * channels
-        if len(raw) != h * (stride + 1):
+        expected = h * (stride + 1)
+        # bounded inflate: a decompression bomb must not allocate past
+        # the header-implied size — cap output and reject any excess
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
+        if len(raw) != expected:
             return None
         raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
         ftypes = raw[:, 0]
@@ -484,8 +490,8 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None):
                 payload, np.uint8, count=3 * n, offset=pos
             ).reshape(-1, 3)
             pos += 3 * n
-        if sw == 0 or sh == 0:
-            return None
+        if sw == 0 or sh == 0 or sw * sh > (1 << 26):
+            return None  # allocation bound: canvas comes from the header
         canvas = np.zeros((sh, sw, 3), np.uint8)
         if global_pal is not None and bg < len(global_pal):
             canvas[:] = global_pal[bg]
@@ -1434,7 +1440,8 @@ VIDEO_FEATURE_SCHEMA = StructType(
 
 
 def video_features(
-    media: DataFrame, *, n_frames: int = 4, dim: int = 16
+    media: DataFrame, *, n_frames: int = 4, dim: int = 16,
+    max_decode_frames: int = 64,
 ) -> DataFrame:
     """Map-only video-content feature pass: decode the animation
     (:func:`decode_gif_frames` — REAL for animated GIF, the one video
@@ -1444,8 +1451,11 @@ def video_features(
     concatenate each sampled frame's :func:`image_feature` into one
     ``n_frames × dim`` vector — temporal ORDER is part of the
     signature, so a reversed animation does not collide with its
-    source. Undecodable payloads (MP4) get the byte-fold stub with
-    ``decoded=false`` and never enter the similarity space."""
+    source. Decoding stops after ``max_decode_frames`` frames (per-row
+    work and memory stay bounded on hour-long animations; the signature
+    is computed over that deterministic prefix, which both copies of a
+    duplicate share). Undecodable payloads (MP4) get the byte-fold stub
+    with ``decoded=false`` and never enter the similarity space."""
     pruned = media.where(F.col("kind") == "video").select(
         "media_id", "payload"
     )
@@ -1455,7 +1465,8 @@ def video_features(
             feats, counts, decs = [], [], []
             for payload in batch["payload"]:
                 payload = bytes(payload)
-                anim = decode_gif_frames(payload)
+                anim = decode_gif_frames(payload,
+                                         max_frames=max_decode_frames)
                 if anim:
                     nf = len(anim)
                     if nf == 1:

@@ -1471,3 +1471,51 @@ def test_tiff_pairs_cross_container_in_spark(spark):
     flags = {r.media_id: (r.kept, r.decoded)
              for r in M.image_near_duplicates(media).collect()}
     assert flags == {1: (True, True), 2: (False, True)}
+
+
+def test_decoder_bomb_and_allocation_guards():
+    """Untrusted-corpus robustness: a PNG whose stream inflates far past
+    its header-implied size is rejected by the BOUNDED inflate (no
+    multi-GB allocation), oversized header dimensions are rejected
+    before any allocation in PNG and GIF, and normal round-trips are
+    untouched."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from jsl_engine.multimodal import (
+        decode_gif_frames,
+        decode_png,
+        encode_gif_frames,
+        encode_png,
+    )
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    bomb = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * (10 * 1024 * 1024)))
+            + chunk(b"IEND", b""))
+    assert decode_png(bomb) is None
+
+    huge = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00"))
+            + chunk(b"IEND", b""))
+    assert decode_png(huge) is None
+
+    g = (b"GIF89a" + st.pack("<HHBBB", 60000, 60000, 0, 0, 0) + b"\x3b")
+    assert decode_gif_frames(g) is None
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (9, 7, 3), np.uint8)
+    assert decode_png(encode_png(img)) is not None
+    pal = np.unique(rng.integers(0, 256, (9, 3), np.uint8), axis=0)
+    frames = [pal[rng.integers(0, len(pal), (5, 4))] for _ in range(3)]
+    blob = encode_gif_frames(frames, [10] * 3)
+    assert len(decode_gif_frames(blob)) == 3
+    # the bounded-decode prefix contract: max_frames caps work per row
+    assert len(decode_gif_frames(blob, max_frames=2)) == 2
