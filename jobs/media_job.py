@@ -61,6 +61,7 @@ from jsl_engine.multimodal import (
     MEDIA_SCHEMA,
     extract_features,
     image_near_duplicates,
+    media_probe,
     media_stats,
     synth_media,
 )
@@ -160,6 +161,19 @@ def main() -> int:
 
     stats = {r.kind: r.n for r in media_stats(media).collect()}
 
+    # container-metadata verification: one header-only payload pass —
+    # claimed metadata columns vs what each container itself says
+    probe_rows = (
+        media_probe(media)
+        .groupBy("container")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("dims_drift").cast("int")).alias("dd"),
+             F.sum(F.col("duration_drift").cast("int")).alias("td"))
+        .collect()
+    )
+    containers = {r.container: int(r.n) for r in probe_rows}
+    metadata_drift = int(sum(r.dd + r.td for r in probe_rows))
+
     # ONE decode pass, materialized: both dedup branches (pairs + keep
     # flags) read the narrow signature table, never payload bytes again
     if args.method == "phash":
@@ -247,6 +261,8 @@ def main() -> int:
         "planted_found": int(planted_found),
         "pairs": int(n_pairs),
         "images_dropped": int(dropped),
+        "containers": containers,
+        "metadata_drift": metadata_drift,
         "audio": audio,
         "video": video,
         "seconds": secs,

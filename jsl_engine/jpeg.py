@@ -1108,3 +1108,33 @@ def _progressive_scans(
         scans.append((sos_hdr([ci], 1, 5, 1, 0), ac_refine(ci, 1, 5, 0)))
         scans.append((sos_hdr([ci], 6, 63, 1, 0), ac_refine(ci, 6, 63, 0)))
     return scans
+
+
+def jpeg_dimensions(payload: bytes):
+    """Header-only probe: (width, height) from the SOF marker without
+    touching entropy data — the cheap path :func:`jsl_engine.multimodal
+    .media_probe` wants. None for non-JPEG/malformed."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos = 2
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                return None
+            while pos < n and payload[pos] == 0xFF:
+                pos += 1
+            marker = payload[pos]
+            pos += 1
+            if marker in (0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack_from(">H", payload, pos)
+            if marker in (0xC0, 0xC1, 0xC2):
+                _, h, w, _ = struct.unpack_from(">BHHB", payload, pos + 2)
+                return w, h
+            if marker == 0xDA:
+                return None  # scan before any SOF: malformed
+            pos += seglen
+        return None
+    except Exception:
+        return None

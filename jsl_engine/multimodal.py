@@ -173,12 +173,22 @@ def synth_media(spark, n_rows: int, *, seed: int = 42, partitions: int | None = 
                     rows.append((i, kind, "image/gif", w, h,
                                  200 * nf, len(blob), blob))
                 else:
-                    # opaque stand-in: mp4 NEEDS a codec lib -> stub regime
-                    blob = hashlib.blake2b(
+                    # REAL ISO-BMFF container (box-level metadata parses;
+                    # the CODED FRAMES are deterministic stand-in bytes —
+                    # H.264 decode is the stub regime)
+                    from jsl_engine.mp4 import build_mp4
+
+                    dur = 1000 + i % 60_000
+                    frames_bytes = hashlib.blake2b(
                         f"{seed}:{i}".encode(), digest_size=32
                     ).digest() * (1 + i % 64)
+                    blob = build_mp4(
+                        duration_ms=dur, width=320 + i % 32 * 16,
+                        height=240 + i % 24 * 16, codec=b"avc1",
+                        n_samples=dur // 40, mdat=frames_bytes,
+                    )
                     rows.append((i, kind, "video/mp4", None, None,
-                                 1000 + i % 60_000, len(blob), blob))
+                                 dur, len(blob), blob))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -1565,6 +1575,128 @@ def audio_near_duplicates(
         n_bands=n_bands, seed=seed, max_bucket=max_bucket, keep=keep,
         features=features, return_pairs=return_pairs,
     )
+
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("container", StringType(), False),  # "unknown" if none
+        StructField("probed_width", IntegerType(), True),
+        StructField("probed_height", IntegerType(), True),
+        StructField("probed_duration_ms", IntegerType(), True),
+        StructField("n_tracks", IntegerType(), True),
+        StructField("codec", StringType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("duration_drift", BooleanType(), False),
+        StructField("dims_drift", BooleanType(), False),
+    ]
+)
+
+
+def _probe_payload(payload: bytes):
+    """(container, width, height, duration_ms, n_tracks, codec,
+    n_samples) from a payload's OWN headers — cheap parses only (no
+    entropy decode: JPEG reads its SOF, GIF walks frame blocks up to a
+    cap, MP4 walks its boxes)."""
+    import io
+    import wave
+
+    from jsl_engine.jpeg import jpeg_dimensions
+    from jsl_engine.mp4 import parse_mp4
+
+    if payload[:2] in (b"P5", b"P6"):
+        arr = decode_netpbm(payload)
+        if arr is not None:
+            return ("netpbm", arr.shape[1], arr.shape[0], None, None, None,
+                    None)
+        return ("netpbm", None, None, None, None, None, None)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        w, h = struct.unpack_from(">II", payload, 16)
+        return ("png", w, h, None, None, None, None)
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return ("bmp", abs(w), abs(h), None, None, None, None)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", payload, 6)
+        frames = decode_gif_frames(payload, max_frames=256)
+        dur = n = None
+        if frames:
+            n = len(frames)
+            # timeline length = last frame timestamp + its own delay;
+            # approximate the tail delay with the mean of the others
+            dur = frames[-1][0]
+            if n > 1:
+                dur += frames[-1][0] // max(1, n - 1)
+        return ("gif", w, h, dur, None, None, n)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        arr = decode_tiff(payload)
+        if arr is not None:
+            return ("tiff", arr.shape[1], arr.shape[0], None, None, None,
+                    None)
+        return ("tiff", None, None, None, None, None, None)
+    if payload[:2] == b"\xff\xd8":
+        dims = jpeg_dimensions(payload)
+        if dims:
+            return ("jpeg", dims[0], dims[1], None, None, None, None)
+        return ("jpeg", None, None, None, None, None, None)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                dur = int(wf.getnframes() * 1000 / wf.getframerate())
+                return ("wav", None, None, dur, 1, "pcm", wf.getnframes())
+        except Exception:
+            return ("wav", None, None, None, None, None, None)
+    meta = parse_mp4(payload)
+    if meta is not None:
+        vid = next((t for t in meta["tracks"] if t["kind"] == "vide"), None)
+        t0 = vid or (meta["tracks"][0] if meta["tracks"] else None)
+        return ("mp4", t0 and t0["width"], t0 and t0["height"],
+                meta["duration_ms"], len(meta["tracks"]),
+                t0 and t0["codec"], t0 and t0["n_samples"])
+    return ("unknown", None, None, None, None, None, None)
+
+
+def media_probe(media: DataFrame) -> DataFrame:
+    """Container-metadata verification pass: sniff each payload's REAL
+    container and read ITS metadata from the headers (MP4 box walk, GIF
+    frame/delay walk, JPEG SOF, PNG IHDR, BMP/TIFF headers, WAV), then
+    flag rows whose CLAIMED metadata columns disagree — ``dims_drift``
+    (exact mismatch of width/height) and ``duration_drift`` (probed vs
+    claimed duration off by > 10% and > 100 ms). A media table's
+    metadata columns are the only thing blob-pruning profilers ever see
+    (:func:`media_stats`), so silent drift between them and the payload
+    corrupts every downstream budget — this is the one pass that must
+    read payloads, and it reads ONLY headers (no entropy decode),
+    map-only over pruned columns, nothing shuffles."""
+    pruned = media.select("media_id", "kind", "width", "height",
+                          "duration_ms", "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, kind, w, h, dur, payload in zip(
+                batch["media_id"], batch["kind"], batch["width"],
+                batch["height"], batch["duration_ms"], batch["payload"],
+            ):
+                container, pw, ph, pdur, ntr, codec, nsamp = _probe_payload(
+                    bytes(payload)
+                )
+                w = None if pd.isna(w) else int(w)
+                h = None if pd.isna(h) else int(h)
+                dur = None if pd.isna(dur) else int(dur)
+                dims_drift = (pw is not None and w is not None
+                              and (pw != w or ph != h))
+                duration_drift = (
+                    pdur is not None and dur is not None
+                    and abs(pdur - dur) > max(100, dur // 10)
+                )
+                rows.append((int(mid), kind, container, pw, ph, pdur, ntr,
+                             codec, nsamp, bool(duration_drift),
+                             bool(dims_drift)))
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA])
+
+    return pruned.mapInPandas(run, PROBE_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

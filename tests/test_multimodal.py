@@ -1519,3 +1519,92 @@ def test_decoder_bomb_and_allocation_guards():
     assert len(decode_gif_frames(blob)) == 3
     # the bounded-decode prefix contract: max_frames caps work per row
     assert len(decode_gif_frames(blob, max_frames=2)) == 2
+
+
+def test_mp4_container_parse_and_builder():
+    """ISO-BMFF box parsing: the independently written builder
+    round-trips brand/duration/track metadata (video and audio
+    tracks); hand-built version-1 mvhd and 64-bit largesize boxes
+    parse; malformed sizes and non-MP4 payloads return None without
+    over-reading."""
+    import struct as st
+
+    from jsl_engine.mp4 import build_mp4, parse_mp4
+
+    blob = build_mp4(duration_ms=5500, width=640, height=360,
+                     codec=b"avc1", n_samples=165, mdat=b"\x00" * 256)
+    meta = parse_mp4(blob)
+    assert meta["brand"] == "isom" and meta["duration_ms"] == 5500
+    [trk] = meta["tracks"]
+    assert trk == {"kind": "vide", "codec": "avc1", "width": 640,
+                   "height": 360, "duration_ms": 5500, "n_samples": 165}
+
+    [trk] = parse_mp4(build_mp4(duration_ms=3000, codec=b"mp4a",
+                                kind=b"soun", n_samples=129))["tracks"]
+    assert (trk["kind"], trk["codec"], trk["width"],
+            trk["n_samples"]) == ("soun", "mp4a", None, 129)
+
+    def box(t, b):
+        return st.pack(">I", len(b) + 8) + t + b
+
+    mvhd1 = (bytes([1]) + b"\x00\x00\x00"
+             + st.pack(">QQIQ", 0, 0, 1000, 7000) + b"\x00" * 80)
+    payload = (box(b"ftyp", b"mp42" + st.pack(">I", 0))
+               + box(b"moov", box(b"mvhd", mvhd1)))
+    assert parse_mp4(payload)["duration_ms"] == 7000
+    # 64-bit largesize framing of the same moov
+    inner = box(b"mvhd", mvhd1)
+    large = (st.pack(">I", 1) + b"moov" + st.pack(">Q", 16 + len(inner))
+             + inner)
+    payload = box(b"ftyp", b"mp42" + st.pack(">I", 0)) + large
+    assert parse_mp4(payload)["duration_ms"] == 7000
+
+    assert parse_mp4(b"not an mp4") is None
+    assert parse_mp4(b"") is None
+    assert parse_mp4(st.pack(">I", 0xFFFFFFF0) + b"ftypisom") is None
+
+
+def test_media_probe_detects_metadata_drift(spark):
+    """media_probe reads each payload's OWN container metadata and flags
+    disagreement with the claimed columns: wrong claimed dims on a PNG
+    and wrong claimed duration on an MP4 are caught; consistent rows
+    and rows whose container carries no comparable field are clean;
+    every container type is identified."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine import multimodal as M
+    from jsl_engine.jpeg import encode_jpeg
+    from jsl_engine.mp4 import build_mp4
+
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (20, 30, 3), np.uint8)
+
+    def media_row(mid, kind, blob, w=None, h=None, dur=None):
+        return Row(media_id=mid, kind=kind, mime="x", width=w, height=h,
+                   duration_ms=dur, n_bytes=len(blob),
+                   payload=bytearray(blob))
+
+    rows = [
+        media_row(1, "image", M.encode_png(img), w=30, h=20),     # clean
+        media_row(2, "image", M.encode_png(img), w=99, h=20),     # dims lie
+        media_row(3, "video", build_mp4(duration_ms=4000), dur=4000),
+        media_row(4, "video", build_mp4(duration_ms=4000), dur=9000),
+        media_row(5, "image", M.encode_bmp(img), w=30, h=20),
+        media_row(6, "image", M.encode_tiff(img), w=30, h=20),
+        media_row(7, "image", encode_jpeg(img), w=30, h=20),
+        media_row(8, "video", b"opaque-bytes", dur=5),            # unknown
+    ]
+    probe = {r.media_id: r for r in M.media_probe(
+        spark.createDataFrame(rows, M.MEDIA_SCHEMA)).collect()}
+    assert probe[1].container == "png" and not probe[1].dims_drift
+    assert probe[2].dims_drift
+    assert probe[3].container == "mp4" and not probe[3].duration_drift
+    assert probe[4].duration_drift
+    assert probe[4].codec == "avc1" and probe[4].n_tracks == 1
+    assert probe[5].container == "bmp" and not probe[5].dims_drift
+    assert probe[6].container == "tiff" and not probe[6].dims_drift
+    assert probe[7].container == "jpeg" and not probe[7].dims_drift
+    assert probe[7].probed_width == 30 and probe[7].probed_height == 20
+    assert probe[8].container == "unknown"
+    assert not probe[8].dims_drift and not probe[8].duration_drift
