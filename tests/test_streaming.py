@@ -887,3 +887,79 @@ def test_embedding_near_dup_stream_matches_batch(spark, tmp_path):
     assert batch, "fixture must plant real near-dups"
     assert got == batch  # pair set AND exact rounded scores
     assert not {900, 901, 902, 903, 904} & {v for p in got for v in p}
+
+
+def test_media_stream_near_dup_composition(spark, tmp_path):
+    """Continuous MULTIMODAL dedup over a media landing zone: streaming
+    media rows → extract_features (mapInPandas runs on streams) →
+    embedding_near_dup_stream over the decoded image features. A PNG
+    re-encode twin arriving in a LATER micro-batch pairs with its
+    first-batch original (state carries the features), the pair set
+    equals the batch image_near_duplicates contract, and stub-featured
+    (undecodable) rows never pair."""
+    import numpy as np
+    from pyspark.sql import Row, functions as F
+
+    from jsl_engine import multimodal as M
+    from jsl_engine.streaming import embedding_near_dup_stream
+
+    rng = np.random.default_rng(33)
+    imgs = [rng.integers(0, 256, (24, 18, 3), np.uint8) for _ in range(6)]
+
+    def media_row(mid, blob):
+        return Row(media_id=mid, kind="image", mime="x", width=18,
+                   height=24, duration_ms=None, n_bytes=len(blob),
+                   payload=bytearray(blob))
+
+    batch_a = [media_row(i, M.encode_netpbm(imgs[i])) for i in range(6)]
+    batch_a.append(media_row(50, b"undecodable-blob"))
+    # later arrivals: re-encode twins of 0..2 in other containers
+    batch_b = [
+        media_row(100, M.encode_png(imgs[0])),
+        media_row(101, M.encode_bmp(imgs[1])),
+        media_row(102, M.encode_tiff(imgs[2])),
+        media_row(103, b"another-undecodable"),
+    ]
+    landing = str(tmp_path / "media_landing")
+    out_dir = str(tmp_path / "media_out")
+    ckpt = str(tmp_path / "media_ckpt")
+
+    def pipeline(df):
+        feats = M.extract_features(df, dim=16)
+        return embedding_near_dup_stream(
+            feats.where(F.col("decoded") & (F.col("kind") == "image"))
+            .select(F.col("media_id").alias("vec_id"),
+                    F.col("feature").cast("array<double>")
+                    .alias("embedding")),
+            threshold=0.97, n_planes=6, n_bands=4, seed=11, dim=16,
+        )
+
+    def run_once():
+        q = (
+            pipeline(spark.readStream.schema(M.MEDIA_SCHEMA)
+                     .option("maxFilesPerTrigger", 2).parquet(landing))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    media_a = spark.createDataFrame(batch_a, M.MEDIA_SCHEMA)
+    media_a.repartition(2).write.parquet(landing)
+    run_once()
+    media_b = spark.createDataFrame(batch_b, M.MEDIA_SCHEMA)
+    media_b.repartition(2).write.mode("append").parquet(landing)
+    run_once()
+
+    got = {(r.id_a, r.id_b) for r in spark.read.parquet(out_dir)
+           .select("id_a", "id_b").distinct().collect()}
+    assert got == {(0, 100), (1, 101), (2, 102)}
+    # batch contract over the full table agrees
+    batch_pairs = {(r.id_a, r.id_b) for r in M.image_near_duplicates(
+        media_a.unionByName(media_b), threshold=0.97, n_planes=6,
+        n_bands=4, seed=11, return_pairs=True).collect()}
+    assert got == batch_pairs
+    assert not {50, 103} & {v for p in got for v in p}
