@@ -1170,6 +1170,21 @@ def resize_images(media: DataFrame, *, max_side: int = 256) -> DataFrame:
                 scale = max_side / side
                 nw, nh = max(1, int(w[i] * scale)), max(1, int(h[i] * scale))
                 raw = bytes(payloads[i])
+                # animated GIF: resize EVERY frame, keep the timeline —
+                # the single-frame arm below would flatten the animation
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    anim = decode_gif_frames(raw, max_frames=256)
+                    if anim is not None and len(anim) > 1:
+                        delays = [b - a for a, b in
+                                  zip((t for t, _ in anim),
+                                      (t for t, _ in anim[1:]))]
+                        delays.append(delays[-1] if delays else 100)
+                        payloads[i] = encode_gif_frames(
+                            [resize_nearest(f, nw, nh) for _, f in anim],
+                            delays,
+                        )
+                        w[i], h[i] = nw, nh
+                        continue
                 # REAL resize on decoded pixels, same container out
                 for dec, enc in ((decode_netpbm, encode_netpbm),
                                  (decode_png, encode_png),

@@ -1608,3 +1608,28 @@ def test_media_probe_detects_metadata_drift(spark):
     assert probe[7].probed_width == 30 and probe[7].probed_height == 20
     assert probe[8].container == "unknown"
     assert not probe[8].dims_drift and not probe[8].duration_drift
+
+
+def test_resize_preserves_gif_animation(spark):
+    """resize_images must not flatten an animated GIF stored as an image
+    row: every frame is resized and the delay timeline survives."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine import multimodal as M
+
+    rng = np.random.default_rng(9)
+    pal = np.unique(rng.integers(0, 256, (12, 3), np.uint8), axis=0)
+    frames = [pal[rng.integers(0, len(pal), (48, 40))] for _ in range(3)]
+    blob = M.encode_gif_frames(frames, [50, 120, 200])
+    media = spark.createDataFrame([Row(
+        media_id=1, kind="image", mime="image/gif", width=40, height=48,
+        duration_ms=None, n_bytes=len(blob), payload=bytearray(blob),
+    )], M.MEDIA_SCHEMA)
+    [rz] = M.resize_images(media, max_side=24).collect()
+    assert (rz.width, rz.height) == (20, 24)
+    out = M.decode_gif_frames(bytes(rz.payload))
+    assert out is not None and len(out) == 3
+    assert [t for t, _ in out] == [0, 50, 170]
+    for (_, got), want in zip(out, frames):
+        assert np.array_equal(got, M.resize_nearest(want, 20, 24))
