@@ -1633,3 +1633,30 @@ def test_resize_preserves_gif_animation(spark):
     assert [t for t, _ in out] == [0, 50, 170]
     for (_, got), want in zip(out, frames):
         assert np.array_equal(got, M.resize_nearest(want, 20, 24))
+
+
+def test_gif_lzw_fuzz_depths_and_lengths():
+    """Seeded fuzz of the LZW pair in isolation: random index streams
+    at every min-code depth (2-8), lengths from 1 to past the 4096-entry
+    dictionary clear, skewed and uniform symbol distributions — decode
+    must reproduce the stream exactly (the width-clock convention has a
+    one-position failure mode only a dense sweep reliably hits)."""
+    import numpy as np
+
+    from jsl_engine.multimodal import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        depth = int(rng.integers(2, 9))
+        n = int(rng.integers(1, 9000))
+        n_syms = 1 << depth
+        if trial % 3 == 0:
+            # skewed: long runs -> deep dictionary chains
+            idx = np.repeat(
+                rng.integers(0, n_syms, size=max(1, n // 8)), 8
+            )[:n].tolist()
+        else:
+            idx = rng.integers(0, n_syms, size=n).tolist()
+        body = _lzw_encode(idx, depth)
+        out = _lzw_decode(body, depth, n)
+        assert out == idx, (trial, depth, n)
