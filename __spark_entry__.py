@@ -172,32 +172,26 @@ def q_chi2_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantiles of l_extendedprice (linear interpolation — Spark's
-    `percentile` and DuckDB's `quantile_cont` share the formula). The
-    exact variant is the oracle-checkable one; at 10^12 rows the engine
-    swaps in `percentile_approx` — shipped and property-gated as
+    `percentile` and DuckDB's `quantile_cont` share the formula), since
+    round 8 computed by :func:`jsl_engine.table_checks.exact_quantiles`:
+    the built-in exact `percentile` merges a value→count map of EVERY
+    partition into one reducer buffer (4.6M distinct values at sf1.0 —
+    measured 14.5 s, and unrunnable at 10^12 rows), while the histogram-
+    refinement operator shuffles ≤ 65536 partial-aggregated bin counts
+    per pass and is pinned bit-for-bit equal to `percentile` in pytest.
+    The returned raw order statistics are rounded in-plan (same JVM
+    `round` semantics as before). At 10^12 rows the engine swaps in
+    `percentile_approx` — shipped and property-gated as
     :func:`q_quantiles_lineitem_approx` (same quantile set, GK sketch,
     one pass, bounded memory)."""
-    from jsl_engine.partitioning import fan_out
-
-    # fan_out is float-safe here unlike col_stats: exact percentile
-    # aggregates value->count maps (long addition, order-free merge),
-    # so the result is bit-identical under any partitioning
-    df = fan_out(_t(spark, sf_dir, "lineitem"))
-    # one percentile(col, array(...)) call: the value buffer is built once
-    # for all four quantiles instead of once per quantile
-    agg = df.agg(
-        F.expr(
-            "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95))"
-        ).alias("ps")
-    ).select(
-        *[
-            F.round(F.element_at("ps", i + 1), 6).alias(f"p{n}")
-            for i, n in enumerate((25, 50, 75, 95))
-        ]
+    qs = (0.25, 0.50, 0.75, 0.95)
+    df = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    vals = tc.exact_quantiles(df, "l_extendedprice", qs)
+    out = spark.createDataFrame(
+        [(str(int(q * 100)), v) for q, v in zip(qs, vals)],
+        "pct string, value double",
     )
-    return agg.selectExpr(
-        "stack(4, '25', p25, '50', p50, '75', p75, '95', p95) as (pct, value)"
-    )
+    return out.select("pct", F.round("value", 6).alias("value"))
 
 
 def q_quantiles_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,92 @@
+"""Round-8 measurement harness (guide §1.4): per-query noop-sink vs
+collect timing, so compute cost and driver-collect cost are separated.
+
+NOT the driver bench — ``bench.py`` stays frozen. Usage::
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf1.0 python bench_extra.py [query ...]
+
+Prints one JSON line per query:
+    {"query": name, "noop": s, "collect": s, "rows": n}
+Each measurement is the min of two runs (same gust policy as bench.py).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
+
+from jsl_engine.partitioning import get_spark
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    only = set(sys.argv[1:])
+    repeats = int(os.environ.get("BENCH_EXTRA_REPEATS", "2"))
+
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="jsl-bench-extra",
+        shuffle_partitions=cpus * 2,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey").limit(
+        cpus * 64
+    ).repartition(cpus).mapInPandas(lambda it: it, "l_orderkey long").count()
+    for t in ("orders", "customer", "nation", "supplier", "events",
+              "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(10_000).agg(
+        F.count_distinct("l_quantity"), F.avg("l_quantity")
+    ).collect()
+
+    for name, fn in entry_mod.queries().items():
+        if only and name not in only:
+            continue
+        noop = collect = None
+        rows = None
+        for _ in range(repeats):
+            spark.sparkContext.setJobDescription(f"{name}: noop")
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            d = time.time() - t0
+            noop = d if noop is None else min(noop, d)
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext.setJobDescription(f"{name}: collect")
+            t0 = time.time()
+            out = fn(spark, sf_dir).collect()
+            d = time.time() - t0
+            collect = d if collect is None else min(collect, d)
+            rows = len(out)
+            del out
+            spark.catalog.clearCache()
+            gc.collect()
+        spark.sparkContext.setJobDescription(None)
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "noop": round(noop, 3),
+                    "collect": round(collect, 3),
+                    "rows": rows,
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

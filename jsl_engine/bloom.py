@@ -435,24 +435,29 @@ def bloom_contamination(
             .localCheckpoint(eager=False)
         )
 
-    # exact verify tail: string grams of candidate docs vs the
-    # benchmark's distinct string grams. The candidate side is tiny
-    # (true positives + n·fp_rate) and its text rides the checkpointed
-    # probe output, so the tail launches no extra job and never touches
-    # the corpus again — the shuffle is benchmark-sized once, not
-    # per-corpus-doc work.
-    from jsl_engine.text_ops import shingles
+    # exact verify tail: distinct gram HASHES of candidate docs joined
+    # against the benchmark's distinct gram hashes (r8 — the same 64-bit
+    # gram identity the probe and the clean branch already count; the
+    # earlier string-gram tail re-shingled every candidate through the
+    # interpreted JVM HOF, which at a benchmark-heavy threshold where
+    # most of the corpus is a candidate cost ~5 s of the 6.7 s query at
+    # sf1.0 — now one Arrow pass + an 8-byte-key join, ~2.6 s total).
+    # The candidate side is tiny at production thresholds (true
+    # positives + n·fp_rate) and its text rides the checkpointed probe
+    # output, so the tail launches no extra job and never touches the
+    # corpus again; the join stays shuffle-shaped (bench side may exceed
+    # broadcast budgets — that is this operator's reason to exist), and
+    # AQE broadcasts it when small.
+    from jsl_engine.text_ops_arrow import gram_hash_table
 
-    cand_grams = probed.where(F.col("bloom_hits") >= 1).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("gram"),
-    )
+    cand_grams = gram_hash_table(
+        probed.where(F.col("bloom_hits") >= 1).select(id_col, text_col),
+        text_col, id_col, n,
+    ).select(F.col(id_col), F.explode("grams").alias("gram"))
     bench_grams = (
-        benchmark.select(
-            F.explode(
-                F.array_distinct(shingles(F.col(text_col), n))
-            ).alias("gram")
-        )
+        gram_hash_table(benchmark.select(text_col, F.lit(0).alias("__i")),
+                        text_col, "__i", n)
+        .select(F.explode("grams").alias("gram"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jsl_engine.partitioning import fan_out
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 
 def _dot(a, b):
@@ -76,6 +76,117 @@ def cosine(a, b):
     the same isnan CASE."""
     raw = F.try_divide(_dot(a, b), _norm(a) * _norm(b))
     return F.nanvl(raw, F.lit(None).cast("double"))
+
+
+def _fold_cosine_batch(a: "pa.Array", b: "pa.Array") -> list:
+    """Per-row cosine of two Arrow list columns with the JVM fold's
+    EXACT float semantics (see :func:`cosine_scores_arrow`). Returns a
+    Python list of float-or-None."""
+    import math
+
+    import numpy as np
+
+    n = len(a)
+    if (
+        a.null_count == 0 and b.null_count == 0
+        and a.values.null_count == 0 and b.values.null_count == 0
+    ):
+        la = np.diff(a.offsets.to_numpy(zero_copy_only=False))
+        lb = np.diff(b.offsets.to_numpy(zero_copy_only=False))
+        if n and la.min() == la.max() == lb.min() == lb.max():
+            d = int(la[0])
+            x = (
+                a.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False).reshape(n, d)
+            )
+            y = (
+                b.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64, copy=False).reshape(n, d)
+            )
+            # sequential per-component accumulation == the JVM fold's
+            # IEEE-double order (parity pinned in tests), vectorized
+            # across rows
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(d):
+                xi, yi = x[:, i], y[:, i]
+                dot = dot + xi * yi
+                na = na + xi * xi
+                nb = nb + yi * yi
+            div = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                res = dot / div
+            bad = (div == 0.0) | np.isnan(res)
+            return [None if bad[i] else float(res[i]) for i in range(n)]
+    # degenerate rows (NULL vector / NULL component / ragged dims):
+    # per-row Python doubles — identical IEEE arithmetic, rare path
+    out: list = []
+    for va, vb in zip(a.to_pylist(), b.to_pylist()):
+        if (
+            va is None or vb is None or len(va) != len(vb)
+            or any(v is None for v in va) or any(v is None for v in vb)
+        ):
+            out.append(None)  # zip_with/fold over NULL → NULL dot → NULL
+            continue
+        dot = na = nb = 0.0
+        for xa, xb in zip(va, vb):
+            dot += xa * xb
+            na += xa * xa
+            nb += xb * xb
+        div = math.sqrt(na) * math.sqrt(nb)
+        if div == 0.0:
+            out.append(None)  # try_divide by exact zero → NULL
+            continue
+        r = dot / div
+        out.append(None if math.isnan(r) else r)  # nanvl → NULL
+    return out
+
+
+def cosine_scores_arrow(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    keep_cols: "tuple[str, ...]",
+    out_col: str = "cos_raw",
+) -> DataFrame:
+    """Raw (unrounded) cosine of two vector columns in ONE Arrow pass —
+    bit-identical to :func:`cosine` and ~10× cheaper (guide §4.2): the
+    JVM ``aggregate``/``zip_with`` fold is interpreted per element
+    (higher-order functions never enter whole-stage codegen), so scoring
+    64-dim pairs costs ~200 interpreted lambda calls per row; here each
+    Arrow batch runs one numpy accumulation loop over the components
+    (measured r8 at sf1.0: ``topk_cosine_embeddings`` 6.2 s → ~1 s).
+
+    Float parity is exact, not approximate: the kernel accumulates
+    per-component in the SAME left-to-right IEEE-double order as the JVM
+    fold (``np.dot``'s pairwise summation would NOT be bit-identical and
+    is deliberately not used), and the degenerate pins of
+    :func:`cosine` are reproduced — zero-norm divisor → NULL
+    (``try_divide``), NaN result → NULL (``nanvl``), NULL vector / NULL
+    component / ragged dims → NULL (NULL-propagating fold). Parity is
+    asserted value-for-value in tests/test_similarity.py.
+
+    Output: ``keep_cols + (out_col,)``. Rounding stays in-plan (callers
+    apply ``F.round``), so JVM rounding semantics are untouched."""
+    pruned = df.select(*keep_cols, a_col, b_col)
+    na = len(keep_cols)
+    out_schema = StructType(
+        [pruned.schema[c] for c in keep_cols]
+        + [StructField(out_col, DoubleType(), True)]
+    )
+    names = list(keep_cols) + [out_col]
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            cos = _fold_cosine_batch(batch.column(na), batch.column(na + 1))
+            arrays = [batch.column(i) for i in range(na)]
+            arrays.append(pa.array(cos, pa.float64()))
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return pruned.mapInArrow(run, out_schema)
 
 
 def _local_topk_prune(
@@ -226,7 +337,9 @@ def brute_force_topk(
         query_id, vec_id, cos_sim, rank   (rank 1..k, ties by vec_id)
 
     The query set is broadcast (small side); the corpus is scanned once
-    and scored in whole-stage codegen. A batch-local lossless top-k cut
+    and scored by the Arrow fold kernel (:func:`cosine_scores_arrow` —
+    bit-identical to the JVM :func:`cosine`, ~10× cheaper than its
+    interpreted HOF fold; r8). A batch-local lossless top-k cut
     (:func:`_local_topk_prune`) runs map-side, so the per-query ranking
     window's shuffle input is O(batches × queries × k), never O(rows) —
     the corpus is never shuffled into per-query reducers.
@@ -236,14 +349,13 @@ def brute_force_topk(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    scored = (
-        _indexable(vectors, vec_col).select(F.col(id_col), F.col(vec_col))
-        .crossJoin(q)
-        .select(
-            "query_id",
-            id_col,
-            F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
-        )
+    pairs = _indexable(vectors, vec_col).select(
+        F.col(id_col), F.col(vec_col)
+    ).crossJoin(q)
+    scored = cosine_scores_arrow(
+        pairs, vec_col, "q_vec", ("query_id", id_col)
+    ).select(
+        "query_id", id_col, F.round(F.col("cos_raw"), 6).alias("cos_sim")
     )
     return _ranked_topk(scored, k, id_col)
 
@@ -330,10 +442,10 @@ def lsh_topk(
             "query_id", "q_vec", F.explode(probes).alias("bucket")
         )
     q = F.broadcast(q)
-    scored = v.join(q, "bucket").select(
-        "query_id",
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+    scored = cosine_scores_arrow(
+        v.join(q, "bucket"), vec_col, "q_vec", ("query_id", id_col)
+    ).select(
+        "query_id", id_col, F.round(F.col("cos_raw"), 6).alias("cos_sim")
     )
     # multi-probe needs no dedup: the probed buckets (bucket ⊕ one-bit
     # flips) are pairwise distinct and each vector holds ONE bucket, so
@@ -492,11 +604,15 @@ def train_ivf_centroids_distributed(
 
 
 #: Cell count at/above which ivf_topk switches from literal-array JVM
-#: scoring to the Arrow matmul assignment — beyond a few hundred cells the
-#: generated expression tree (n_cells × dim literals) blows up codegen,
-#: while one numpy (batch × dim) @ (dim × cells) matmul per Arrow batch
-#: stays flat.
-ARROW_ASSIGN_THRESHOLD = 256
+#: scoring to the Arrow matmul assignment. Since round 8 the default is 0
+#: — ALWAYS the Arrow matmul: the literal-array JVM form never reaches
+#: whole-stage codegen (higher-order-function folds are interpreted per
+#: element), so even 16 cells × 64 dims cost ~20M lambda evaluations on
+#: the assignment pass (measured r8 at sf1.0: the full-probe IVF arm
+#: 4.4 s with JVM assignment vs 1.3 s with the matmul; guide §4.2). The
+#: JVM arm is kept for parity testing (forced via ``arrow_threshold``)
+#: and as the zero-Python fallback.
+ARROW_ASSIGN_THRESHOLD = 0
 
 
 def assign_cells_arrow(
@@ -657,10 +773,11 @@ def ivf_topk(
                 ).alias("cell"),
             )
         )
-    scored = v.join(q, "cell").select(
-        "query_id",
-        id_col,
-        F.round(cosine(F.col(vec_col), F.col("q_vec")), 6).alias("cos_sim"),
+    pairs = v.join(q, "cell")
+    scored = cosine_scores_arrow(
+        pairs, vec_col, "q_vec", ("query_id", id_col)
+    ).select(
+        "query_id", id_col, F.round(F.col("cos_raw"), 6).alias("cos_sim")
     )
     return _ranked_topk(scored, k, id_col)
 
@@ -768,13 +885,14 @@ def embedding_near_duplicates(
     )
     va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    joined = cands.join(va, "id_a").join(vb, "id_b")
+    # exact-cosine verify through the Arrow fold kernel (bit-identical
+    # to the JVM `cosine`; the interpreted HOF fold cost ~3.5 s on the
+    # ~300k sf1.0 candidate pairs, the kernel ~0.3 s — r8)
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        cosine_scores_arrow(joined, "__va", "__vb", ("id_a", "id_b"))
         .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            "id_a", "id_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")
         )
         .where(F.col("cos_sim") >= threshold)
     )

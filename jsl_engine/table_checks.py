@@ -754,6 +754,144 @@ def hll_global_estimate(sketches: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact quantiles
+# ---------------------------------------------------------------------------
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: "tuple[float, ...]",
+    *,
+    bins: int = 65536,
+    collect_budget: int = 1 << 20,
+    max_refine: int = 4,
+) -> "list[float | None]":
+    """Exact linear-interpolation quantiles of a numeric column —
+    bit-for-bit equal to Spark's ``percentile(col, array(...))``
+    (parity pinned in tests/test_table_checks.py) without its
+    single-reducer value buffer.
+
+    The built-in exact ``percentile`` aggregates a value→count hash map
+    per partition and merges EVERY map into one final buffer, then sorts
+    it — on a mostly-distinct column that is a corpus-sized single-task
+    merge (measured r8: 14.5 s at 6M rows / 4.6M distinct values vs
+    ~1.3 s here; at 10^12 rows it simply does not finish). This computes
+    the same order statistics with bounded state (guide §2.3/§2.4: the
+    shuffle carries ≤ ``bins`` partial-aggregated rows, never values):
+
+    1. one aggregate pass for (count, min, max);
+    2. one histogram pass over ``bins`` equal-width value bins locates
+       the bin holding each needed order statistic (the floor/ceil ranks
+       of every ``q·(n−1)`` position);
+    3. candidate bins holding more than ``collect_budget`` rows are
+       refined with further predicate-restricted histograms (each level
+       subdivides by ``bins``, so 4 levels cover a 2^64 value-range
+       split — in practice level 1 suffices); terminal bins resolve by
+       collecting their *distinct* values with counts (bounded by the
+       bin's row count; duplicate-heavy bins collapse to few rows);
+    4. the driver applies the reference interpolation
+       ``(ceil(pos)−pos)·lower + (pos−floor(pos))·higher`` with the same
+       short-circuits as Spark's ``Percentile.getPercentile`` (integral
+       position → the value itself; equal neighbors → no arithmetic),
+       in identical IEEE-double order.
+
+    Returns raw (unrounded) Python floats, one per requested quantile
+    (``None`` for every entry when the column is empty) — callers apply
+    their own rounding in-plan so JVM rounding semantics are untouched.
+    NULLs are ignored like the built-in; NaN inputs are unsupported
+    (order statistics over NaN are engine-specific).
+    """
+    import math
+
+    import numpy as np
+
+    c = F.col(value_col)
+    head = df.agg(
+        F.count(c).alias("n"), F.min(c).alias("lo"), F.max(c).alias("hi")
+    ).first()
+    n, lo, hi = head["n"], head["lo"], head["hi"]
+    if n == 0:
+        return [None] * len(quantiles)
+    lo, hi = float(lo), float(hi)
+    positions = [q * (n - 1) for q in quantiles]
+    needed = sorted(
+        {int(math.floor(p)) for p in positions}
+        | {int(math.ceil(p)) for p in positions}
+    )
+    values: "dict[int, float]" = {}
+
+    def resolve_leaf(pred, ranks, off) -> None:
+        """Exact ranked values of the predicate's subset via a distinct
+        value→count collect (never one row per duplicate)."""
+        hist = sorted(
+            (float(r[0]), int(r[1]))
+            for r in df.where(pred).groupBy(c).agg(F.count(F.lit(1))).collect()
+        )
+        vals = np.array([h[0] for h in hist])
+        cum = np.cumsum(np.array([h[1] for h in hist], dtype=np.int64))
+        for r in ranks:
+            values[r] = float(vals[int(np.searchsorted(cum, r - off, side="right"))])
+
+    # (predicate, value interval, ranks to resolve, rows before subset)
+    pending = [(c.isNotNull(), lo, hi, needed, 0)]
+    for _ in range(max_refine):
+        nxt = []
+        for pred, vlo, vhi, ranks, off in pending:
+            width = (vhi - vlo) / bins
+            if width <= 0.0:  # interval no longer subdividable
+                resolve_leaf(pred, ranks, off)
+                continue
+            b = F.least(
+                F.lit(bins - 1),
+                F.greatest(
+                    F.lit(0), F.floor((c - F.lit(vlo)) / F.lit(width)).cast("int")
+                ),
+            )
+            hist = sorted(
+                (int(r[0]), int(r[1]))
+                for r in df.where(pred).groupBy(b.alias("__bin")).count().collect()
+            )
+            cnts = np.array([h[1] for h in hist], dtype=np.int64)
+            cum = np.cumsum(cnts)
+            starts = cum - cnts
+            by_bin: "dict[int, list[int]]" = {}
+            for r in ranks:
+                by_bin.setdefault(
+                    int(np.searchsorted(cum, r - off, side="right")), []
+                ).append(r)
+            for k, rs in by_bin.items():
+                bid = hist[k][0]
+                sub = (pred & (b == F.lit(bid)), rs, off + int(starts[k]))
+                if cnts[k] <= collect_budget:
+                    resolve_leaf(*sub)
+                else:
+                    nxt.append(
+                        (sub[0], vlo + bid * width, vlo + (bid + 1) * width,
+                         rs, sub[2])
+                    )
+        if not nxt:
+            break
+        pending = nxt
+    else:  # max_refine exhausted with bins still over budget
+        for pred, _vlo, _vhi, ranks, off in pending:
+            resolve_leaf(pred, ranks, off)
+
+    out: "list[float | None]" = []
+    for p in positions:
+        lower, higher = int(math.floor(p)), int(math.ceil(p))
+        lower_key = values[lower]
+        if higher == lower:
+            out.append(lower_key)
+            continue
+        higher_key = values[higher]
+        if higher_key == lower_key:
+            out.append(lower_key)
+            continue
+        out.append((higher - p) * lower_key + (p - lower) * higher_key)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # ordering / set ops
 # ---------------------------------------------------------------------------
 

@@ -641,20 +641,43 @@ def verified_jaccard_pairs(
     checks end-to-end — a recall miss is a hash mismatch, not a silent
     quality loss).
 
-    Scale shape: the corpus is first semi-joined down to the ids that
-    occur in ``pairs`` (at real near-dup rates a small fraction of the
-    corpus), so shingling runs only over candidate documents; the exact
-    Jaccard itself is JVM array set ops, no Python.
+    Scale shape (reworked r8, guide §2.3/§8): the corpus is first
+    semi-joined down to the ids that occur in ``pairs`` (at real
+    near-dup rates a small fraction of the corpus), then each candidate
+    document is reduced to its sorted distinct 64-bit gram hashes in
+    one Arrow pass (:func:`jsl_engine.text_ops_arrow.gram_hash_table` —
+    the same gram identity the signature kernels hash; counts equal
+    string-gram counts absent a ~2⁻⁶⁴ collision, the argument the
+    ``contamination_arrow`` oracle already accepts). The hashed gram
+    table (~8 B/gram vs ~40-char shingle strings — ~25× fewer verify
+    bytes) is broadcast-joined to the pair list, so the candidate pairs
+    are never shuffled wide, and the exact intersection per pair is one
+    numpy sorted-merge
+    (:func:`jsl_engine.text_ops_arrow.pair_intersection_counts`)
+    instead of a per-pair JVM string-set build — measured r8 at sf1.0:
+    the winnow verify tail over 1.1M candidate pairs dropped 13.6 s →
+    ~2 s. The final Jaccard division runs in-plan on the counts, so
+    float semantics match ``size(intersect)/size(union)`` exactly.
+
+    The gram-table broadcast is bounded by the CANDIDATE set (the same
+    boundedness assumption as the id-set broadcast semi-join); for a
+    pathological candidate set too large to broadcast, drop the two
+    ``F.broadcast`` hints below and the joins degrade to sort-merge
+    with the same result.
 
     EAGER: the candidate pairs are materialized with an eager
     ``localCheckpoint`` — they are small by the near-dup-rate assumption
     and feed THREE plan branches (the id-set derivation, the broadcast,
     and the verify join), each of which would otherwise re-run the
     upstream candidate generator; checkpointing also truncates the
-    lineage so the verify plan stays flat. The shingle table is NOT
-    cached: measured at sf0.1, re-evaluating the shingling per join
-    branch costs ~0.5s warm across 32 cores, while caching the
-    array<string> column costs ~3s of columnar serialization alone."""
+    lineage so the verify plan stays flat. The gram table is NOT
+    checkpointed: the two broadcast builds re-run the (cheap, hashed)
+    kernel, which measured consistently faster than paying a
+    materialization job first (r8: 5.4 s → 4.2 s at 1.1M candidate
+    pairs, 3.6 s → 2.4 s at 2.5k — same lesson as round 4's rejected
+    shingle-table cache)."""
+    from jsl_engine.text_ops_arrow import gram_hash_table, pair_intersection_counts
+
     p = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     ids = (
         p.select(F.col("id_a").alias(id_col))
@@ -663,40 +686,41 @@ def verified_jaccard_pairs(
     )
     # broadcast the (small) id set so the semi-join prunes map-side (no
     # full-corpus shuffle), then explicitly spread the surviving rows
-    # across the cluster before the shingling HOF: the candidate subset
+    # across the cluster before the gram kernel: the candidate subset
     # is a few MB, so both the scan splits and AQE's coalescing would
-    # otherwise park it on one or two cores and serialize the
-    # interpreter-bound shingling (measured 6.8s -> 0.9s at sf0.1)
+    # otherwise park it on one or two cores and serialize the hashing
+    # (measured 6.8s -> 0.9s at sf0.1 for the old shingling HOF; the
+    # same trap applies to any per-doc kernel)
     spread = df.sparkSession.sparkContext.defaultParallelism
     # NULL-text docs have no word n-grams, so they can never satisfy the
-    # contract (Jaccard over empty sets is undefined, not 1) — without
-    # this filter shingles(NULL) yields the single-NULL-span array and
-    # array_intersect's NULL-equals-NULL semantics would certify every
-    # NULL-doc pair at jaccard 1.0. Dropping them here inner-join-drops
-    # any candidate pair touching a NULL doc, for every generator that
-    # shares this tail (minhash, winnowing, fuzzy contamination,
-    # component edges); NULL docs are exact-dup territory
-    # (sha256(NULL) groups them in exact_duplicates).
+    # contract (Jaccard over empty sets is undefined, not 1) — they emit
+    # no gram row, so the inner joins drop any candidate pair touching a
+    # NULL doc, for every generator that shares this tail (minhash,
+    # winnowing, fuzzy contamination, component edges); NULL docs are
+    # exact-dup territory (sha256(NULL) groups them in exact_duplicates).
     sub = (
         df.join(F.broadcast(ids), id_col, "left_semi")
         .where(F.col(text_col).isNotNull())
         .repartition(spread)
     )
-    sh = sub.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
+    grams = gram_hash_table(sub, text_col, id_col, n)
+    a = grams.select(
+        F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"),
+        F.col("n_grams").alias("n_a"),
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    b = grams.select(
+        F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"),
+        F.col("n_grams").alias("n_b"),
+    )
+    counted = pair_intersection_counts(
+        p.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    )
     return (
-        p.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
+        counted.select(
             "id_a",
             "id_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                F.col("n_inter").cast("double") / F.col("n_union"), 6
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)

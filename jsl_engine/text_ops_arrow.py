@@ -105,6 +105,117 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
     return _splitmix64(acc)
 
 
+def gram_hash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """``id, grams: array<bigint> (sorted distinct), n_grams`` — each
+    document's distinct word-``n``-gram 64-bit hashes
+    (:func:`_shingle_hashes`, the same gram identity every Arrow
+    signature kernel uses), computed in one map-only Arrow pass.
+
+    This is the exact-verify tail's document representation (r8): a
+    hashed gram set is ~25× smaller than the ``array<string>`` shingle
+    arrays the verify joins used to ship (8 B/gram vs ~40-char grams),
+    and set intersection over two sorted int64 arrays is one numpy merge
+    instead of a JVM string-set build per pair. Counts over hashed grams
+    equal counts over string grams absent a ~2⁻⁶⁴-probability collision
+    — the argument :func:`contamination_arrow`'s oracle already accepts.
+
+    NULL-text docs emit NO row (parity with the JVM shingle pin — they
+    have no word n-grams)."""
+    pruned = df.where(F.col(text_col).isNotNull()).select(id_col, text_col)
+    out_schema = StructType(
+        [
+            pruned.schema[id_col],
+            StructField("grams", ArrayType(LongType(), False), False),
+            StructField("n_grams", LongType(), False),
+        ]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            per_doc = [
+                np.unique(_shingle_hashes(t, n)).view(np.int64) for t in texts
+            ]
+            lens = np.fromiter((len(g) for g in per_doc), dtype=np.int64,
+                               count=nrows)
+            values = pa.array(
+                np.concatenate(per_doc) if per_doc else np.empty(0, np.int64),
+                pa.int64(),
+            )
+            offsets = pa.array(
+                np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.ListArray.from_arrays(offsets, values),
+                    pa.array(lens, pa.int64()),
+                ],
+                [id_col, "grams", "n_grams"],
+            )
+
+    return pruned.mapInArrow(run, out_schema)
+
+
+def pair_intersection_counts(joined: DataFrame) -> DataFrame:
+    """``id_a, id_b, n_inter, n_union`` from a frame carrying two sorted
+    distinct int64 gram arrays per candidate pair (``g_a``/``g_b`` with
+    their ``n_a``/``n_b`` sizes) — one numpy sorted-merge intersection
+    per row, no JVM per-pair string-set ops. The caller derives exact
+    Jaccard as ``n_inter / n_union`` in-plan (JVM double division, so
+    the float semantics of ``size(array_intersect)/size(array_union)``
+    are reproduced exactly)."""
+    pruned = joined.select("id_a", "id_b", "n_a", "n_b", "g_a", "g_b")
+    out_schema = StructType(
+        [
+            pruned.schema["id_a"],
+            pruned.schema["id_b"],
+            StructField("n_inter", LongType(), False),
+            StructField("n_union", LongType(), False),
+        ]
+    )
+
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            nrows = batch.num_rows
+            if nrows == 0:
+                continue
+            na = batch.column(2).to_numpy(zero_copy_only=False)
+            nb = batch.column(3).to_numpy(zero_copy_only=False)
+            ga = batch.column(4)
+            gb = batch.column(5)
+            va = ga.flatten().to_numpy(zero_copy_only=False)
+            vb = gb.flatten().to_numpy(zero_copy_only=False)
+            oa = np.concatenate(([0], np.cumsum(na)))
+            ob = np.concatenate(([0], np.cumsum(nb)))
+            inter = np.empty(nrows, dtype=np.int64)
+            for i in range(nrows):
+                inter[i] = np.intersect1d(
+                    va[oa[i]:oa[i + 1]], vb[ob[i]:ob[i + 1]],
+                    assume_unique=True,
+                ).size
+            union = na + nb - inter
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    pa.array(inter, pa.int64()),
+                    pa.array(union.astype(np.int64), pa.int64()),
+                ],
+                ["id_a", "id_b", "n_inter", "n_union"],
+            )
+
+    return pruned.mapInArrow(run, out_schema)
+
+
 def minhash_signatures_arrow(
     df: DataFrame,
     text_col: str = "text",

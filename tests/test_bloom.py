@@ -192,8 +192,11 @@ def test_bloom_plan_shape(spark, planted):
     assert "CartesianProduct" not in plan
     # both output branches read the ONE checkpointed probe output
     # (localCheckpoint shows as LogicalRDD); the candidate branch must
-    # not join back onto the corpus input
-    assert plan.count("Filter (bloom_hits") == 2
+    # not join back onto the corpus input. The bloom_hits filters may be
+    # merged with the gram kernel's isnotnull(text) guard by the
+    # optimizer, so count the predicate, not the exact Filter string.
+    assert plan.count("bloom_hits") >= 2
+    assert plan.count("LogicalRDD") >= 2
     assert "Join LeftOuter" in plan and plan.count("Join") == 1
 
 

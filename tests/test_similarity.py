@@ -692,3 +692,46 @@ def test_semantic_dedup_degenerate_vectors_kept(spark):
     assert not out[1].kept and out[1].n_dups == 1
     for vid in (2, 3, 4, 5):
         assert out[vid].kept and out[vid].n_dups == 0, vid
+
+
+def test_cosine_scores_arrow_bit_parity_with_jvm_fold(spark):
+    """The r8 Arrow cosine kernel must be BIT-identical to the JVM
+    `cosine` fold (sequential per-component IEEE accumulation — the
+    contract that let every exact-scoring surface swap the interpreted
+    HOF for numpy), including every degenerate pin: zero-norm → NULL,
+    NaN component → NULL, NULL component → NULL, ragged dims → NULL."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jsl_engine.similarity import cosine, cosine_scores_arrow
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)],
+         [rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(300)
+    ]
+    rows += [
+        (1000, [0.0] * 16, [1.0] * 16),            # zero-norm → NULL
+        (1001, [float("nan")] + [1.0] * 15, [1.0] * 16),  # NaN → NULL
+        (1002, [None] + [1.0] * 15, [1.0] * 16),   # NULL component → NULL
+        (1003, [1.0] * 8, [1.0] * 16),             # ragged dims → NULL
+        (1004, [float("inf")] + [1.0] * 15, [1.0] * 16),  # inf → NaN → NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    jvm = {r["id"]: r["c"]
+           for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    arrow = {r["id"]: r["cos_raw"]
+             for r in cosine_scores_arrow(df, "a", "b", ("id",)).collect()}
+    assert set(jvm) == set(arrow)
+    for k, v in jvm.items():
+        if v is None:
+            assert arrow[k] is None, (k, arrow[k])
+        else:
+            assert arrow[k] == v and not math.isnan(arrow[k]), (k, v, arrow[k])
+    for k in (1000, 1001, 1002, 1003, 1004):
+        assert arrow[k] is None

@@ -540,3 +540,47 @@ def test_drift_inverted_explicit_domain_raises(spark):
     const = spark.createDataFrame([Row(part="a", v=1.0), Row(part="b", v=1.0)])
     out = {r.part: r.ks_d for r in tc.ks_drift_binned(const, "v", "part").collect()}
     assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_exact_quantiles_percentile_parity(spark):
+    """exact_quantiles must be BIT-FOR-BIT equal to the built-in exact
+    `percentile` (same order statistics, same interpolation IEEE order)
+    — the r8 contract that let the registry quantile query drop the
+    single-reducer value-buffer aggregate. Covers interpolated and
+    integral positions, duplicate-heavy data, negatives, NULLs, and a
+    forced multi-level refinement (tiny bins/collect budget)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vals = (
+        [round(rng.uniform(-1000, 1000), 2) for _ in range(4000)]
+        + [42.0] * 500                      # heavy duplicate mass
+        + [-1000.5, 999.75]                 # exact extremes
+    )
+    rows = [Row(v=v) for v in vals] + [Row(v=None)] * 25
+    df = spark.createDataFrame(rows)
+    qs = (0.0, 0.25, 0.5, 0.613, 0.75, 0.95, 1.0)
+    arr = ", ".join(str(q) for q in qs)
+    [ref] = df.agg(
+        F.expr(f"percentile(v, array({arr}))").alias("ps")
+    ).collect()
+    mine = tc.exact_quantiles(df, "v", qs)
+    assert mine == list(ref["ps"])
+    # forced refinement: 8 bins, 10-row collect budget → several levels
+    deep = tc.exact_quantiles(
+        df, "v", qs, bins=8, collect_budget=10, max_refine=6
+    )
+    assert deep == list(ref["ps"])
+
+
+def test_exact_quantiles_degenerate_inputs(spark):
+    """Empty column → all None; constant column → the constant; a
+    single row → that row for every quantile."""
+    empty = spark.createDataFrame([Row(v=None)] * 3, "v double")
+    assert tc.exact_quantiles(empty, "v", (0.25, 0.5)) == [None, None]
+    const = spark.createDataFrame([Row(v=3.25)] * 10)
+    assert tc.exact_quantiles(const, "v", (0.1, 0.9)) == [3.25, 3.25]
+    one = spark.createDataFrame([Row(v=-7.5)])
+    assert tc.exact_quantiles(one, "v", (0.0, 0.5, 1.0)) == [-7.5] * 3

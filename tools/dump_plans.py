@@ -1,0 +1,51 @@
+"""Dump `.explain("formatted")` output for registry queries to files.
+
+Usage: python tools/dump_plans.py <sf_dir> <out_dir> <suffix> [query ...]
+
+Writes ``<out_dir>/<query>_<suffix>.txt`` for each selected query (all
+registry queries when none are named). Evidence artifacts for the
+optimization rounds (plans/r08/...).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as em
+from jsl_engine.partitioning import get_spark
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> int:
+    sf_dir, out_dir, suffix = sys.argv[1], sys.argv[2], sys.argv[3]
+    names = sys.argv[4:]
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    spark = get_spark(
+        master="local[8]", shuffle_partitions=16,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = em.queries()
+    for name, fn in qs.items():
+        if names and name not in names:
+            continue
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as e:  # a query that collects internally, etc.
+            plan = f"<plan capture failed: {e}>"
+        (out / f"{name}_{suffix}.txt").write_text(plan)
+        print(f"wrote {name}_{suffix}.txt ({len(plan)} bytes)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
