@@ -1166,7 +1166,11 @@ def q_jsl_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec corpus in pytest."""
     from jsl_engine.partitioning import fan_out
 
-    events = fan_out(_t(spark, sf_dir, "events"))
+    # project BEFORE the fan_out exchange (guide §2.3): the validation
+    # kernel reads only (event_id, props), and the round-robin shuffle
+    # out of the single-split events file writes from ONE task — every
+    # unused column shuffled is single-core serialization time
+    events = fan_out(_t(spark, sf_dir, "events").select("event_id", "props"))
     schema = compile_schema(EVENTS_PROPS_SCHEMA)
     validated = validate_df(events, schema, content_col="props", key_cols=("event_id",))
     return verdicts(validated, key_cols=("event_id",))
@@ -1190,7 +1194,12 @@ def q_jsl_validate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup": compile_schema({"properties": {"k": {"enum": ["a", "b"]}}}),
     }
     out = validate_multi(
-        fan_out(_t(spark, sf_dir, "events")), schemas,
+        # project before the single-split fan_out shuffle (guide §2.3;
+        # see q_jsl_validate_events)
+        fan_out(_t(spark, sf_dir, "events").select(
+            "event_id", "event_type", "props"
+        )),
+        schemas,
         route_col="event_type", content_col="props", key_cols=("event_id",),
     )
     return out.select(

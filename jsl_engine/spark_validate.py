@@ -196,13 +196,17 @@ def validate_df(
 
         *key_cols, ok, n_errors, error, content_sha256, violations
 
-    The content sha256 is computed JVM-side with ``F.sha2`` before the
-    Python stage (whole-stage codegen; equals
-    ``hashlib.sha256(content.encode()).hexdigest()`` — the per-row invariant
-    against the reference harness), then passed through the UDF untouched.
+    The content sha256 (``hashlib.sha256(content.encode()).hexdigest()``
+    == ``F.sha2(content, 256)`` — the per-row invariant against the
+    reference harness) is computed INSIDE the Arrow kernel since r8: as
+    a JVM projection Catalyst pushed it *below* the caller's fan-out
+    repartition, so on a single-split input every hash ran on the one
+    scan task AND the exchange carried hash + content both; in-kernel it
+    runs on the post-exchange parallelism and the shuffle carries only
+    keys + content (guide §2.3 — plans/r08/jsl_validate_events_*.txt).
 
-    Catalyst sees the UDF as a black box, so input pruning is explicit: only
-    ``key_cols + (sha,) + (content,)`` enter the Arrow exchange.
+    Catalyst sees the UDF as a black box, so input pruning is explicit:
+    only ``key_cols + (content,)`` enter the Arrow exchange.
 
     ``max_nesting=128`` opts into exact serde_json deep-instance parity
     (instances nested past the limit become ``json_parse_error``); the
@@ -221,14 +225,8 @@ def validate_df(
     driver_parser = _jsonio.PARSER
 
     cols = [F.col(c) for c in key_cols]
-    sha = (
-        F.sha2(F.col(content_col), 256)
-        if with_sha256
-        else F.lit(None).cast("string")
-    )
     pruned = df.select(
         *cols,
-        sha.alias("content_sha256"),
         F.col(content_col).alias("__content"),
     )
 
@@ -252,26 +250,40 @@ def validate_df(
     )
 
     def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
-        # mapInArrow, not mapInPandas: key columns and the precomputed sha
-        # pass through as Arrow buffers untouched (zero-copy); only the
-        # content column is materialized as Python strings for json.loads.
-        # This halves the per-row overhead vs converting every column to
-        # pandas objects and back.
+        # mapInArrow, not mapInPandas: key columns pass through as Arrow
+        # buffers untouched (zero-copy); only the content column is
+        # materialized as Python strings for json.loads. This halves the
+        # per-row overhead vs converting every column to pandas objects
+        # and back.
+        import hashlib
+
         from jsl_engine.jsonio import require_parser
 
         require_parser(driver_parser)  # fail fast on mixed environments
         payload_local = bc.value
+        sha256 = hashlib.sha256
         for batch in batches:
-            contents = batch.column(len(key_list) + 1).to_pylist()
+            contents = batch.column(len(key_list)).to_pylist()
             ok, n, err, vio = _validate_batch(
                 contents, payload_local, strict_instance_semantics,
                 max_errors, max_depth, max_nesting,
             )
+            if with_sha256:
+                sha = pa.array(
+                    [
+                        None if c is None
+                        else sha256(c.encode()).hexdigest()
+                        for c in contents
+                    ],
+                    pa.string(),
+                )
+            else:
+                sha = pa.nulls(batch.num_rows, pa.string())
             arrays = [batch.column(i) for i in range(len(key_list))]
             arrays.append(pa.array(ok, pa.bool_()))
             arrays.append(pa.array(n, pa.int32()))
             arrays.append(pa.array(err, pa.string()))
-            arrays.append(batch.column(len(key_list)))  # content_sha256
+            arrays.append(sha)
             arrays.append(pa.array(vio, vio_type))
             yield pa.RecordBatch.from_arrays(
                 arrays,
@@ -485,15 +497,11 @@ def validate_multi(
     driver_parser = _jsonio.PARSER
 
     cols = [F.col(c) for c in key_cols]
-    sha = (
-        F.sha2(F.col(content_col), 256)
-        if with_sha256
-        else F.lit(None).cast("string")
-    )
+    # sha256 is computed in-kernel (see validate_df — keeps the hash off
+    # the single-split side of a caller's fan-out exchange, r8)
     pruned = df.select(
         *cols,
         F.col(route_col).cast("string").alias("schema_key"),
-        sha.alias("content_sha256"),
         F.col(content_col).alias("__content"),
     )
     out_schema = StructType(
@@ -517,13 +525,16 @@ def validate_multi(
     )
 
     def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import hashlib
+
         from jsl_engine.jsonio import require_parser
 
         require_parser(driver_parser)
         payloads_local, default_local = bc.value
+        sha256 = hashlib.sha256
         for batch in batches:
             routes = batch.column(n_keys).to_pylist()
-            contents = batch.column(n_keys + 2).to_pylist()
+            contents = batch.column(n_keys + 1).to_pylist()
             n = len(contents)
             ok = [False] * n
             nerr = [0] * n
@@ -545,12 +556,23 @@ def validate_multi(
                 )
                 for j, i in enumerate(idxs):
                     ok[i], nerr[i], err[i], vio[i] = o2[j], n2[j], e2[j], v2[j]
+            if with_sha256:
+                sha = pa.array(
+                    [
+                        None if c is None
+                        else sha256(c.encode()).hexdigest()
+                        for c in contents
+                    ],
+                    pa.string(),
+                )
+            else:
+                sha = pa.nulls(n, pa.string())
             arrays = [batch.column(i) for i in range(n_keys)]
             arrays.append(batch.column(n_keys))  # schema_key
             arrays.append(pa.array(ok, pa.bool_()))
             arrays.append(pa.array(nerr, pa.int32()))
             arrays.append(pa.array(err, pa.string()))
-            arrays.append(batch.column(n_keys + 1))  # content_sha256
+            arrays.append(sha)
             arrays.append(pa.array(vio, vio_type))
             yield pa.RecordBatch.from_arrays(
                 arrays,

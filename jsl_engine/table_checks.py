@@ -46,9 +46,20 @@ def numeric_column_stats(
 
         column, n_rows, n_null, null_frac, min_val, max_val, avg_val, n_distinct
 
-    One aggregation pass over the table computes every column's stats
-    (map-side combine; no per-column scans), then the single wide row is
-    unpivoted driver-free via ``stack``.
+    One aggregation pass over the table computes every column's basic
+    stats (map-side combine; no per-column scans), then the single wide
+    row is unpivoted driver-free via ``stack``.
+
+    ``exact_distinct=True`` keeps each exact ``count_distinct`` in its
+    OWN single-row aggregate, crossJoined onto the stats row (r8): a
+    wide agg with several DISTINCT aggregates compiles to an Expand —
+    n_distinct_cols × every input row materialized before the partial
+    aggregate — while the per-column form is a plain two-phase distinct
+    whose shuffle carries only distinct values, and the independent
+    subtrees schedule concurrently inside the one job (measured r8 at
+    sf1.0: 2.65 s → 1.14 s on 4 lineitem columns, identical output).
+    The HLL path (``exact_distinct=False``, the 10^12-row default) is a
+    normal aggregate and stays in the single pass.
     """
     aggs = []
     for c in columns:
@@ -59,11 +70,15 @@ def numeric_column_stats(
             F.round(F.min(col).cast("double"), ROUND).alias(f"{c}__min"),
             F.round(F.max(col).cast("double"), ROUND).alias(f"{c}__max"),
             F.round(F.avg(col), ROUND).alias(f"{c}__avg"),
-            (
-                F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
-            ).alias(f"{c}__nd"),
         ]
+        if not exact_distinct:
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__nd"))
     wide = df.agg(*aggs)
+    if exact_distinct:
+        for c in columns:
+            wide = wide.crossJoin(
+                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+            )
     stack_args = ", ".join(
         f"'{c}', {c}__n, {c}__nn, {c}__min, {c}__max, {c}__avg, {c}__nd"
         for c in columns
@@ -92,6 +107,9 @@ def string_column_stats(
 
     min/max are lexicographic on the raw strings (binary collation in both
     Spark and DuckDB, so oracle-comparable without casts).
+
+    Exact distinct counts use the per-column crossJoin shape — see
+    :func:`numeric_column_stats` (avoids the multi-DISTINCT Expand).
     """
     aggs = []
     for c in columns:
@@ -101,11 +119,15 @@ def string_column_stats(
             F.sum(col.isNull().cast("long")).alias(f"{c}__nn"),
             F.min(col).alias(f"{c}__min"),
             F.max(col).alias(f"{c}__max"),
-            (
-                F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
-            ).alias(f"{c}__nd"),
         ]
+        if not exact_distinct:
+            aggs.append(F.approx_count_distinct(col).alias(f"{c}__nd"))
     wide = df.agg(*aggs)
+    if exact_distinct:
+        for c in columns:
+            wide = wide.crossJoin(
+                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+            )
     stack_args = ", ".join(
         f"'{c}', {c}__n, {c}__nn, {c}__min, {c}__max, {c}__nd" for c in columns
     )

@@ -983,22 +983,38 @@ def unigram_logprob_score(
     deterministic by construction. ``reference`` defaults to ``df``
     itself (self-scored corpus).
 
-    Scale shape — fully action-free, bounded stages:
+    Scale shape — bounded stages:
 
     1. reference token counts: explode → groupBy(token) with map-side
        combine (the shuffle carries the VOCABULARY, not the corpus); the
        top-``vocab_size`` cut is ``orderBy().limit()`` — Spark's
        TakeOrderedAndProject (per-partition partial top-K + bounded
        merge, NO single-reducer global sort); the smoothing denominator
-       is a one-row aggregate of the same counts (the token-count
-       exchange is reused across the branches at runtime — the
-       drift-report ReusedExchange pattern);
-    2. scoring join: the model is ≤ ``vocab_size`` rows → broadcast;
-       corpus tokens LEFT-join it map-side, missing rows take the OOV
-       mass — the corpus is never shuffled to meet the model;
-    3. per-doc aggregation: one groupBy(id) over (id, logp) rows.
+       is a one-row aggregate of the same counts. The ≤ ``vocab_size``
+       model rows (with their JVM-computed log-probabilities, so float
+       semantics are unchanged) collect to the driver and broadcast —
+       the bounded-table pattern the DSIR λ table and BPE type table
+       already use;
+    2. scoring (r8): ONE map-only Arrow pass over ``(id, text)`` sums
+       each document's token log-probs against the broadcast dict — the
+       corpus-sized (id, token) explode, the model join, the 10M-row
+       per-doc shuffle AND the zero-token left-join-back of the previous
+       shape all disappear (guide §2.4/§4.2; measured r8 at sf1.0:
+       3.3 s → ~1.5 s). Per-doc summation order is document token order
+       — deterministic, unlike the old partition-order partial sums —
+       and the 6-dp rounding happens in-plan as before.
 
     Empty/whitespace-only docs score ``NULL`` (no tokens)."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        DoubleType as _Double,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    from jsl_engine.text_ops_arrow import _WS
+
     if reference is None:
         reference = df
     ref_toks = reference.select(
@@ -1007,44 +1023,79 @@ def unigram_logprob_score(
     counts = ref_toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     vocab = counts.orderBy(F.desc("c"), F.asc("token")).limit(vocab_size)
     a = F.lit(float(alpha))
-    stats = F.broadcast(
-        counts.agg(
-            (
-                F.coalesce(F.sum("c"), F.lit(0))
-                + a * (F.least(F.count(F.lit(1)), F.lit(vocab_size)) + 1)
-            ).alias("__denom")
-        )
+    stats = counts.agg(
+        (
+            F.coalesce(F.sum("c"), F.lit(0))
+            + a * (F.least(F.count(F.lit(1)), F.lit(vocab_size)) + 1)
+        ).alias("__denom")
     )
-    model = F.broadcast(
-        vocab.crossJoin(stats).select(
+    # ONE driver collect for model + OOV mass (the OOV rides as a
+    # NULL-token row, so both JVM-log values arrive in a single job)
+    model_rows = (
+        vocab.crossJoin(F.broadcast(stats)).select(
             "token", F.log((F.col("c") + a) / F.col("__denom")).alias("__logp")
         )
-    )
-    doc_toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("token"),
-    ).where(F.col("token") != "")
-    scored = (
-        doc_toks.join(model, "token", "left")
-        .crossJoin(stats)
-        .select(
-            id_col,
-            F.coalesce(F.col("__logp"), F.log(a / F.col("__denom"))).alias("__logp"),
+        .unionByName(
+            stats.select(
+                F.lit(None).cast("string").alias("token"),
+                F.log(a / F.col("__denom")).alias("__logp"),
+            )
+        )
+    ).collect()
+    oov_lp = next(float(r["__logp"]) for r in model_rows if r["token"] is None)
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (
+            {r["token"]: r["__logp"] for r in model_rows if r["token"] is not None},
+            oov_lp,
         )
     )
-    per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(F.avg("__logp"), 6).alias("mean_logprob"),
+
+    pruned = df.select(id_col, text_col)
+    out_schema = _ST(
+        [
+            pruned.schema[id_col],
+            _SF("n_tokens", _Long(), False),
+            _SF("__mean_raw", _Double(), True),
+        ]
     )
-    # docs with zero tokens keep a row (NULL score): left join back
-    return (
-        df.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-            "mean_logprob",
-        )
+
+    def run(batches):
+        model, oov_lp = bc.value
+        get = model.get
+        sub = _WS.sub
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ns: list = []
+            means: list = []
+            for t in batch.column(1).to_pylist():
+                toks = (
+                    sub(" ", t.lower()).strip(" ").split(" ")
+                    if t is not None
+                    else []
+                )
+                n = 0
+                s = 0.0
+                for w in toks:
+                    if w:
+                        s += get(w, oov_lp)
+                        n += 1
+                ns.append(n)
+                means.append(s / n if n else None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(ns, pa.int64()),
+                    pa.array(means, pa.float64()),
+                ],
+                [id_col, "n_tokens", "__mean_raw"],
+            )
+
+    return pruned.mapInArrow(run, out_schema).select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("__mean_raw"), 6).alias("mean_logprob"),
     )
 
 
