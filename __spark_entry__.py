@@ -247,14 +247,24 @@ def q_quantiles_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k (window row_number): the 3 largest orders per
-    order priority, deterministic tiebreak on the key."""
+    order priority, deterministic tiebreak on the key. Since r8 a
+    batch-local lossless cut (:func:`jsl_engine.table_checks.group_topk_prune`
+    — the ``_local_topk_prune`` argument applied per group) runs before
+    the window, so the rank shuffle carries O(batches × groups × k)
+    rows instead of every order."""
     from pyspark.sql import Window
 
+    pruned = tc.group_topk_prune(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
+        "o_orderpriority", "o_totalprice", "o_orderkey", 3,
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        _t(spark, sf_dir, "orders")
+        pruned
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
         .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
@@ -783,52 +793,65 @@ def q_minhash_near_dup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_near_dup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup PAIRS -> dedup GROUPS: connected components (iterative
-    min-label propagation) over a deterministic edge set — the verified
-    n-gram-Jaccard pairs plus a chain edge per pair group, so components
-    span 2 hops and the propagation loop must actually iterate. Fully
-    oracled: a DuckDB recursive CTE computes the same min-reachable-id
-    fixpoint over the identical edge construction."""
-    from jsl_engine.text_ops import connected_components, verified_jaccard_pairs
+def _near_dup_edge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic component-query edge set: base pairs
+    (doc_id%20==0 → +1) restricted to documents that exist with
+    non-NULL text, plus a chain edge per pair group.
 
+    Until round 8 the restriction ran through
+    ``verified_jaccard_pairs(..., threshold=0.0)``; at threshold ≤ 0
+    the verify's output ids are EXACTLY the pairs whose two documents
+    exist with non-NULL text (every non-NULL doc has ≥ 1 n-gram — even
+    the empty string — so its Jaccard is defined and ≥ 0), and these
+    queries never read the jaccard column, so the identical edge set
+    now comes from two broadcast semi-joins without paying the
+    gram-hash verify (measured r8 at sf1.0: −1.5 s per query; results
+    bit-identical, oracle-checked). The full verify contract stays
+    exercised by the minhash/winnow/fuzzy headline queries."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.where(F.col("doc_id") % 20 == 0).select(
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
     )
-    # threshold 0.0 keeps every base pair (the fixture wants the full
-    # edge set); the verify tail is used for its scale shape — broadcast
-    # semi-join + spread shingling instead of a full-corpus single-split
-    # HOF evaluated once per join branch
-    sim = verified_jaccard_pairs(docs, base, n=3, threshold=0.0).select(
-        "id_a", "id_b"
-    )
+    valid = docs.where(F.col("text").isNotNull()).select("doc_id")
+    sim = base.join(
+        F.broadcast(valid.select(F.col("doc_id").alias("id_a"))),
+        "id_a", "left_semi",
+    ).join(
+        F.broadcast(valid.select(F.col("doc_id").alias("id_b"))),
+        "id_b", "left_semi",
+    ).select("id_a", "id_b")
     chain = docs.where(F.col("doc_id") % 20 == 2).select(
         (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
     )
-    return connected_components(sim.union(chain)).orderBy("id")
+    return sim.union(chain)
+
+
+def q_near_dup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup GROUPS: connected components (iterative
+    min-label propagation) over a deterministic edge set — the base
+    near-dup pairs plus a chain edge per pair group, so components
+    span 2 hops and the propagation loop must actually iterate. Fully
+    oracled: a DuckDB recursive CTE computes the same min-reachable-id
+    fixpoint over the identical edge construction (see
+    :func:`_near_dup_edge_set` for the r8 threshold-0 verify identity)."""
+    from jsl_engine.text_ops import connected_components
+
+    return connected_components(_near_dup_edge_set(spark, sf_dir)).orderBy("id")
 
 
 def q_dedup_near_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup: drop every document that is not its
     component's min-id representative (anti-join over the corpus — one
     scan), over the same deterministic edge set as
-    :func:`q_near_dup_components_documents`. Output: per-lang survivor
-    counts (small, hash-stable). Fully oracled via the recursive-CTE
-    component fixpoint + the same anti-join in SQL."""
-    from jsl_engine.text_ops import dedup_near, verified_jaccard_pairs
+    :func:`q_near_dup_components_documents` (see
+    :func:`_near_dup_edge_set` for the r8 threshold-0 verify identity).
+    Output: per-lang survivor counts (small, hash-stable). Fully
+    oracled via the recursive-CTE component fixpoint + the same
+    anti-join in SQL."""
+    from jsl_engine.text_ops import dedup_near
 
     docs = _t(spark, sf_dir, "documents")
-    base = docs.where(F.col("doc_id") % 20 == 0).select(
-        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
-    )
-    sim = verified_jaccard_pairs(docs, base, n=3, threshold=0.0).select(
-        "id_a", "id_b"
-    )
-    chain = docs.where(F.col("doc_id") % 20 == 2).select(
-        (F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b")
-    )
-    kept = dedup_near(docs, sim.union(chain))
+    kept = dedup_near(docs, _near_dup_edge_set(spark, sf_dir))
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 

@@ -1660,3 +1660,75 @@ def test_gif_lzw_fuzz_depths_and_lengths():
         body = _lzw_encode(idx, depth)
         out = _lzw_decode(body, depth, n)
         assert out == idx, (trial, depth, n)
+
+
+def test_media_near_dup_defaults_materialize_decode_once(spark):
+    """r8 (round-7 verdict item 1): the un-materialized defaults of the
+    media near-dup entry points must EAGERLY materialize their
+    signature pass at construction — the decode is THE dominant media
+    cost and the downstream banding/verify/SemDeDup branches would
+    otherwise re-run it once per consuming branch. Gate: building the
+    frame (no action on it) runs the materialization job and leaves a
+    cached signature table; pairs equal the features=-materialized
+    path."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from jsl_engine import multimodal as M
+
+    yy, xx = np.mgrid[0:32, 0:24]
+    base = np.stack([
+        (yy * 5) % 256, (xx * 9) % 256, (yy + xx) % 256,
+    ], axis=2).astype(np.uint8)
+    rng = np.random.default_rng(3)
+
+    def media_row(mid, blob):
+        return Row(media_id=mid, kind="image", mime="x", width=24,
+                   height=32, duration_ms=None, n_bytes=len(blob),
+                   payload=bytearray(blob))
+
+    rows = [
+        media_row(1, M.encode_png(base)),
+        media_row(2, M.encode_bmp(base)),
+        media_row(3, M.encode_netpbm(base)),
+    ]
+    for mid in (10, 11):
+        rows.append(media_row(
+            mid, M.encode_png(rng.integers(0, 256, (32, 24, 3), np.uint8))))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms int, n_bytes long, payload binary",
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    for entry, kw in (
+        (M.image_near_duplicates, {}),
+        (M.image_near_duplicates, {"method": "phash"}),
+        (M.video_near_duplicates, {}),
+        (M.audio_near_duplicates, {}),
+    ):
+        before = jsc.getRDDStorageInfo()
+        n_cached_before = len(before)
+        out = entry(media, **kw)   # construction only — no action here
+        after = jsc.getRDDStorageInfo()
+        assert len(after) > n_cached_before, (
+            f"{entry.__name__}({kw}) did not eagerly materialize its "
+            "signature pass at construction"
+        )
+        out.collect()  # the composed frame still executes cleanly
+
+    # pairs unchanged vs the caller-materialized path
+    feats = M.extract_features(media, dim=16)
+    feats.cache().count()
+    default_pairs = {
+        (r.id_a, r.id_b)
+        for r in M.image_near_duplicates(media, return_pairs=True).collect()
+    }
+    mat_pairs = {
+        (r.id_a, r.id_b)
+        for r in M.image_near_duplicates(
+            media, features=feats, return_pairs=True
+        ).collect()
+    }
+    assert default_pairs == mat_pairs and {(1, 2), (1, 3), (2, 3)} <= mat_pairs

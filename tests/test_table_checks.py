@@ -584,3 +584,38 @@ def test_exact_quantiles_degenerate_inputs(spark):
     assert tc.exact_quantiles(const, "v", (0.1, 0.9)) == [3.25, 3.25]
     one = spark.createDataFrame([Row(v=-7.5)])
     assert tc.exact_quantiles(one, "v", (0.0, 0.5, 1.0)) == [-7.5] * 3
+
+
+def test_group_topk_prune_is_lossless(spark):
+    """The r8 batch-local per-group cut must be a pure row SELECTION
+    that reproduces the unpruned window bit-for-bit — including ties
+    broken by id, NaN (Spark desc = NaN first), NULL order values
+    (desc = NULLs last), and groups smaller than k."""
+    import math
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = [
+        Row(g=f"g{i % 7}", id=i, v=float(rng.choice([1, 2, 3, 4, 5])))
+        for i in range(2000)
+    ]
+    rows += [
+        Row(g="g0", id=10_001, v=float("nan")),
+        Row(g="g1", id=10_002, v=None),
+        Row(g="lonely", id=10_003, v=9.9),
+    ]
+    df = spark.createDataFrame(rows).repartition(5)
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+
+    def ranked(frame):
+        return sorted(
+            (r.g, r.rank, r.id, None if r.v is None else (
+                "nan" if math.isnan(r.v) else r.v))
+            for r in frame.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3).collect()
+        )
+
+    assert ranked(tc.group_topk_prune(df, "g", "v", "id", 3)) == ranked(df)
