@@ -847,11 +847,17 @@ def embedding_near_duplicates(
     ])
 
     def _bucketize(batches):
+        from jsl_engine.pq import _batch_matrix
+
         p, wts, nb, npl = bc.value
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            x = _np.array(batch.column(1).to_pylist(), dtype=_np.float64)
+            # zero-copy flatten, NOT to_pylist: materializing 20k × 64
+            # python floats cost ~2 s of this kernel's 2.1 s at sf1.0
+            # (r8; the pq._batch_matrix lesson) — float widening is
+            # exact either way, so the sign bits are unchanged
+            x = _batch_matrix(batch.column(1), batch.num_rows, _np.float64)
             bits = (x @ p.T >= 0).astype(_np.int64) * wts
             bkt = bits.reshape(len(x), nb, npl).sum(axis=2)
             yield _pa.RecordBatch.from_arrays(
