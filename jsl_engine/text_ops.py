@@ -621,6 +621,18 @@ def ngram_jaccard(
     )
 
 
+#: Candidate-pair count at or below which the verify tail keeps the
+#: round-7 JVM string-array form: its per-pair array<string> set ops are
+#: slow per unit but its plan is two joins with NO extra kernel stages,
+#: so at a few hundred pairs the hashed path's fixed costs (two gram
+#: broadcast builds + the intersection kernel stage) dominate — measured
+#: r8 at sf0.1 minhash (256 pairs): 2.06 s string vs 2.32 s hashed, and
+#: the reverse by 9 s at 1.1M pairs. The pair list is ALREADY
+#: checkpointed when the count runs, so the switch costs one ~40 ms
+#: metadata-light job (the connected_components short-circuit pattern).
+VERIFY_SMALL_PAIRS = 20_000
+
+
 def verified_jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -628,6 +640,7 @@ def verified_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.5,
+    small_pairs: int = VERIFY_SMALL_PAIRS,
 ) -> DataFrame:
     """Exact-Jaccard verification tail for candidate-pair generators:
     ``id_a, id_b, jaccard`` with exact word-``n``-gram Jaccard ≥
@@ -658,6 +671,13 @@ def verified_jaccard_pairs(
     the winnow verify tail over 1.1M candidate pairs dropped 13.6 s →
     ~2 s. The final Jaccard division runs in-plan on the counts, so
     float semantics match ``size(intersect)/size(union)`` exactly.
+
+    Candidate sets at or below ``small_pairs`` keep the round-7 JVM
+    string-array form instead (see :data:`VERIFY_SMALL_PAIRS` — the
+    hashed path's fixed stage costs dominate there); both paths produce
+    the same rows (string-gram vs 64-bit-hash counts are equal absent
+    the 2⁻⁶⁴ collision), pinned against each other in pytest, and the
+    switch reads the count of the already-checkpointed pair list.
 
     The gram-table broadcast is bounded by the CANDIDATE set (the same
     boundedness assumption as the id-set broadcast semi-join); for a
@@ -703,6 +723,29 @@ def verified_jaccard_pairs(
         .where(F.col(text_col).isNotNull())
         .repartition(spread)
     )
+    if p.count() <= small_pairs:
+        # small-candidate path: the round-7 string-array verify — two
+        # joins, zero extra kernel stages (identical rows; see above)
+        sh = sub.select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
+        )
+        a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        return (
+            p.join(a, "id_a")
+            .join(b, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                    6,
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
     grams = gram_hash_table(sub, text_col, id_col, n)
     a = grams.select(
         F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"),

@@ -460,11 +460,10 @@ def minhash_near_duplicates_exact_arrow(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
-    cache: bool = True,
+    cache: bool = False,
     max_bucket: int = 64,
 ) -> DataFrame:
-    """Headline near-dup (EAGER by default — ``cache=True`` materializes
-    signatures at construction): Arrow MinHash signatures propose
+    """Headline near-dup: Arrow MinHash signatures propose
     candidates via LSH banding, then every candidate is verified with the
     **exact** word-``shingle_n``-gram Jaccard
     (:func:`jsl_engine.text_ops.verified_jaccard_pairs`) — the output
@@ -477,7 +476,16 @@ def minhash_near_duplicates_exact_arrow(
     query does). With 16 bands × 4 rows the per-pair miss odds at
     Jaccard 0.8 are (1-0.8⁴)¹⁶ ≈ 2·10⁻⁴ and fall super-exponentially
     above it; the DuckDB full-pair oracle checks recall end-to-end.
-    Returns ``id_a, id_b, jaccard``."""
+    Returns ``id_a, id_b, jaccard``.
+
+    ``cache`` defaults to False since r8: unlike the estimated-Jaccard
+    variant (whose verify re-reads the signature table from two join
+    branches), the EXACT verify re-derives grams from the raw text, so
+    the signature table here has exactly ONE consuming exchange — the
+    banding window and its self-join share it via ReusedExchange — and
+    the eager cache job was pure overhead (measured r8 at sf1.0: 4.4 s
+    → 3.2 s, identical pairs). ``cache=True`` restores the old
+    behavior for callers that additionally consume ``sigs``."""
     from jsl_engine.text_ops import lsh_candidate_pairs, verified_jaccard_pairs
 
     sigs = minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_n)

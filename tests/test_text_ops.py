@@ -2359,3 +2359,41 @@ def test_lsh_recall_report_measures_banding(spark):
     assert bad.true_pairs == mid.true_pairs
     assert (bad.recall or 0.0) < 0.2
     assert bad.recall < mid.recall and mid.recall < good.recall
+
+
+def test_verified_jaccard_small_and_hashed_paths_agree(spark):
+    """The r8 size-gated verify: the small-candidate JVM string-array
+    path and the hashed-gram broadcast path must emit IDENTICAL rows on
+    the same candidate set (string-gram counts == 64-bit-hash counts
+    absent a 2^-64 collision), including the duplicate-heavy and
+    short-doc clip regimes and threshold 0."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta IOTA"),
+            (3, "one two three four five six seven eight nine"),
+            (4, "one two three four five six seven eight nine"),
+            (5, "short doc"),
+            (6, "short doc"),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6), (1, 7), (1, 3)], "id_a long, id_b long"
+    )
+    for thr in (0.0, 0.5):
+        small = {
+            tuple(r)
+            for r in T.verified_jaccard_pairs(
+                docs, pairs, threshold=thr, small_pairs=10**9
+            ).collect()
+        }
+        hashed = {
+            tuple(r)
+            for r in T.verified_jaccard_pairs(
+                docs, pairs, threshold=thr, small_pairs=0
+            ).collect()
+        }
+        assert small == hashed, (thr, small ^ hashed)
+    assert (5, 6, 1.0) in small and (1, 7, 1.0) not in small
