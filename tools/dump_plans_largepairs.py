@@ -1,0 +1,62 @@
+"""Dump the LARGE-candidate-set verify-tail plans for the gated queries.
+
+``verified_jaccard_pairs`` size-gates its exact-verify tail
+(:data:`jsl_engine.text_ops.VERIFY_SMALL_PAIRS`): candidate sets at or
+below the gate keep the round-7 JVM string-array verify, larger sets
+(the sf1.0-scale shape OPTIMIZATION_r08.md's headline numbers describe)
+take the hashed broadcast path. At sf0.1 every gated bench query sits
+below the gate, so ``plans/r08/<q>_after.txt`` captured at sf0.1 shows
+the small-set plan; this tool captures the OTHER arm from the very same
+registry query composition by forcing ``small_pairs=0`` (the consumers
+late-import the function, so wrapping it swaps the default without
+touching query code). Output: ``<out>/<query>_after_largepairs.txt``.
+
+Usage: python tools/dump_plans_largepairs.py <sf_dir> <out_dir> [query ...]
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as em
+from jsl_engine import text_ops
+from jsl_engine.partitioning import get_spark
+from tools.dump_plans import plan_of
+
+GATED = [
+    "minhash_near_dup_documents",
+    "winnow_overlap_documents",
+    "fuzzy_contamination_documents",
+]
+
+
+def main() -> int:
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:] or GATED
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    spark = get_spark(
+        master="local[8]", shuffle_partitions=16,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    orig = text_ops.verified_jaccard_pairs
+    text_ops.verified_jaccard_pairs = functools.partial(orig, small_pairs=0)
+    try:
+        qs = em.queries()
+        for name in names:
+            df = qs[name](spark, sf_dir)
+            path = out / f"{name}_after_largepairs.txt"
+            path.write_text(plan_of(df))
+            print(f"wrote {path}")
+    finally:
+        text_ops.verified_jaccard_pairs = orig
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
